@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: CSR SpMV on memplus.mtx (the largest-nnz reference
+benchmark with a trustworthy golden vector).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference C toolkit's memplus CSR run — 325 Mnnz/s
+(BASELINE.md: 0.387638 ms avg over 1000 iterations on a ca. 2021 CPU).
+
+Run on whatever device JAX exposes (TPU under axon; CPU fallback works).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+BASELINE_NNZ_PER_S = 325e6  # memplus CSR, reference hardware (BASELINE.md)
+MATRIX = "/root/reference/sample-data/memplus.mtx"
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smvp_toolkit_tpu.bench import bench_spmv, spmv_bytes_csr, hbm_bandwidth_gbs
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops import spmv_csr
+
+    device = jax.devices()[0]
+
+    coo = read_mtx(MATRIX).pad(512)
+    csr = csr_encode(coo)
+    x = jnp.ones((coo.shape[1],), dtype=jnp.float32)
+
+    spmv_fn = spmv_csr
+    kernel = "xla"
+    if device.platform != "cpu":
+        try:
+            from smvp_toolkit_tpu.ops import spmv_pallas
+
+            # Validate before trusting.
+            y_p = np.asarray(spmv_pallas.spmv_csr_pallas(csr, x))
+            y_x = np.asarray(spmv_csr(csr, x))
+            if np.allclose(y_p, y_x, rtol=1e-3, atol=1e-4):
+                spmv_fn = spmv_pallas.spmv_csr_pallas
+                kernel = "pallas"
+        except Exception:
+            pass
+
+    # Correctness gate before publishing a number.
+    y = np.asarray(spmv_fn(csr, x)).astype(np.float64)
+    r, c, v = coo.to_numpy()
+    y_ref = np.zeros(coo.shape[0])
+    np.add.at(y_ref, r, v.astype(np.float64))
+    err = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-30)
+    assert err < 1e-3, f"CSR SpMV wrong (rel err {err})"
+
+    stats = bench_spmv(spmv_fn, csr, x, iterations=200, warmup=5, inner=10)
+    nnzs = stats.nnz_per_s(coo.nnz)
+    gbs = stats.gb_per_s(spmv_bytes_csr(coo.nnz, coo.shape[0]))
+
+    print(
+        json.dumps(
+            {
+                "metric": f"memplus CSR SpMV throughput ({kernel} kernel, "
+                f"{device.device_kind})",
+                "value": round(nnzs / 1e6, 1),
+                "unit": "Mnnz/s",
+                "vs_baseline": round(nnzs / BASELINE_NNZ_PER_S, 3),
+                "avg_ms": round(stats.avg_ms, 6),
+                "eff_gb_s": round(gbs, 2),
+                "roofline_frac": round(gbs / hbm_bandwidth_gbs(device), 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

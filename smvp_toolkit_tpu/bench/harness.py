@@ -1,0 +1,130 @@
+"""Timing harness: warmup + blocked per-iteration wall-clock + stats.
+
+Reference equivalents: per-iteration ``clock_gettime`` pairs around the hot
+loop (main-cli.c:408,419), ns→ms conversion and total/avg/min/max/stdev
+reduction (main-cli.c:428-456), stdev (main-cli.c:114-130 — whose
+uninitialized-accumulator UB we obviously do not reproduce).
+
+TPU specifics: the first call compiles (excluded via warmup); each timed
+iteration calls ``block_until_ready`` so we measure device execution, not
+async dispatch. For microsecond-scale kernels an optional ``inner`` count
+amortizes the host-sync overhead per timed sample.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+__all__ = ["TimingStats", "time_fn", "bench_spmv"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TimingStats:
+    """Per-iteration wall-clock statistics, in milliseconds.
+
+    Field-for-field analog of the reference ``_time_data_`` struct
+    (main-cli.c:87-95).
+    """
+
+    times_ms: np.ndarray  # per-sample ms (flexible array member analog)
+    iterations: int
+
+    @property
+    def total_ms(self) -> float:
+        return float(self.times_ms.sum())
+
+    @property
+    def avg_ms(self) -> float:
+        return float(self.times_ms.mean())
+
+    @property
+    def min_ms(self) -> float:
+        return float(self.times_ms.min())
+
+    @property
+    def max_ms(self) -> float:
+        return float(self.times_ms.max())
+
+    @property
+    def stdev_ms(self) -> float:
+        # Population stdev like the reference's calcStDevDouble
+        # (main-cli.c:114-130), minus its UB.
+        return float(self.times_ms.std())
+
+    def nnz_per_s(self, nnz: int) -> float:
+        return nnz / (self.avg_ms * 1e-3) if self.avg_ms > 0 else float("inf")
+
+    def gb_per_s(self, bytes_per_iter: float) -> float:
+        return (
+            bytes_per_iter / (self.avg_ms * 1e-3) / 1e9
+            if self.avg_ms > 0
+            else float("inf")
+        )
+
+
+def time_fn(
+    fn: Callable[[], object],
+    *,
+    iterations: int = 1000,
+    warmup: int = 2,
+    inner: int = 1,
+    block: Optional[Callable[[object], None]] = None,
+) -> TimingStats:
+    """Time ``fn`` for ``iterations`` samples after ``warmup`` calls.
+
+    ``fn`` must return a JAX array (or pytree with ``block_until_ready``) —
+    each sample is bracketed host-side after blocking on the result, the
+    TPU analog of the reference's ATOMIC SECTION (main-cli.c:396-399).
+    ``inner > 1`` runs fn several times per sample and divides, for
+    kernels shorter than the ~10µs host-sync floor.
+    """
+
+    def _block(res):
+        if block is not None:
+            block(res)
+        elif hasattr(res, "block_until_ready"):
+            res.block_until_ready()
+
+    for _ in range(max(warmup, 1)):
+        _block(fn())
+
+    samples: List[float] = []
+    for _ in range(iterations):
+        t0 = time.perf_counter_ns()
+        if inner == 1:
+            _block(fn())
+        else:
+            res = None
+            for _ in range(inner):
+                res = fn()
+            _block(res)
+        t1 = time.perf_counter_ns()
+        samples.append((t1 - t0) / 1e6 / inner)
+    return TimingStats(times_ms=np.asarray(samples), iterations=iterations)
+
+
+def bench_spmv(
+    spmv: Callable,
+    matrix,
+    x,
+    *,
+    iterations: int = 1000,
+    warmup: int = 2,
+    inner: int = 1,
+) -> TimingStats:
+    """Benchmark ``y = spmv(matrix, x)`` with fresh-y semantics.
+
+    Matches the reference protocol: y is recomputed from scratch each
+    iteration (y-reset outside the timed region, main-cli.c:405) — under
+    XLA each call allocates a fresh y, so only the kernel is timed.
+    """
+    return time_fn(
+        lambda: spmv(matrix, x),
+        iterations=iterations,
+        warmup=warmup,
+        inner=inner,
+    )

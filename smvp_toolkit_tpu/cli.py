@@ -1,0 +1,316 @@
+"""Command-line interface — the reference CLI surface, TPU-native engine.
+
+Flag parity with the reference popt table (main-cli.c:1243-1252):
+``--all-algs/-a``, ``--csr/-c``, ``--tjds/-t``, ``--cisr-gen/-g``,
+``-n/--iter``, ``-s/--slots``, ``-d/--dir``, positional ``file.mtx``.
+Validation matches main-cli.c:1274-1386: ``--all-algs`` is exclusive with
+individual algorithm flags; iteration/slot counts must be positive; the
+report dir must exist.
+
+Intentional fix: ``--all-algs`` actually runs every algorithm — in the
+reference it is a no-op because ``ALG_ALL`` shares no bits with the
+per-algorithm masks (SURVEY.md §B1).
+
+New flags (TPU capabilities the reference lacks): ``--kernel``,
+``--dtype``, ``--expand-symmetry``, ``--decode-check``, ``--coe-out``,
+``--shards``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["main", "build_parser"]
+
+ALG_CSR = "CSR"
+ALG_TJDS = "TJDS"
+ALG_CISR = "CISR"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="smvp-toolkit-tpu",
+        description=(
+            "TPU-native sparse-matrix codec + SpMV benchmark "
+            "(CSR / TJDS / CISR)"
+        ),
+    )
+    p.add_argument("file", help="input MatrixMarket (.mtx) file")
+    p.add_argument(
+        "-a",
+        "--all-algs",
+        action="store_true",
+        help="benchmark all algorithms (CSR + TJDS + CISR export)",
+    )
+    p.add_argument("-c", "--csr", action="store_true", help="benchmark CSR SpMV")
+    p.add_argument("-t", "--tjds", action="store_true", help="benchmark TJDS SpMV")
+    p.add_argument(
+        "-g",
+        "--cisr-gen",
+        action="store_true",
+        help="generate a CISR .coe memory image",
+    )
+    p.add_argument(
+        "-n",
+        "--iter",
+        type=int,
+        default=1000,
+        metavar="ITERATIONS",
+        help="number of timed SpMV iterations (default 1000)",
+    )
+    p.add_argument(
+        "-s",
+        "--slots",
+        type=int,
+        default=16,
+        metavar="SLOTS",
+        help="CISR slot/channel count (default 16)",
+    )
+    p.add_argument(
+        "-d",
+        "--dir",
+        default="",
+        metavar="DIR",
+        help="report output directory (default: current directory)",
+    )
+    # --- TPU-native extensions -------------------------------------------
+    p.add_argument(
+        "--kernel",
+        choices=["auto", "xla", "pallas"],
+        default="auto",
+        help="SpMV kernel implementation (auto: pallas on TPU, xla elsewhere)",
+    )
+    p.add_argument(
+        "--dtype",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="device value dtype",
+    )
+    p.add_argument(
+        "--expand-symmetry",
+        action="store_true",
+        help=(
+            "expand symmetric/skew/hermitian storage to the full matrix "
+            "(the reference multiplies stored entries only)"
+        ),
+    )
+    p.add_argument(
+        "--decode-check",
+        action="store_true",
+        help="verify decode(encode(A)) reproduces the loaded COO bit-exactly",
+    )
+    p.add_argument(
+        "--coe-out",
+        default=None,
+        metavar="FILE",
+        help="write the CISR .coe image to FILE instead of stdout",
+    )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=1,
+        metavar="N",
+        help="data-parallel shards (row blocks) across devices",
+    )
+    p.add_argument(
+        "--no-report",
+        action="store_true",
+        help="skip writing the report file",
+    )
+    return p
+
+
+def _validate(args) -> Optional[str]:
+    """Reference-equivalent validation (main-cli.c:1274-1386)."""
+    if args.all_algs and (args.csr or args.tjds or args.cisr_gen):
+        return "--all-algs cannot be combined with individual algorithm flags"
+    if not (args.all_algs or args.csr or args.tjds or args.cisr_gen):
+        return "no algorithm selected (use -a, -c, -t and/or -g)"
+    if args.iter < 1:
+        return "iteration count must be >= 1"
+    if args.slots < 1 or args.slots > 255:
+        return "slot count must be in 1..255 (8-bit field in the COE format)"
+    if args.dir and not os.path.isdir(args.dir):
+        return f"report directory does not exist: {args.dir}"
+    if args.shards < 1:
+        return "shard count must be >= 1"
+    return None
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    err = _validate(args)
+
+    from smvp_toolkit_tpu.utils.logging import log
+
+    if err:
+        log("ERROR", err)
+        return 2
+
+    log("START", "smvp-toolkit-tpu benchmark run starting.")
+
+    import jax
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu import __version__, read_mtx
+    from smvp_toolkit_tpu.bench import (
+        bench_spmv,
+        spmv_bytes_csr,
+        spmv_bytes_tjds,
+        hbm_bandwidth_gbs,
+        write_report,
+    )
+    from smvp_toolkit_tpu.formats.cisr import cisr_encode, write_coe
+    from smvp_toolkit_tpu.formats.csr import csr_encode, csr_decode
+    from smvp_toolkit_tpu.formats.tjds import tjds_encode, tjds_decode
+    from smvp_toolkit_tpu.io.mtx import MTXError
+    from smvp_toolkit_tpu.ops import spmv_csr, spmv_tjds
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    log("FILE", f"Loading matrix: {args.file}")
+    try:
+        coo = read_mtx(
+            args.file, expand_symmetry=args.expand_symmetry, dtype=dtype
+        )
+    except FileNotFoundError:
+        log("ERROR", f"could not open file: {args.file}")
+        return 1
+    except MTXError as e:
+        log("ERROR", f"MatrixMarket read failed: {e}")
+        return 1
+
+    coo = coo.pad(128)
+    log(
+        "DATA",
+        f"{coo.shape[0]}x{coo.shape[1]} matrix, {coo.nnz} non-zeros "
+        f"({coo.typecode}).",
+    )
+
+    device = jax.devices()[0]
+    log("INFO", f"Device: {device.device_kind} ({device.platform})")
+
+    run_csr = args.csr or args.all_algs
+    run_tjds = args.tjds or args.all_algs
+    run_cisr = args.cisr_gen or args.all_algs
+
+    # x = ones, like the reference (main-cli.c:761-762, 368).
+    x = jnp.ones((coo.shape[1],), dtype=dtype)
+    exit_code = 0
+
+    def _spmv_fns():
+        use_pallas = args.kernel == "pallas" or (
+            args.kernel == "auto" and device.platform != "cpu"
+        )
+        if use_pallas:
+            try:
+                from smvp_toolkit_tpu.ops import spmv_pallas
+
+                return (
+                    spmv_pallas.spmv_csr_pallas,
+                    spmv_pallas.spmv_tjds_pallas,
+                    "pallas",
+                )
+            except Exception as e:  # pragma: no cover
+                log("INFO", f"Pallas kernels unavailable ({e}); using XLA.")
+        return spmv_csr, spmv_tjds, "xla"
+
+    csr_fn, tjds_fn, kernel_kind = _spmv_fns()
+
+    def _run(alg_name, encoded, spmv_fn, bytes_per_iter):
+        log("INFO", f"Benchmarking {alg_name} SpMV ({kernel_kind} kernel), "
+            f"{args.iter} iterations.")
+        if args.shards > 1:
+            from smvp_toolkit_tpu.parallel import shard_and_bench
+
+            stats, y = shard_and_bench(
+                alg_name, encoded, x, args.shards, iterations=args.iter
+            )
+        else:
+            stats = bench_spmv(spmv_fn, encoded, x, iterations=args.iter)
+            y = np.asarray(spmv_fn(encoded, x))
+        nnzs = stats.nnz_per_s(coo.nnz)
+        gbs = stats.gb_per_s(bytes_per_iter)
+        frac = gbs / hbm_bandwidth_gbs(device)
+        log(
+            "DATA",
+            f"{alg_name}: avg {stats.avg_ms:.6f} ms  "
+            f"({nnzs/1e9:.3f} Gnnz/s, {gbs:.1f} GB/s eff, "
+            f"{100*frac:.1f}% of roofline)",
+        )
+        if not args.no_report:
+            path = write_report(
+                args.dir,
+                alg_name=alg_name,
+                input_file=args.file,
+                nnz=coo.nnz,
+                iterations=args.iter,
+                stats=stats,
+                output_vector=y[: coo.shape[0]],
+                extra_metrics={
+                    "Device": f"{device.device_kind} ({device.platform})",
+                    "Kernel": kernel_kind,
+                    "nnz/s": f"{nnzs:.4g}",
+                    "Effective GB/s": f"{gbs:.4g}",
+                    "Roofline fraction": f"{frac:.4g}",
+                },
+            )
+            log("FILE", f"Execution report file saved as:\n\t{path}")
+
+    vbytes = jnp.dtype(dtype).itemsize
+
+    if run_csr:
+        csr = csr_encode(coo)
+        if args.decode_check:
+            _decode_check("CSR", csr_decode(csr), coo, log)
+        _run(ALG_CSR, csr, csr_fn, spmv_bytes_csr(coo.nnz, coo.shape[0], vbytes))
+
+    if run_tjds:
+        tj = tjds_encode(coo)
+        if args.decode_check:
+            _decode_check("TJDS", tjds_decode(tj), coo, log)
+        _run(
+            ALG_TJDS,
+            tj,
+            tjds_fn,
+            spmv_bytes_tjds(coo.nnz, coo.shape[0], int(tj.num_diags), vbytes),
+        )
+
+    if run_cisr:
+        log("INFO", f"Generating CISR schedule with {args.slots} slots.")
+        cisr = cisr_encode(coo, slot_count=args.slots)
+        text = write_coe(cisr, args.coe_out)
+        if args.coe_out:
+            log("FILE", f"CISR COE image saved as:\n\t{args.coe_out}")
+        else:
+            print(text)
+
+    log("STOP", "smvp-toolkit-tpu run complete.")
+    return exit_code
+
+
+def _decode_check(alg, decoded, coo, log):
+    canon = coo.canonical_order()
+    r, c, v = decoded.canonical_order().to_numpy()
+    R, C, V = canon.to_numpy()
+    ok = (
+        np.array_equal(r, R)
+        and np.array_equal(c, C)
+        and np.array_equal(
+            np.asarray(v).view(np.uint8), np.asarray(V).view(np.uint8)
+        )
+    )
+    if ok:
+        log("INFO", f"{alg} decode round-trip: bit-exact ✓")
+    else:
+        log("ERROR", f"{alg} decode round-trip FAILED")
+        raise SystemExit(3)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,168 @@
+"""COO (coordinate) sparse matrix — the interchange format.
+
+TPU-native analog of the reference's ``MMRawData`` triplet array
+(main-cli.c:42-47). Differences by design:
+
+* Structure-of-arrays (``rows``/``cols``/``vals`` as separate device
+  arrays) instead of an array-of-structs — XLA wants flat, contiguous,
+  independently-typed buffers.
+* Static padded shapes: device arrays may be padded to a block multiple so
+  downstream jitted encoders/kernels see stable shapes; ``nnz`` carries the
+  true count. Padding rows use the out-of-range sentinel ``row == nrows``
+  (sorts last, dropped by segment-sum) and ``val == 0``.
+* Registered as a JAX pytree, so a ``COOMatrix`` can flow through ``jit``,
+  ``shard_map`` and ``jax.tree_util`` transparently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smvp_toolkit_tpu.io.mtx import MMTypeCode
+
+__all__ = ["COOMatrix"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class COOMatrix:
+    """Sparse matrix in coordinate (triplet) form.
+
+    ``rows``/``cols`` are int32, ``vals`` any float dtype (default f32 on
+    device). Entries beyond ``nnz`` are padding (``rows == nrows``,
+    ``vals == 0``).
+    """
+
+    rows: jax.Array
+    cols: jax.Array
+    vals: jax.Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    typecode: MMTypeCode = dataclasses.field(
+        default=MMTypeCode(), metadata=dict(static=True)
+    )
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_numpy(
+        r: np.ndarray,
+        c: np.ndarray,
+        v: np.ndarray,
+        *,
+        shape: Tuple[int, int],
+        typecode: Optional[MMTypeCode] = None,
+        dtype=None,
+        pad_to: Optional[int] = None,
+    ) -> "COOMatrix":
+        """Build a device COO from host triplets (file order preserved)."""
+        nnz = int(len(r))
+        if dtype is None:
+            dtype = jnp.float32
+        r = np.asarray(r, dtype=np.int32)
+        c = np.asarray(c, dtype=np.int32)
+        v = np.asarray(v)
+        if pad_to is not None and pad_to > 1:
+            total = max(_round_up(max(nnz, 1), pad_to), pad_to)
+            if total > nnz:
+                pad = total - nnz
+                r = np.concatenate([r, np.full(pad, shape[0], dtype=np.int32)])
+                c = np.concatenate([c, np.zeros(pad, dtype=np.int32)])
+                v = np.concatenate([v, np.zeros(pad, dtype=v.dtype)])
+        return COOMatrix(
+            rows=jnp.asarray(r),
+            cols=jnp.asarray(c),
+            vals=jnp.asarray(v, dtype=dtype),
+            shape=(int(shape[0]), int(shape[1])),
+            nnz=nnz,
+            typecode=typecode or MMTypeCode(),
+        )
+
+    # ------------------------------------------------------------------
+    # Properties
+    # ------------------------------------------------------------------
+    @property
+    def nnz_padded(self) -> int:
+        return int(self.rows.shape[0])
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    # ------------------------------------------------------------------
+    # Transformations
+    # ------------------------------------------------------------------
+    def pad(self, multiple: int) -> "COOMatrix":
+        """Pad the nnz dimension to a multiple (static-shape discipline)."""
+        total = max(_round_up(max(self.nnz, 1), multiple), multiple)
+        cur = self.nnz_padded
+        if total <= cur:
+            return self
+        extra = total - cur
+        rows = jnp.concatenate(
+            [self.rows, jnp.full((extra,), self.shape[0], dtype=jnp.int32)]
+        )
+        cols = jnp.concatenate([self.cols, jnp.zeros((extra,), dtype=jnp.int32)])
+        vals = jnp.concatenate([self.vals, jnp.zeros((extra,), dtype=self.dtype)])
+        return dataclasses.replace(self, rows=rows, cols=cols, vals=vals)
+
+    def canonical_order(self) -> "COOMatrix":
+        """Sort entries row-major (row, then col); padding stays last.
+
+        The canonical order used to define decode bit-exactness — the
+        reference's CSR encoder uses the same (row, col) qsort
+        (main-cli.c:340 with comparator main-cli.c:171-188).
+        """
+        r = np.asarray(self.rows)
+        c = np.asarray(self.cols)
+        v = np.asarray(self.vals)
+        order = np.lexsort((c, r))
+        return dataclasses.replace(
+            self,
+            rows=jnp.asarray(r[order]),
+            cols=jnp.asarray(c[order]),
+            vals=jnp.asarray(v[order]),
+        )
+
+    # ------------------------------------------------------------------
+    # Host-side views / oracles
+    # ------------------------------------------------------------------
+    def to_numpy(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Return the true (unpadded) triplets as numpy arrays."""
+        return (
+            np.asarray(self.rows)[: self.nnz],
+            np.asarray(self.cols)[: self.nnz],
+            np.asarray(self.vals)[: self.nnz],
+        )
+
+    def to_dense(self, dtype=np.float64) -> np.ndarray:
+        """Dense host oracle (duplicates are summed, per MatrixMarket)."""
+        r, c, v = self.to_numpy()
+        dense = np.zeros(self.shape, dtype=dtype)
+        np.add.at(dense, (r, c), v.astype(dtype))
+        return dense
+
+    def __repr__(self) -> str:
+        return (
+            f"COOMatrix(shape={self.shape}, nnz={self.nnz}, "
+            f"padded={self.nnz_padded}, dtype={self.dtype}, "
+            f"typecode='{self.typecode}')"
+        )

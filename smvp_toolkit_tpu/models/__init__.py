@@ -1,0 +1,17 @@
+"""Iterative sparse solvers built on the SpMV kernels.
+
+The reference toolkit's only "workload" is the timed y = A·x loop
+(main-cli.c:402-420); these solvers are the framework's flagship models —
+the realistic production consumers of iterated SpMV (power iteration,
+PageRank, conjugate gradients, Jacobi), each a jit-compiled
+``lax.while_loop``/``lax.scan`` with no host round-trips per step.
+"""
+
+from smvp_toolkit_tpu.models.solvers import (
+    power_iteration,
+    pagerank,
+    conjugate_gradient,
+    jacobi,
+)
+
+__all__ = ["power_iteration", "pagerank", "conjugate_gradient", "jacobi"]

@@ -1,0 +1,20 @@
+"""SpMV compute kernels: jitted XLA and Pallas-TPU implementations.
+
+Replaces the reference's C pointer-chasing hot loops (CSR
+main-cli.c:410-416, TJDS main-cli.c:1013-1020) with vectorized on-device
+programs.
+"""
+
+from smvp_toolkit_tpu.ops.spmv_xla import (
+    spmv_coo,
+    spmv_csr,
+    spmv_csr_cumsum,
+    spmv_tjds,
+)
+
+__all__ = [
+    "spmv_coo",
+    "spmv_csr",
+    "spmv_csr_cumsum",
+    "spmv_tjds",
+]

@@ -1,0 +1,231 @@
+"""Sharded SpMV: CSR row blocks and TJDS nnz stripes under ``shard_map``.
+
+Sharding designs (SURVEY.md §2 "Parallelism" plan):
+
+* **CSR row-block DP** — rows are split into ``n`` contiguous blocks, one
+  per device; each block's nonzeros are repacked and padded to the max
+  block nnz (static shapes across shards). x is replicated; each device
+  computes its y block locally with a sorted segment-sum; the global y is
+  the ordered concatenation (an ``all_gather`` along the dp axis when a
+  replicated result is wanted). Uneven row blocks are handled by padding
+  rows to a block multiple and slicing after gather (SURVEY.md §7 hard
+  part (d)).
+
+* **TJDS nnz-stripe DP** — the packed (diagonal-major) entry stream is cut
+  into ``n`` equal contiguous stripes; each device segment-sums its stripe
+  into a full-length partial y, and a ``psum`` over the dp axis reduces
+  partials. x is replicated and pre-permuted; the per-entry x position
+  (``offsets``) ships with each stripe, so stripes keep the gather-free
+  contiguous x reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from smvp_toolkit_tpu.formats.csr import CSRMatrix
+from smvp_toolkit_tpu.formats.tjds import TJDSMatrix
+from smvp_toolkit_tpu.parallel.mesh import DP_AXIS, make_mesh
+
+__all__ = [
+    "ShardedCSR",
+    "ShardedTJDS",
+    "shard_csr",
+    "shard_tjds",
+    "spmv_csr_sharded",
+    "spmv_tjds_sharded",
+    "shard_and_bench",
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedCSR:
+    """CSR split into per-device row blocks (leading dim = shard)."""
+
+    vals: jax.Array  # dtype[n, nnz_blk]
+    col_ind: jax.Array  # int32[n, nnz_blk]
+    local_rows: jax.Array  # int32[n, nnz_blk] (row - block_start; pad=rows_blk)
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedTJDS:
+    """TJDS packed entries split into equal contiguous nnz stripes."""
+
+    vals: jax.Array  # dtype[n, nnz_blk]
+    row_ind: jax.Array  # int32[n, nnz_blk] (pad -> nrows sentinel)
+    offsets: jax.Array  # int32[n, nnz_blk] (position within diagonal)
+    perm: jax.Array  # int32[ncols]
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+
+
+# ---------------------------------------------------------------------------
+# Sharding (host-side repack; encode-time cost, not per-iteration)
+# ---------------------------------------------------------------------------
+
+
+def shard_csr(csr: CSRMatrix, mesh: Mesh) -> ShardedCSR:
+    """Repack a CSR into per-device row blocks, padded to equal nnz."""
+    n = mesh.devices.size
+    nrows = csr.shape[0]
+    rows_blk = _round_up(max(nrows, 1), n) // n
+
+    row_ptr = np.asarray(csr.row_ptr)
+    col = np.asarray(csr.col_ind)[: csr.nnz]
+    val = np.asarray(csr.vals)[: csr.nnz]
+
+    # Entry counts per block → common padded width.
+    starts = row_ptr[np.minimum(np.arange(n) * rows_blk, nrows)]
+    ends = row_ptr[np.minimum((np.arange(n) + 1) * rows_blk, nrows)]
+    widths = ends - starts
+    nnz_blk = max(_round_up(int(widths.max()) if n else 1, 8), 8)
+
+    vals_b = np.zeros((n, nnz_blk), dtype=val.dtype)
+    cols_b = np.zeros((n, nnz_blk), dtype=np.int32)
+    lrows_b = np.full((n, nnz_blk), rows_blk, dtype=np.int32)  # pad sentinel
+
+    # Local row ids per entry from the global row_ptr.
+    grow = np.searchsorted(row_ptr, np.arange(csr.nnz), side="right") - 1
+    for k in range(n):
+        s, e = int(starts[k]), int(ends[k])
+        w = e - s
+        vals_b[k, :w] = val[s:e]
+        cols_b[k, :w] = col[s:e]
+        lrows_b[k, :w] = grow[s:e] - k * rows_blk
+
+    spec_blk = NamedSharding(mesh, P(DP_AXIS, None))
+    return ShardedCSR(
+        vals=jax.device_put(jnp.asarray(vals_b), spec_blk),
+        col_ind=jax.device_put(jnp.asarray(cols_b), spec_blk),
+        local_rows=jax.device_put(jnp.asarray(lrows_b), spec_blk),
+        shape=csr.shape,
+        nnz=csr.nnz,
+        rows_per_shard=rows_blk,
+        n_shards=n,
+    )
+
+
+def shard_tjds(tjds: TJDSMatrix, mesh: Mesh) -> ShardedTJDS:
+    """Cut the packed entry stream into equal contiguous nnz stripes."""
+    n = mesh.devices.size
+    nnz = tjds.nnz
+    nnz_blk = max(_round_up(max(nnz, 1), n) // n, 8)
+
+    val = np.asarray(tjds.vals)[:nnz]
+    row = np.asarray(tjds.row_ind)[:nnz]
+    off = np.asarray(tjds.offsets)[:nnz]
+
+    total = n * nnz_blk
+    vals_b = np.zeros(total, dtype=val.dtype)
+    rows_b = np.full(total, tjds.shape[0], dtype=np.int32)  # pad sentinel
+    offs_b = np.zeros(total, dtype=np.int32)
+    vals_b[:nnz] = val
+    rows_b[:nnz] = row
+    offs_b[:nnz] = off
+
+    spec_blk = NamedSharding(mesh, P(DP_AXIS, None))
+    spec_rep = NamedSharding(mesh, P())
+    return ShardedTJDS(
+        vals=jax.device_put(jnp.asarray(vals_b).reshape(n, nnz_blk), spec_blk),
+        row_ind=jax.device_put(jnp.asarray(rows_b).reshape(n, nnz_blk), spec_blk),
+        offsets=jax.device_put(jnp.asarray(offs_b).reshape(n, nnz_blk), spec_blk),
+        perm=jax.device_put(tjds.perm, spec_rep),
+        shape=tjds.shape,
+        nnz=nnz,
+        n_shards=n,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded SpMV
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("mesh", "gather"))
+def spmv_csr_sharded(
+    sharded: ShardedCSR, x: jax.Array, mesh: Mesh, gather: bool = True
+) -> jax.Array:
+    """y = A·x with row-block DP; x replicated, y ordered.
+
+    With ``gather=True`` the per-device y blocks are all-gathered (ordered
+    by shard = matrix row order) and the padded tail sliced off; with
+    ``False`` the result stays sharded as (n, rows_per_shard).
+    """
+    rows_blk = sharded.rows_per_shard
+
+    def local_spmv(vals, cols, lrows, xl):
+        prod = vals[0] * xl[cols[0]]
+        yblk = jax.ops.segment_sum(
+            prod, lrows[0], num_segments=rows_blk, indices_are_sorted=True
+        )
+        return yblk[None, :]
+
+    y_blocks = jax.shard_map(
+        local_spmv,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(DP_AXIS, None), P(DP_AXIS, None), P()),
+        out_specs=P(DP_AXIS, None),
+    )(sharded.vals, sharded.col_ind, sharded.local_rows, x)
+    if gather:
+        return y_blocks.reshape(-1)[: sharded.shape[0]]
+    return y_blocks
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def spmv_tjds_sharded(sharded: ShardedTJDS, x: jax.Array, mesh: Mesh) -> jax.Array:
+    """y = A·x with nnz-stripe DP; partial y reduced with psum."""
+    nrows = sharded.shape[0]
+    xp = x[sharded.perm]
+
+    def local_spmv(vals, rows, offs, xpl):
+        prod = vals[0] * xpl[offs[0]]
+        y_part = jax.ops.segment_sum(prod, rows[0], num_segments=nrows)
+        return jax.lax.psum(y_part, DP_AXIS)
+
+    return jax.shard_map(
+        local_spmv,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(DP_AXIS, None), P(DP_AXIS, None), P()),
+        out_specs=P(),
+    )(sharded.vals, sharded.row_ind, sharded.offsets, xp)
+
+
+# ---------------------------------------------------------------------------
+# CLI helper
+# ---------------------------------------------------------------------------
+
+
+def shard_and_bench(alg_name, encoded, x, n_shards, *, iterations=1000):
+    """Shard an encoded matrix over n devices and benchmark sharded SpMV."""
+    from smvp_toolkit_tpu.bench.harness import time_fn
+
+    mesh = make_mesh(n_shards)
+    if alg_name == "CSR":
+        sharded = shard_csr(encoded, mesh)
+        fn = lambda: spmv_csr_sharded(sharded, x, mesh)  # noqa: E731
+    elif alg_name == "TJDS":
+        sharded = shard_tjds(encoded, mesh)
+        fn = lambda: spmv_tjds_sharded(sharded, x, mesh)  # noqa: E731
+    else:
+        raise ValueError(f"unknown algorithm {alg_name!r}")
+    stats = time_fn(fn, iterations=iterations)
+    y = np.asarray(fn())
+    return stats, y

@@ -1,0 +1,135 @@
+"""Benchmark harness + report writer + roofline accounting tests."""
+
+import re
+
+import numpy as np
+
+from smvp_toolkit_tpu.bench.harness import TimingStats, time_fn
+from smvp_toolkit_tpu.bench.report import generate_report_text, write_report
+from smvp_toolkit_tpu.bench.roofline import (
+    hbm_bandwidth_gbs,
+    roofline_fraction,
+    spmv_bytes_csr,
+    spmv_bytes_tjds,
+)
+
+
+def test_stats_reduction():
+    # Analog of the reference reduction main-cli.c:428-456.
+    s = TimingStats(times_ms=np.array([1.0, 2.0, 3.0, 4.0]), iterations=4)
+    assert s.total_ms == 10.0
+    assert s.avg_ms == 2.5
+    assert s.min_ms == 1.0
+    assert s.max_ms == 4.0
+    np.testing.assert_allclose(s.stdev_ms, np.std([1, 2, 3, 4]))
+    assert s.nnz_per_s(1000) == 1000 / 2.5e-3
+    assert s.gb_per_s(2.5e6) == 1.0
+
+
+def test_time_fn_counts():
+    import jax.numpy as jnp
+
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return jnp.zeros(4)
+
+    stats = time_fn(fn, iterations=5, warmup=2)
+    assert stats.iterations == 5
+    assert len(stats.times_ms) == 5
+    assert len(calls) == 7  # warmup + timed
+    assert (stats.times_ms > 0).all()
+
+
+def test_time_fn_inner_amortization():
+    import jax.numpy as jnp
+
+    stats = time_fn(lambda: jnp.zeros(4), iterations=3, warmup=1, inner=4)
+    assert len(stats.times_ms) == 3
+
+
+def test_report_format_matches_reference():
+    # Section order per main-cli.c:294-317.
+    stats = TimingStats(times_ms=np.array([0.5, 0.7]), iterations=2)
+    text = generate_report_text(
+        alg_name="CSR",
+        input_file="./sample-data/ibm32.mtx",
+        nnz=126,
+        iterations=2,
+        stats=stats,
+        output_vector=np.array([6.0, 6.0, 8.0]),
+        unix_time=1615284655,
+    )
+    lines = text.splitlines()
+    assert lines[0].endswith("CSR algorithm")
+    assert lines[1] == "Generated on 1615284655 (Unix time)"
+    assert "Sparse matrix file in use:" in lines
+    assert "Non-zero numbers contained in matrix: 126" in lines
+    assert "Compute times for 2 iterations:" in lines
+    assert "Total Time: 1.2 ms" in lines
+    assert "Average Time: 0.6 ms" in lines
+    assert "Fastest Time: 0.5 ms" in lines
+    assert "Slowest Time: 0.7 ms" in lines
+    assert any(ln.startswith("Time StDev: 0.1 ms") for ln in lines)
+    i = lines.index("[")
+    assert lines[i + 1 : i + 4] == ["6", "6", "8"]
+    assert lines[i + 4] == "]"
+
+
+def test_g_formatting():
+    # %g semantics: 6 significant digits, exponent switch like C.
+    stats = TimingStats(times_ms=np.array([0.0004319]), iterations=1)
+    text = generate_report_text(
+        alg_name="CSR",
+        input_file="f",
+        nnz=1,
+        iterations=1,
+        stats=stats,
+        output_vector=np.array([1234567.0, 0.000012345]),
+    )
+    assert "Average Time: 0.0004319 ms" in text
+    assert "1.23457e+06" in text
+    assert "1.2345e-05" in text
+
+
+def test_write_report_filename(tmp_path):
+    stats = TimingStats(times_ms=np.array([1.0]), iterations=1)
+    path = write_report(
+        str(tmp_path),
+        alg_name="TJDS",
+        input_file="x.mtx",
+        nnz=5,
+        iterations=1,
+        stats=stats,
+        output_vector=np.zeros(2),
+    )
+    assert re.match(r".*smvp-toolbox_report_TJDS_\d+\.txt$", path)
+    assert (tmp_path / path.split("/")[-1]).exists()
+
+
+def test_extra_metrics_block():
+    stats = TimingStats(times_ms=np.array([1.0]), iterations=1)
+    text = generate_report_text(
+        alg_name="CSR",
+        input_file="f",
+        nnz=1,
+        iterations=1,
+        stats=stats,
+        output_vector=np.zeros(1),
+        extra_metrics={"nnz/s": "1e9"},
+    )
+    assert "Device metrics:" in text
+    assert "nnz/s: 1e9" in text
+
+
+def test_byte_accounting():
+    # CSR: nnz*(val+col+x) + rows*(ptr+y) with f32 values.
+    assert spmv_bytes_csr(100, 10, 4) == 100 * 12 + 10 * 8
+    assert spmv_bytes_tjds(100, 10, 5, 4) == 100 * 12 + 6 * 4 + 10 * 4
+
+
+def test_roofline_positive():
+    bw = hbm_bandwidth_gbs()
+    assert bw > 0
+    assert roofline_fraction(bw / 2) == 0.5

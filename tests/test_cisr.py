@@ -1,0 +1,124 @@
+"""CISR scheduler + .coe emitter tests.
+
+Validates the slot-group schedule semantics (reference main-cli.c:542-612),
+the round-trip decode, and the packed-word spec (main-cli.c:673-688).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from smvp_toolkit_tpu.formats.cisr import (
+    cisr_encode,
+    cisr_decode,
+    pack_rowlen_word,
+    pack_value_word,
+    write_coe,
+)
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.io.mtx import read_mtx
+
+from conftest import SAMPLE_DIR, SAMPLES_SMALL, random_coo
+
+
+def _load(name):
+    return read_mtx(os.path.join(SAMPLE_DIR, name), use_native=False)
+
+
+def test_simple_schedule():
+    # 2 slots, rows of lengths [2, 1, 1]: slot0 gets row0, slot1 gets row1
+    # then row2.
+    r = np.array([0, 0, 1, 2], dtype=np.int32)
+    c = np.array([0, 1, 0, 1], dtype=np.int32)
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    coo = COOMatrix.from_numpy(r, c, v, shape=(3, 2))
+    cisr = cisr_encode(coo, slot_count=2)
+    assert cisr.num_groups == 2
+    np.testing.assert_allclose(cisr.vals, [[1.0, 3.0], [2.0, 4.0]])
+    np.testing.assert_array_equal(cisr.row_of, [[0, 1], [0, 2]])
+    np.testing.assert_array_equal(cisr.row_lengths, [2, 1, 1])
+
+
+def test_idle_slot_zero_padding():
+    # One long row, 2 slots: slot1 idles with zero padding.
+    r = np.array([0, 0, 0], dtype=np.int32)
+    c = np.array([0, 1, 2], dtype=np.int32)
+    v = np.array([5.0, 6.0, 7.0])
+    coo = COOMatrix.from_numpy(r, c, v, shape=(1, 3))
+    cisr = cisr_encode(coo, slot_count=2)
+    assert cisr.num_groups == 3
+    np.testing.assert_allclose(cisr.vals[:, 1], [0.0, 0.0, 0.0])
+    np.testing.assert_array_equal(cisr.row_of[:, 1], [-1, -1, -1])
+
+
+def test_empty_rows_consume_no_beats():
+    # Reference mis-handles empty rows (it has none in samples); we must
+    # record length 0 and not emit phantom entries.
+    r = np.array([0, 3], dtype=np.int32)
+    c = np.array([0, 1], dtype=np.int32)
+    v = np.array([1.0, 2.0])
+    coo = COOMatrix.from_numpy(r, c, v, shape=(4, 2))
+    cisr = cisr_encode(coo, slot_count=2)
+    np.testing.assert_array_equal(cisr.row_lengths, [1, 0, 0, 1])
+    dec = cisr_decode(cisr)
+    np.testing.assert_allclose(dec.to_dense(), coo.to_dense())
+
+
+@pytest.mark.parametrize("name", SAMPLES_SMALL)
+@pytest.mark.parametrize("slots", [1, 4, 16])
+def test_roundtrip_samples(name, slots):
+    coo = _load(name)
+    cisr = cisr_encode(coo, slot_count=slots)
+    assert cisr.row_lengths.sum() == coo.nnz
+    dec = cisr_decode(cisr)
+    assert dec.nnz == coo.nnz
+    np.testing.assert_allclose(dec.to_dense(), coo.to_dense())
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_roundtrip_random(seed):
+    rng = np.random.RandomState(seed)
+    nrows, ncols = rng.randint(1, 40), rng.randint(1, 40)
+    nnz = rng.randint(1, max(2, nrows * ncols // 2))
+    r, c, v = random_coo(rng, nrows, ncols, nnz)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(nrows, ncols))
+    cisr = cisr_encode(coo, slot_count=int(rng.randint(1, 8)))
+    dec = cisr_decode(cisr)
+    np.testing.assert_allclose(dec.to_dense(), coo.to_dense(), rtol=1e-6)
+
+
+def test_value_word_packing():
+    # 12-bit value, 12-bit col, 8-bit slot (main-cli.c:673-688 spec).
+    w = pack_value_word(3.7, 5, 2)
+    assert w == (3 << 20) | (5 << 8) | 2
+    # Masking (reference §B8: C shift overflow; we truncate explicitly).
+    assert pack_value_word(0x1FFF, 0x1FFF, 0x1FF) == (0xFFF << 20) | (0xFFF << 8) | 0xFF
+
+
+def test_rowlen_word_packing():
+    assert pack_rowlen_word(3, 7) == (1 << 28) | (3 << 16) | (1 << 12) | 7
+    assert pack_rowlen_word(3, None) == (1 << 28) | (3 << 16)
+
+
+def test_coe_structure():
+    coo = _load("pdp08-pg4.mtx")
+    cisr = cisr_encode(coo, slot_count=4)
+    text = write_coe(cisr)
+    lines = [ln for ln in text.splitlines() if ln and not ln.startswith(";")]
+    assert lines[0] == "memory_initialization_radix=16;"
+    assert lines[1] == "memory_initialization_vector="
+    assert lines[2] == "00aaaaaaaa,"
+    assert lines[-1] == "03ffffffff;"
+    value_words = [ln for ln in lines if ln.startswith("01")]
+    rowlen_words = [ln for ln in lines if ln.startswith("02")]
+    assert len(value_words) == cisr.num_groups * cisr.slot_count
+    assert len(rowlen_words) == -(-coo.shape[0] // 2)  # two lengths per word
+
+
+def test_coe_write_to_file(tmp_path):
+    coo = _load("pdp08-pg4.mtx")
+    cisr = cisr_encode(coo, slot_count=4)
+    path = tmp_path / "out.coe"
+    write_coe(cisr, str(path))
+    assert path.read_text().startswith(";")

@@ -1,0 +1,121 @@
+"""CLI tests: flag surface, validation (main-cli.c:1274-1386 parity),
+report emission, --all-algs actually running everything (§B1 fix)."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from smvp_toolkit_tpu.cli import build_parser, main, _validate
+
+from conftest import SAMPLE_DIR
+
+IBM32 = os.path.join(SAMPLE_DIR, "ibm32.mtx")
+PDP = os.path.join(SAMPLE_DIR, "pdp08-pg4.mtx")
+
+
+# ---------------------------------------------------------------------------
+# Validation parity
+# ---------------------------------------------------------------------------
+
+
+def _args(argv):
+    return build_parser().parse_args(argv)
+
+
+def test_all_algs_exclusive_with_individual():
+    assert _validate(_args(["-a", "-c", "x.mtx"])) is not None
+    assert _validate(_args(["-a", "x.mtx"])) is None
+
+
+def test_no_alg_selected():
+    assert _validate(_args(["x.mtx"])) is not None
+
+
+def test_iteration_count_positive():
+    assert _validate(_args(["-c", "-n", "0", "x.mtx"])) is not None
+    assert _validate(_args(["-c", "-n", "5", "x.mtx"])) is None
+
+
+def test_slot_count_range():
+    assert _validate(_args(["-g", "-s", "0", "x.mtx"])) is not None
+    assert _validate(_args(["-g", "-s", "256", "x.mtx"])) is not None
+    assert _validate(_args(["-g", "-s", "16", "x.mtx"])) is None
+
+
+def test_report_dir_must_exist():
+    assert _validate(_args(["-c", "-d", "/nonexistent-dir-xyz", "x.mtx"])) is not None
+
+
+# ---------------------------------------------------------------------------
+# End-to-end runs (small iteration counts, XLA kernel on CPU)
+# ---------------------------------------------------------------------------
+
+
+def test_missing_file_error():
+    assert main(["-c", "-n", "1", "/no/such/file.mtx"]) == 1
+
+
+def test_bad_mtx_error():
+    bad = os.path.join(SAMPLE_DIR, "badfile.mtx")
+    assert main(["-c", "-n", "1", bad]) == 1
+
+
+def test_csr_run_writes_report(tmp_path):
+    rc = main(["-c", "-n", "3", "-d", str(tmp_path), "--kernel", "xla", IBM32])
+    assert rc == 0
+    reports = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))
+    assert len(reports) == 1
+    text = reports[0].read_text()
+    assert "CSR algorithm" in text
+    assert "Non-zero numbers contained in matrix: 126" in text
+    assert "Compute times for 3 iterations:" in text
+    # Output vector: 32 values inside [ ].
+    vec = re.search(r"\[\n(.*?)\n\]", text, re.S).group(1).split()
+    assert len(vec) == 32
+    # ibm32 is a pattern matrix with x = ones: y = row counts, Σ = nnz.
+    assert sum(float(v) for v in vec) == 126.0
+
+
+def test_all_algs_runs_everything(tmp_path):
+    # §B1 fix: --all-algs must actually run CSR + TJDS + CISR.
+    coe = tmp_path / "out.coe"
+    rc = main(
+        ["-a", "-n", "2", "-d", str(tmp_path), "--kernel", "xla",
+         "--coe-out", str(coe), PDP]
+    )
+    assert rc == 0
+    assert list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))
+    assert list(tmp_path.glob("smvp-toolbox_report_TJDS_*.txt"))
+    assert coe.exists()
+    assert "memory_initialization_radix=16;" in coe.read_text()
+
+
+def test_decode_check_flag(tmp_path):
+    rc = main(
+        ["-c", "-t", "-n", "1", "-d", str(tmp_path), "--kernel", "xla",
+         "--decode-check", PDP]
+    )
+    assert rc == 0
+
+
+def test_no_report_flag(tmp_path):
+    rc = main(["-c", "-n", "1", "-d", str(tmp_path), "--kernel", "xla",
+               "--no-report", IBM32])
+    assert rc == 0
+    assert not list(tmp_path.glob("*.txt"))
+
+
+def test_csr_tjds_reports_agree(tmp_path):
+    # The reference's own reports disagree (TJDS bug §B2); ours must agree.
+    rc = main(["-c", "-t", "-n", "2", "-d", str(tmp_path), "--kernel", "xla",
+               os.path.join(SAMPLE_DIR, "curtis54.mtx")])
+    assert rc == 0
+    vecs = []
+    for pat in ["CSR", "TJDS"]:
+        f = list(tmp_path.glob(f"smvp-toolbox_report_{pat}_*.txt"))[0]
+        body = re.search(r"\[\n(.*?)\n\]", f.read_text(), re.S).group(1)
+        vecs.append(np.array([float(t) for t in body.split()]))
+    np.testing.assert_allclose(vecs[0], vecs[1], rtol=1e-5)
+    assert vecs[0].sum() == 291.0  # = nnz for pattern matrix, x = ones

@@ -1,0 +1,122 @@
+"""Data-parallel SpMV tests on an 8-device CPU-simulated mesh.
+
+Per SURVEY.md §4: multi-host behavior is validated via
+``--xla_force_host_platform_device_count=8`` (set in conftest) + shard_map,
+so no TPU cluster is needed in CI.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.formats.csr import csr_encode
+from smvp_toolkit_tpu.formats.tjds import tjds_encode
+from smvp_toolkit_tpu.io.mtx import read_mtx
+from smvp_toolkit_tpu.parallel import (
+    make_mesh,
+    shard_csr,
+    shard_tjds,
+    spmv_csr_sharded,
+    spmv_tjds_sharded,
+)
+
+from conftest import SAMPLE_DIR, random_coo
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def _coo(seed=0, nrows=100, ncols=90, nnz=700):
+    rng = np.random.RandomState(seed)
+    r, c, v = random_coo(rng, nrows, ncols, nnz)
+    return COOMatrix.from_numpy(r, c, v, shape=(nrows, ncols), pad_to=64)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_csr_rowblock_sharding(n_shards):
+    coo = _coo()
+    csr = csr_encode(coo)
+    mesh = make_mesh(n_shards)
+    sharded = shard_csr(csr, mesh)
+    rng = np.random.RandomState(1)
+    x = np.asarray(rng.randn(coo.shape[1]), dtype=np.float32)
+    y = np.asarray(spmv_csr_sharded(sharded, x, mesh))
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    assert y.shape == (coo.shape[0],)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_tjds_stripe_sharding(n_shards):
+    coo = _coo(seed=2)
+    tj = tjds_encode(coo)
+    mesh = make_mesh(n_shards)
+    sharded = shard_tjds(tj, mesh)
+    rng = np.random.RandomState(3)
+    x = np.asarray(rng.randn(coo.shape[1]), dtype=np.float32)
+    y = np.asarray(spmv_tjds_sharded(sharded, x, mesh))
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_uneven_rows():
+    # nrows not divisible by shard count (SURVEY.md §7 hard part (d)).
+    coo = _coo(seed=4, nrows=107, ncols=55, nnz=500)
+    csr = csr_encode(coo)
+    mesh = make_mesh(4)
+    sharded = shard_csr(csr, mesh)
+    x = np.ones(coo.shape[1], dtype=np.float32)
+    y = np.asarray(spmv_csr_sharded(sharded, x, mesh))
+    y_ref = coo.to_dense() @ np.ones(coo.shape[1])
+    assert y.shape == (107,)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_empty_shard():
+    # All nnz in the first rows: later shards own zero entries.
+    r = np.arange(10, dtype=np.int32)
+    c = np.arange(10, dtype=np.int32)
+    v = np.ones(10)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(80, 10), pad_to=16)
+    csr = csr_encode(coo)
+    mesh = make_mesh(8)
+    sharded = shard_csr(csr, mesh)
+    x = np.ones(10, dtype=np.float32)
+    y = np.asarray(spmv_csr_sharded(sharded, x, mesh))
+    np.testing.assert_allclose(y[:10], np.ones(10))
+    np.testing.assert_allclose(y[10:], np.zeros(70))
+
+
+def test_sample_matrix_sharded():
+    coo = read_mtx(
+        os.path.join(SAMPLE_DIR, "curtis54.mtx"), use_native=False
+    ).pad(64)
+    csr = csr_encode(coo)
+    tj = tjds_encode(coo)
+    mesh = make_mesh(8)
+    x = np.ones(coo.shape[1], dtype=np.float32)
+    y1 = np.asarray(spmv_csr_sharded(shard_csr(csr, mesh), x, mesh))
+    y2 = np.asarray(spmv_tjds_sharded(shard_tjds(tj, mesh), x, mesh))
+    y_ref = coo.to_dense() @ np.ones(coo.shape[1])
+    np.testing.assert_allclose(y1, y_ref, rtol=1e-5)
+    np.testing.assert_allclose(y2, y_ref, rtol=1e-5)
+
+
+def test_graft_dryrun():
+    # The driver's multi-chip validation path must work end to end.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    fn, args = mod.entry()
+    y = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(y)).all()

@@ -1,0 +1,107 @@
+"""Solver-model tests: power iteration, PageRank, CG, Jacobi on CSR/TJDS."""
+
+import numpy as np
+import pytest
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.formats.csr import csr_encode
+from smvp_toolkit_tpu.formats.tjds import tjds_encode
+from smvp_toolkit_tpu.models import (
+    conjugate_gradient,
+    jacobi,
+    pagerank,
+    power_iteration,
+)
+from smvp_toolkit_tpu.ops import spmv_tjds
+
+
+def _spd_coo(n=24, seed=0):
+    """Sparse symmetric positive-definite matrix (diagonally dominant)."""
+    rng = np.random.RandomState(seed)
+    a = np.zeros((n, n))
+    for _ in range(3 * n):
+        i, j = rng.randint(0, n, 2)
+        w = rng.rand()
+        a[i, j] += w
+        a[j, i] += w
+    a += np.diag(np.abs(a).sum(axis=1) + 1.0)
+    r, c = np.nonzero(a)
+    return (
+        COOMatrix.from_numpy(
+            r.astype(np.int32), c.astype(np.int32), a[r, c], shape=(n, n),
+            pad_to=64,
+        ),
+        a,
+    )
+
+
+def test_power_iteration_dominant_eigenvalue():
+    coo, a = _spd_coo()
+    csr = csr_encode(coo)
+    import jax.numpy as jnp
+
+    x0 = jnp.ones((a.shape[0],), dtype=jnp.float32)
+    lam, vec = power_iteration(csr, x0, num_iters=200)
+    lam_ref = np.max(np.abs(np.linalg.eigvalsh(a)))
+    np.testing.assert_allclose(float(lam), lam_ref, rtol=1e-3)
+    # Eigenvector residual.
+    v = np.asarray(vec, dtype=np.float64)
+    np.testing.assert_allclose(a @ v, float(lam) * v, rtol=2e-2, atol=1e-3)
+
+
+def test_conjugate_gradient_solves():
+    coo, a = _spd_coo(seed=1)
+    csr = csr_encode(coo)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    b = jnp.asarray(rng.randn(a.shape[0]), dtype=jnp.float32)
+    x, res = conjugate_gradient(csr, b, num_iters=100)
+    x_ref = np.linalg.solve(a, np.asarray(b, dtype=np.float64))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-2, atol=1e-3)
+    assert float(res[-1]) < 1e-2 * float(res[0])
+
+
+def test_jacobi_converges():
+    coo, a = _spd_coo(seed=3)
+    csr = csr_encode(coo)
+    import jax.numpy as jnp
+
+    b = jnp.ones((a.shape[0],), dtype=jnp.float32)
+    diag = jnp.asarray(np.diag(a), dtype=jnp.float32)
+    x = jacobi(csr, b, diag, num_iters=300)
+    x_ref = np.linalg.solve(a, np.ones(a.shape[0]))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-2, atol=1e-3)
+
+
+def test_pagerank_stochastic():
+    # Small column-stochastic link matrix.
+    n = 10
+    rng = np.random.RandomState(4)
+    dense = (rng.rand(n, n) < 0.4).astype(np.float64)
+    dense[np.diag_indices(n)] = 0
+    colsum = dense.sum(axis=0)
+    colsum[colsum == 0] = 1
+    dense = dense / colsum
+    r, c = np.nonzero(dense)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), dense[r, c], shape=(n, n),
+        pad_to=64,
+    )
+    csr = csr_encode(coo)
+    rank = np.asarray(pagerank(csr, num_iters=100))
+    assert rank.shape == (n,)
+    np.testing.assert_allclose(rank.sum(), 1.0, rtol=1e-5)
+    assert (rank >= 0).all()
+
+
+def test_solver_with_tjds_kernel():
+    # Solvers accept any spmv implementation (format-agnostic).
+    coo, a = _spd_coo(seed=5)
+    tj = tjds_encode(coo)
+    import jax.numpy as jnp
+
+    b = jnp.ones((a.shape[0],), dtype=jnp.float32)
+    x, res = conjugate_gradient(tj, b, num_iters=100, spmv=spmv_tjds)
+    x_ref = np.linalg.solve(a, np.ones(a.shape[0]))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-2, atol=1e-3)
