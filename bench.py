@@ -23,7 +23,11 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from smvp_toolkit_tpu.bench import bench_spmv, spmv_bytes_csr, hbm_bandwidth_gbs
+    from smvp_toolkit_tpu.bench import (
+        bench_spmv_fused,
+        spmv_bytes_csr,
+        hbm_bandwidth_gbs,
+    )
     from smvp_toolkit_tpu.formats.csr import csr_encode
     from smvp_toolkit_tpu.io.mtx import read_mtx
     from smvp_toolkit_tpu.ops import spmv_csr
@@ -57,7 +61,10 @@ def main() -> int:
     err = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-30)
     assert err < 1e-3, f"CSR SpMV wrong (rel err {err})"
 
-    stats = bench_spmv(spmv_fn, csr, x, iterations=200, warmup=5, inner=10)
+    # Device-loop timing: N sequential SpMVs inside one program, the
+    # honest analog of the reference's timed loop (main-cli.c:402-420)
+    # without paying a host->device dispatch per iteration.
+    stats = bench_spmv_fused(spmv_fn, csr, x, iterations=200, repeats=5)
     nnzs = stats.nnz_per_s(coo.nnz)
     gbs = stats.gb_per_s(spmv_bytes_csr(coo.nnz, coo.shape[0]))
 

@@ -96,7 +96,7 @@ def main():
         return jax.lax.fori_loop(0, NNZ // CH, body, jnp.zeros((NNZ,), jnp.float32))
 
     og = jax.jit(onehot_gather)
-    timeit("one-hot bf16 matmul gather", lambda: og(x, cols_sorted), iters=10)
+    timeit("one-hot bf16 matmul gather", lambda: og(x, cols_sorted), iters=5)
 
     # dense matvec for scale reference
     A = jnp.asarray(rng.randn(4096, 4096), dtype=jnp.float32)

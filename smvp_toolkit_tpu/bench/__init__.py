@@ -8,7 +8,12 @@ measured, and derived GB/s / nnz/s / roofline-fraction metrics are
 computed per BASELINE.json.
 """
 
-from smvp_toolkit_tpu.bench.harness import TimingStats, time_fn, bench_spmv
+from smvp_toolkit_tpu.bench.harness import (
+    TimingStats,
+    time_fn,
+    bench_spmv,
+    bench_spmv_fused,
+)
 from smvp_toolkit_tpu.bench.report import generate_report_text, write_report
 from smvp_toolkit_tpu.bench.roofline import (
     hbm_bandwidth_gbs,
@@ -20,6 +25,7 @@ __all__ = [
     "TimingStats",
     "time_fn",
     "bench_spmv",
+    "bench_spmv_fused",
     "generate_report_text",
     "write_report",
     "hbm_bandwidth_gbs",

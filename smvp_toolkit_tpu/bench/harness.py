@@ -19,7 +19,7 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-__all__ = ["TimingStats", "time_fn", "bench_spmv"]
+__all__ = ["TimingStats", "time_fn", "bench_spmv", "bench_spmv_fused"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,3 +128,54 @@ def bench_spmv(
         warmup=warmup,
         inner=inner,
     )
+
+
+def bench_spmv_fused(
+    spmv: Callable,
+    matrix,
+    x,
+    *,
+    iterations: int = 1000,
+    repeats: int = 5,
+    warmup: int = 1,
+) -> TimingStats:
+    """Benchmark N sequential SpMVs executed inside ONE device program.
+
+    The reference's timed loop is N back-to-back SpMVs (main-cli.c:402-420);
+    running the loop as a ``lax.fori_loop`` on device measures the same
+    work without a host dispatch per iteration — essential when the host⇄
+    device link has high latency (e.g. a tunneled TPU). The per-iteration
+    x is data-dependent on the accumulator through a never-taken select,
+    so XLA cannot hoist the SpMV out of the loop; numerically every
+    iteration computes the same y = A·x.
+
+    Returns per-iteration stats over ``repeats`` device-loop launches.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nrows = matrix.shape[0]
+
+    @jax.jit
+    def run(matrix, x):
+        def body(i, acc):
+            # acc-dependent perturbation that is always exactly 0.0 at
+            # runtime but defeats loop-invariant code motion.
+            xi = x.at[0].add(jnp.where(i < 0, acc[0], 0.0))
+            y = spmv(matrix, xi)
+            return acc + y
+
+        return jax.lax.fori_loop(
+            0, iterations, body, jnp.zeros((nrows,), x.dtype)
+        )
+
+    for _ in range(max(warmup, 1)):
+        run(matrix, x).block_until_ready()
+
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter_ns()
+        run(matrix, x).block_until_ready()
+        t1 = time.perf_counter_ns()
+        samples.append((t1 - t0) / 1e6 / iterations)
+    return TimingStats(times_ms=np.asarray(samples), iterations=iterations)

@@ -1,0 +1,171 @@
+"""SELL-T1 execution plan for the Pallas TPU SpMV kernel.
+
+The TPU-native layout that replaces pointer-chasing CSR traversal
+(reference hot loop main-cli.c:410-416) with four dense vector/matrix ops.
+
+Layout rule — one **slot** per nonzero, arranged so every hard op becomes
+a native TPU primitive:
+
+* ``lane  = row mod 128``  (output lane)
+* ``slice = row div 128``  (output sublane group; y is (NS, 128))
+* each **sublane** of the packed arrays holds entries of ONE slice whose
+  columns fall in ONE 128-wide column tile (``tb``); a row with several
+  entries in the same tile occupies duplicate sublanes (``dup``).
+
+With that invariant the whole SpMV is:
+
+1. ``table = OHT @ x_tiles``   — one-hot MXU matmul materializes, per
+   sublane, the 128 x-values of its column tile (no gather).
+2. ``g     = take_along_axis(table, lane_idx)`` — a single VPU lane
+   shuffle replaces the per-element x gather.
+3. ``prod  = vals * g``        — elementwise.
+4. ``y     = SEG @ prod``      — one-hot MXU matmul sums every sublane
+   into its slice row: the entire CSR row-reduction with no scatter,
+   no segment-sum, no prefix scan.
+
+Cost ∝ S (number of sublanes) — S ≈ #(slice, coltile) pairs, measured
+7078 for memplus (126k nnz) and 4545 for pwt (181k nnz). Optional RCM
+ordering can shrink S for banded systems but requires on-device x/y
+permutation; the default is natural order (identity, no permutes).
+
+This module is the host-side planner (pure numpy, encode-time). The
+device kernel lives in ``spmv_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["SellPlan", "build_sell_plan"]
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-max(int(x), 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SellPlan:
+    """Host-side arrays + static metadata for the SELL-T1 SpMV kernel.
+
+    S = padded sublane count (multiple of ``chunk``), CT = column tiles
+    (padded), NS = row slices (padded to 8).
+    """
+
+    vals: np.ndarray  # f32 (S, 128); 0 in dead slots
+    lane_idx: np.ndarray  # i32 (S, 128): column offset within tile [0,128)
+    oht: np.ndarray  # f32 (S, CT): one-hot window (table-build matmul lhs)
+    seg: np.ndarray  # f32 (NS, S): one-hot reduce matmul lhs
+    shape: Tuple[int, int]
+    nnz: int
+    n_slices: int  # NS (padded)
+    n_coltiles: int  # CT (padded)
+    chunk: int  # sublane chunk size per kernel grid step
+
+    @property
+    def n_sublanes(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def n_chunks(self) -> int:
+        return self.n_sublanes // self.chunk
+
+    def slots(self) -> int:
+        return self.n_sublanes * LANES
+
+
+def build_sell_plan(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    shape: Tuple[int, int],
+    *,
+    chunk: int = 1024,
+) -> SellPlan:
+    """Build the SELL-T1 plan from COO triplets (host, encode-time)."""
+    nrows, ncols = shape
+    nnz = len(rows)
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    v = np.asarray(vals, dtype=np.float32)
+
+    ct_true = max(-(-ncols // LANES), 1)
+    ns_true = max(-(-nrows // LANES), 1)
+    # CT is a matmul contraction/lane dimension — pad to a full 128-lane
+    # tile so Mosaic needs no relayout; NS is a sublane dim (mult of 8).
+    CT = _round_up(ct_true, LANES)
+    NS = _round_up(ns_true, 8)
+
+    if nnz == 0:
+        S = chunk
+        return SellPlan(
+            vals=np.zeros((S, LANES), dtype=np.float32),
+            lane_idx=np.zeros((S, LANES), dtype=np.int32),
+            oht=np.zeros((S, CT), dtype=np.float32),
+            seg=np.zeros((NS, S), dtype=np.float32),
+            shape=shape,
+            nnz=0,
+            n_slices=NS,
+            n_coltiles=CT,
+            chunk=chunk,
+        )
+
+    slice_ = rows >> 7
+    lane = rows & 127
+    tile = cols >> 7
+
+    # Stable sort by (slice, tile, lane): entries of one (slice, tile)
+    # cell are adjacent, lanes ascending.
+    order = np.lexsort((lane, tile, slice_))
+    sl_s = slice_[order]
+    tl_s = tile[order]
+    ln_s = lane[order]
+    lo_s = (cols & 127)[order].astype(np.int32)
+    v_s = v[order]
+
+    # dup = occurrence index within (slice, tile, lane) runs.
+    cell = sl_s * ct_true + tl_s
+    same_lane = np.zeros(nnz, dtype=bool)
+    same_lane[1:] = (cell[1:] == cell[:-1]) & (ln_s[1:] == ln_s[:-1])
+    # Vectorized run-position: dup[i] = i - start_of_run(i).
+    idx = np.arange(nnz)
+    run_start = np.where(~same_lane, idx, 0)
+    np.maximum.accumulate(run_start, out=run_start)
+    dup = idx - run_start
+
+    # sublane key = (slice, tile, dup); assign dense sublane ids.
+    sub_key = (cell.astype(np.int64) << 20) | dup.astype(np.int64)
+    uniq, sub_id = np.unique(sub_key, return_inverse=True)
+    S_true = len(uniq)
+    S = _round_up(S_true, chunk)
+
+    vals_a = np.zeros((S, LANES), dtype=np.float32)
+    lidx_a = np.zeros((S, LANES), dtype=np.int32)
+    vals_a[sub_id, ln_s] = v_s
+    lidx_a[sub_id, ln_s] = lo_s
+
+    # Per-sublane tile and slice (uniq keys decode).
+    u_cell = (uniq >> 20).astype(np.int64)
+    u_tile = (u_cell % ct_true).astype(np.int64)
+    u_slice = (u_cell // ct_true).astype(np.int64)
+
+    oht = np.zeros((S, CT), dtype=np.float32)
+    oht[np.arange(S_true), u_tile] = 1.0
+    seg = np.zeros((NS, S), dtype=np.float32)
+    seg[u_slice, np.arange(S_true)] = 1.0
+
+    return SellPlan(
+        vals=vals_a,
+        lane_idx=lidx_a,
+        oht=oht,
+        seg=seg,
+        shape=shape,
+        nnz=nnz,
+        n_slices=NS,
+        n_coltiles=CT,
+        chunk=chunk,
+    )

@@ -49,6 +49,27 @@ def test_time_fn_inner_amortization():
     assert len(stats.times_ms) == 3
 
 
+def test_fused_device_loop_matches_reference_semantics():
+    # N sequential SpMVs inside one program; result must equal N * (A @ x).
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.bench.harness import bench_spmv_fused
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.ops import spmv_csr
+
+    r = np.array([0, 1, 2], dtype=np.int32)
+    c = np.array([1, 0, 2], dtype=np.int32)
+    v = np.array([2.0, 3.0, 4.0])
+    coo = COOMatrix.from_numpy(r, c, v, shape=(3, 3), pad_to=8)
+    csr = csr_encode(coo)
+    x = jnp.ones((3,), jnp.float32)
+    stats = bench_spmv_fused(spmv_csr, csr, x, iterations=10, repeats=3)
+    assert stats.iterations == 10
+    assert len(stats.times_ms) == 3
+    assert (stats.times_ms > 0).all()
+
+
 def test_report_format_matches_reference():
     # Section order per main-cli.c:294-317.
     stats = TimingStats(times_ms=np.array([0.5, 0.7]), iterations=2)

@@ -1,0 +1,149 @@
+"""Pallas SELL-T1 SpMV kernel tests (interpreter mode on CPU).
+
+The kernel itself is exercised in the Pallas interpreter; numerical
+parity with the dense oracle and the XLA kernels is the contract. The
+compiled-mode path is exercised on real TPU by bench.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.formats.csr import csr_encode
+from smvp_toolkit_tpu.formats.tjds import tjds_encode
+from smvp_toolkit_tpu.io.mtx import read_mtx
+from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+from smvp_toolkit_tpu.ops.spmv_pallas import (
+    SellSpMV,
+    spmv_coo_pallas,
+    spmv_csr_pallas,
+    spmv_tjds_pallas,
+)
+
+from conftest import SAMPLE_DIR, SAMPLES_SMALL, random_coo
+
+
+def _load(name):
+    return read_mtx(os.path.join(SAMPLE_DIR, name), use_native=False)
+
+
+@pytest.mark.parametrize("name", SAMPLES_SMALL)
+def test_kernel_matches_dense_oracle(name):
+    coo = _load(name)
+    op = SellSpMV.from_coo(coo)
+    rng = np.random.RandomState(0)
+    x = rng.randn(coo.shape[1]).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_plan_structure():
+    coo = _load("curtis54.mtx")
+    r, c, v = coo.to_numpy()
+    plan = build_sell_plan(r, c, v, coo.shape)
+    # Every nonzero occupies exactly one live slot.
+    assert (plan.vals != 0).sum() <= coo.nnz  # (zero-valued entries allowed)
+    # OHT/SEG rows are one-hot (at most a single 1).
+    assert plan.oht.max() <= 1 and (plan.oht.sum(axis=1) <= 1).all()
+    assert plan.seg.max() <= 1 and (plan.seg.sum(axis=0) <= 1).all()
+    # Padded shapes.
+    assert plan.n_sublanes % plan.chunk == 0
+    assert plan.vals.shape == (plan.n_sublanes, 128)
+
+
+def test_duplicate_entries_same_tile():
+    # A row with several entries in one column tile needs dup sublanes.
+    r = np.array([3, 3, 3, 3], dtype=np.int32)
+    c = np.array([5, 17, 63, 100], dtype=np.int32)
+    v = np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float32)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(8, 128))
+    op = SellSpMV.from_coo(coo)
+    x = np.arange(128, dtype=np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    expected = 1 * 5 + 2 * 17 + 3 * 63 + 4 * 100
+    assert y[3] == expected
+    assert np.count_nonzero(y) == 1
+
+
+def test_coo_duplicates_summed():
+    # True duplicate (row, col) pairs must still sum.
+    r = np.array([1, 1], dtype=np.int32)
+    c = np.array([2, 2], dtype=np.int32)
+    v = np.array([1.5, 2.5], dtype=np.float32)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(4, 4))
+    op = SellSpMV.from_coo(coo)
+    x = np.ones(4, dtype=np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    assert y[1] == 4.0
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_property_random(seed):
+    rng = np.random.RandomState(400 + seed)
+    nrows = rng.randint(1, 400)
+    ncols = rng.randint(1, 400)
+    nnz = rng.randint(1, max(2, min(nrows * ncols // 2, 2000)))
+    r, c, v = random_coo(rng, nrows, ncols, nnz)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(nrows, ncols))
+    op = SellSpMV.from_coo(coo)
+    x = rng.randn(ncols).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_format_wrappers_and_cache():
+    coo = _load("pdp08-pg4.mtx").pad(32)
+    csr = csr_encode(coo)
+    tj = tjds_encode(coo)
+    x = jnp.ones((coo.shape[1],), jnp.float32)
+    y_csr = np.asarray(spmv_csr_pallas(csr, x))
+    y_csr2 = np.asarray(spmv_csr_pallas(csr, 2 * x))  # cache hit path
+    y_tj = np.asarray(spmv_tjds_pallas(tj, x))
+    y_coo = np.asarray(spmv_coo_pallas(coo, x))
+    y_ref = coo.to_dense() @ np.ones(coo.shape[1])
+    np.testing.assert_allclose(y_csr, y_ref, rtol=1e-5)
+    np.testing.assert_allclose(y_csr2, 2 * y_ref, rtol=1e-5)
+    np.testing.assert_allclose(y_tj, y_ref, rtol=1e-5)
+    np.testing.assert_allclose(y_coo, y_ref, rtol=1e-5)
+
+
+def test_multi_chunk_accumulation():
+    # Force several grid steps with a small chunk size.
+    rng = np.random.RandomState(7)
+    r, c, v = random_coo(rng, 300, 300, 3000)
+    plan = build_sell_plan(r, c, v, (300, 300), chunk=8)
+    assert plan.n_chunks > 1
+    op = SellSpMV(plan)
+    x = rng.randn(300).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    coo = COOMatrix.from_numpy(r, c, v, shape=(300, 300))
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_empty_matrix():
+    coo = COOMatrix.from_numpy(
+        np.zeros(0, np.int32), np.zeros(0, np.int32),
+        np.zeros(0, np.float32), shape=(10, 10),
+    )
+    op = SellSpMV.from_coo(coo)
+    y = np.asarray(op(jnp.ones(10, jnp.float32)))
+    np.testing.assert_array_equal(y, np.zeros(10))
+
+
+def test_rectangular_tall_and_wide():
+    rng = np.random.RandomState(11)
+    for shape in [(500, 40), (40, 500)]:
+        r, c, v = random_coo(rng, shape[0], shape[1], 600)
+        coo = COOMatrix.from_numpy(r, c, v, shape=shape)
+        op = SellSpMV.from_coo(coo)
+        x = rng.randn(shape[1]).astype(np.float32)
+        y = np.asarray(op(jnp.asarray(x)))
+        y_ref = coo.to_dense() @ x.astype(np.float64)
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
