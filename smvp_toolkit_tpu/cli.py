@@ -122,6 +122,29 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip writing the report file",
     )
+    p.add_argument(
+        "--debug",
+        action="store_true",
+        help=(
+            "dump encoded-format internals to stderr (reference "
+            "SMVP_CSR_DEBUG/SMVP_TJDS_DEBUG printf harness analog)"
+        ),
+    )
+    p.add_argument(
+        "--lut-out",
+        default=None,
+        metavar="FILE",
+        help=(
+            "write the TJDS Verilog LUT image to FILE (parameterized, "
+            "opt-in replacement for the reference's hardcoded LUT spew)"
+        ),
+    )
+    p.add_argument(
+        "--save-encoded",
+        default=None,
+        metavar="PREFIX",
+        help="checkpoint encoded matrices to PREFIX_{csr,tjds}.npz",
+    )
     return p
 
 
@@ -264,16 +287,47 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     vbytes = jnp.dtype(dtype).itemsize
 
+    debug_on = args.debug or os.environ.get("SMVP_DEBUG", "0") not in (
+        "", "0", "false"
+    )
+    if debug_on:
+        from smvp_toolkit_tpu.utils.debug import dump_coo
+
+        dump_coo(coo)
+
     if run_csr:
         csr = csr_encode(coo)
+        if debug_on:
+            from smvp_toolkit_tpu.utils.debug import dump_csr
+
+            dump_csr(csr)
         if args.decode_check:
             _decode_check("CSR", csr_decode(csr), coo, log)
+        if args.save_encoded:
+            from smvp_toolkit_tpu.utils.checkpoint import save_matrix
+
+            save_matrix(f"{args.save_encoded}_csr.npz", csr)
+            log("FILE", f"CSR checkpoint: {args.save_encoded}_csr.npz")
         _run(ALG_CSR, csr, csr_fn, spmv_bytes_csr(coo.nnz, coo.shape[0], vbytes))
 
     if run_tjds:
         tj = tjds_encode(coo)
+        if debug_on:
+            from smvp_toolkit_tpu.utils.debug import dump_tjds
+
+            dump_tjds(tj)
         if args.decode_check:
             _decode_check("TJDS", tjds_decode(tj), coo, log)
+        if args.save_encoded:
+            from smvp_toolkit_tpu.utils.checkpoint import save_matrix
+
+            save_matrix(f"{args.save_encoded}_tjds.npz", tj)
+            log("FILE", f"TJDS checkpoint: {args.save_encoded}_tjds.npz")
+        if args.lut_out:
+            from smvp_toolkit_tpu.formats.vivado import write_tjds_lut
+
+            write_tjds_lut(tj, args.lut_out)
+            log("FILE", f"TJDS Verilog LUT image saved as:\n\t{args.lut_out}")
         _run(
             ALG_TJDS,
             tj,
