@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Full benchmark suite: every sample matrix x {CSR, TJDS} x {xla, pallas}
+plus the synthetic 10M-nnz scaling input (BASELINE.json configs).
+
+Emits one JSON line per (matrix, algorithm, kernel) with timing and
+roofline metrics; mirrors the reference's benchmark campaign
+(output-test/ reports) with the TPU metrics the reference lacks.
+
+Usage: python benchmarks/run_all.py [--quick] [--out results.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SAMPLES = {
+    "ibm32": "/root/reference/sample-data/ibm32.mtx",
+    "curtis54": "/root/reference/sample-data/curtis54.mtx",
+    "pdp08-pg4": "/root/reference/sample-data/pdp08-pg4.mtx",
+    "memplus": "/root/reference/sample-data/memplus.mtx",
+    "pwt": "/root/reference/sample-data/pwt.mtx",
+}
+
+# Reference avg iteration times (ms) from BASELINE.md (1000-iter runs).
+REFERENCE_MS = {
+    ("ibm32", "CSR"): 0.0004319,
+    ("ibm32", "TJDS"): 0.0007779,
+    ("curtis54", "CSR"): 0.0009249,
+    ("curtis54", "TJDS"): 0.0014113,
+    ("memplus", "CSR"): 0.387638,
+    ("memplus", "TJDS"): 0.549908,
+    ("pwt", "CSR"): 0.569281,
+    ("pwt", "TJDS"): 1.1823,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small iteration counts")
+    ap.add_argument("--out", default=None, help="also append JSONL here")
+    ap.add_argument("--skip-synth", action="store_true")
+    ap.add_argument("--kernels", default="xla,pallas")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smvp_toolkit_tpu.bench import (
+        bench_spmv_fused,
+        hbm_bandwidth_gbs,
+        spmv_bytes_csr,
+        spmv_bytes_tjds,
+    )
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.formats.tjds import tjds_encode
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops import spmv_csr, spmv_tjds
+    from smvp_toolkit_tpu.ops.spmv_pallas import spmv_csr_pallas, spmv_tjds_pallas
+    from smvp_toolkit_tpu.utils.synth import synth_banded
+
+    device = jax.devices()[0]
+    iters = 50 if args.quick else 200
+    kernels = args.kernels.split(",")
+    results = []
+
+    def record(rec):
+        line = json.dumps(rec)
+        print(line, flush=True)
+        results.append(rec)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+
+    matrices = {}
+    for name, path in SAMPLES.items():
+        matrices[name] = read_mtx(path).pad(512)
+    if not args.skip_synth:
+        matrices["synth-10M"] = synth_banded(
+            1_000_000, nnz_per_row=10, bandwidth=256, seed=0
+        ).pad(512)
+
+    for name, coo in matrices.items():
+        x = jnp.ones((coo.shape[1],), jnp.float32)
+        r, c, v = coo.to_numpy()
+        y_ref = np.zeros(coo.shape[0])
+        np.add.at(y_ref, r, v.astype(np.float64))
+        scale = np.abs(y_ref).max() + 1e-30
+
+        encs = {
+            "CSR": (csr_encode(coo), spmv_csr, spmv_csr_pallas,
+                    spmv_bytes_csr(coo.nnz, coo.shape[0])),
+        }
+        if name != "synth-10M":
+            tj = tjds_encode(coo)
+            encs["TJDS"] = (tj, spmv_tjds, spmv_tjds_pallas,
+                            spmv_bytes_tjds(coo.nnz, coo.shape[0],
+                                            int(tj.num_diags)))
+
+        for alg, (enc, fn_xla, fn_pal, bytes_per) in encs.items():
+            for kernel in kernels:
+                fn = fn_xla if kernel == "xla" else fn_pal
+                try:
+                    y = np.asarray(fn(enc, x)).astype(np.float64)
+                    err = float(np.abs(y - y_ref).max() / scale)
+                    if err > 1e-3:
+                        record({"matrix": name, "alg": alg, "kernel": kernel,
+                                "error": f"wrong result (rel err {err:.2e})"})
+                        continue
+                    stats = bench_spmv_fused(
+                        fn, enc, x, iterations=iters, repeats=3
+                    )
+                    nnzs = stats.nnz_per_s(coo.nnz)
+                    gbs = stats.gb_per_s(bytes_per)
+                    rec = {
+                        "matrix": name,
+                        "alg": alg,
+                        "kernel": kernel,
+                        "nnz": coo.nnz,
+                        "avg_ms": round(stats.avg_ms, 6),
+                        "gnnz_per_s": round(nnzs / 1e9, 3),
+                        "eff_gb_s": round(gbs, 2),
+                        "roofline_frac": round(
+                            gbs / hbm_bandwidth_gbs(device), 5
+                        ),
+                        "rel_err": err,
+                        "device": device.device_kind,
+                    }
+                    ref_ms = REFERENCE_MS.get((name, alg))
+                    if ref_ms:
+                        rec["vs_reference"] = round(ref_ms / stats.avg_ms, 2)
+                    record(rec)
+                except Exception as e:  # pragma: no cover
+                    record({"matrix": name, "alg": alg, "kernel": kernel,
+                            "error": str(e)[:200]})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

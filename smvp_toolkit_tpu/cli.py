@@ -145,6 +145,12 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="PREFIX",
         help="checkpoint encoded matrices to PREFIX_{csr,tjds}.npz",
     )
+    p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler device trace of the SpMV into DIR",
+    )
     return p
 
 
@@ -257,6 +263,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             stats = bench_spmv(spmv_fn, encoded, x, iterations=args.iter)
             y = np.asarray(spmv_fn(encoded, x))
+        if args.profile:
+            from smvp_toolkit_tpu.bench.profile import profile_fn
+
+            profile_fn(spmv_fn, encoded, x,
+                       log_dir=os.path.join(args.profile, alg_name))
+            log("FILE", f"Profiler trace: {args.profile}/{alg_name}")
         nnzs = stats.nnz_per_s(coo.nnz)
         gbs = stats.gb_per_s(bytes_per_iter)
         frac = gbs / hbm_bandwidth_gbs(device)
