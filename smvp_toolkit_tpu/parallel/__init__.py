@@ -22,6 +22,11 @@ from smvp_toolkit_tpu.parallel.spmv_dist import (
     spmv_tjds_sharded,
     shard_and_bench,
 )
+from smvp_toolkit_tpu.parallel.sell_dist import (
+    ShardedSell,
+    shard_sell,
+    spmv_sell_sharded,
+)
 
 __all__ = [
     "make_mesh",
@@ -34,4 +39,7 @@ __all__ = [
     "spmv_csr_sharded",
     "spmv_tjds_sharded",
     "shard_and_bench",
+    "ShardedSell",
+    "shard_sell",
+    "spmv_sell_sharded",
 ]

@@ -1,0 +1,155 @@
+"""Data-parallel SELL-T1 Pallas SpMV: row-block shards, per-device kernel.
+
+Combines the two performance layers: the SELL-T1 Pallas kernel
+(ops/spmv_pallas.py) runs *inside* ``shard_map`` — each device owns a
+contiguous block of row slices, builds products for its local sublanes,
+and reduces them locally; the global y is the ordered concatenation of
+the per-device slices (no collective needed for the sharded result; an
+all-gather materializes the replicated vector). x is replicated.
+
+Per-device plans are padded to identical static shapes (max sublane
+count across shards) so one compiled kernel serves every device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.ops.sell_plan import LANES, build_sell_plan
+from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call, _use_interpret
+from smvp_toolkit_tpu.parallel.mesh import DP_AXIS
+
+__all__ = ["ShardedSell", "shard_sell", "spmv_sell_sharded"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-max(int(x), 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedSell:
+    """Per-device SELL plans stacked on a leading shard dimension."""
+
+    vals: jax.Array  # f32 (n, S, 128)
+    lidx: jax.Array  # i32 (n, S, 128)
+    oht: jax.Array  # f32 (n, S, CT)
+    seg: jax.Array  # f32 (n, NSl, S)
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    chunk: int = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def S(self) -> int:
+        return int(self.vals.shape[1])
+
+    @property
+    def CT(self) -> int:
+        return int(self.oht.shape[2])
+
+    @property
+    def NSl(self) -> int:
+        return int(self.seg.shape[1])
+
+
+def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
+    """Split rows into contiguous blocks and build one SELL plan each."""
+    n = mesh.devices.size
+    nrows, ncols = coo.shape
+    rows_blk = _round_up(nrows, n * LANES) // n  # multiple of 128
+    r, c, v = coo.to_numpy()
+
+    plans = []
+    for k in range(n):
+        lo, hi = k * rows_blk, (k + 1) * rows_blk
+        sel = (r >= lo) & (r < hi)
+        plans.append(
+            build_sell_plan(
+                r[sel] - lo, c[sel], v[sel], (rows_blk, ncols), chunk=chunk
+            )
+        )
+
+    S = max(p.n_sublanes for p in plans)
+    CT = max(p.n_coltiles for p in plans)
+    NSl = max(p.n_slices for p in plans)
+
+    def _pad(a, shape):
+        out = np.zeros(shape, dtype=a.dtype)
+        out[tuple(slice(0, s) for s in a.shape)] = a
+        return out
+
+    vals = np.stack([_pad(p.vals, (S, LANES)) for p in plans])
+    lidx = np.stack([_pad(p.lane_idx, (S, LANES)) for p in plans])
+    oht = np.stack([_pad(p.oht, (S, CT)) for p in plans])
+    seg = np.stack([_pad(p.seg, (NSl, S)) for p in plans])
+
+    blk = NamedSharding(mesh, P(DP_AXIS))
+    return ShardedSell(
+        vals=jax.device_put(jnp.asarray(vals), blk),
+        lidx=jax.device_put(jnp.asarray(lidx), blk),
+        oht=jax.device_put(jnp.asarray(oht), blk),
+        seg=jax.device_put(jnp.asarray(seg), blk),
+        shape=coo.shape,
+        nnz=coo.nnz,
+        chunk=chunk,
+        n_shards=n,
+        rows_per_shard=rows_blk,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
+    """y = A·x with each device running the SELL Pallas kernel locally."""
+    ncols_pad = sh.CT * LANES
+    x = x.astype(jnp.float32)
+    if x.shape[0] < ncols_pad:
+        x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
+    x_tiles = x.reshape(sh.CT, LANES)
+    interpret = _use_interpret()
+    n_chunks = sh.S // sh.chunk
+
+    def local(vals, lidx, oht, seg, xt):
+        y = _sell_spmv_call(
+            xt,
+            vals[0],
+            lidx[0],
+            oht[0],
+            seg[0],
+            n_chunks=n_chunks,
+            chunk=sh.chunk,
+            ns=sh.NSl,
+            ct=sh.CT,
+            interpret=interpret,
+        )
+        return y[None]
+
+    y_blocks = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(),
+        ),
+        out_specs=P(DP_AXIS),
+        # pallas_call's out_shape carries no varying-mesh-axis annotation;
+        # the output sharding is fully described by out_specs.
+        check_vma=False,
+    )(sh.vals, sh.lidx, sh.oht, sh.seg, x_tiles)
+    # Drop per-shard slice padding (NSl is rounded up to 8 slices), then
+    # concatenate shards in row order and trim global row padding.
+    ns_true = sh.rows_per_shard // LANES
+    y = y_blocks[:, :ns_true, :].reshape(-1)
+    return y[: sh.shape[0]]

@@ -120,3 +120,28 @@ def test_graft_dryrun():
     fn, args = mod.entry()
     y = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_sell_pallas(n_shards):
+    from smvp_toolkit_tpu.parallel.sell_dist import shard_sell, spmv_sell_sharded
+
+    coo = _coo(seed=9, nrows=260, ncols=200, nnz=1500)
+    mesh = make_mesh(n_shards)
+    sh = shard_sell(coo, mesh)
+    rng = np.random.RandomState(5)
+    x = np.asarray(rng.randn(coo.shape[1]), dtype=np.float32)
+    y = np.asarray(spmv_sell_sharded(sh, x, mesh))
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_sell_sample():
+    from smvp_toolkit_tpu.parallel.sell_dist import shard_sell, spmv_sell_sharded
+
+    coo = read_mtx(os.path.join(SAMPLE_DIR, "curtis54.mtx"), use_native=False)
+    mesh = make_mesh(4)
+    sh = shard_sell(coo, mesh)
+    x = np.ones(coo.shape[1], dtype=np.float32)
+    y = np.asarray(spmv_sell_sharded(sh, x, mesh))
+    assert y.sum() == 291.0
