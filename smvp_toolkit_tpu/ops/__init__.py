@@ -10,6 +10,8 @@ from smvp_toolkit_tpu.ops.spmv_xla import (
     spmv_csr,
     spmv_csr_cumsum,
     spmv_tjds,
+    spmm_csr,
+    spmm_tjds,
 )
 
 __all__ = [
@@ -17,4 +19,6 @@ __all__ = [
     "spmv_csr",
     "spmv_csr_cumsum",
     "spmv_tjds",
+    "spmm_csr",
+    "spmm_tjds",
 ]

@@ -20,7 +20,14 @@ from smvp_toolkit_tpu.formats.coo import COOMatrix
 from smvp_toolkit_tpu.formats.csr import CSRMatrix, _row_ids_from_ptr
 from smvp_toolkit_tpu.formats.tjds import TJDSMatrix
 
-__all__ = ["spmv_coo", "spmv_csr", "spmv_csr_cumsum", "spmv_tjds"]
+__all__ = [
+    "spmv_coo",
+    "spmv_csr",
+    "spmv_csr_cumsum",
+    "spmv_tjds",
+    "spmm_csr",
+    "spmm_tjds",
+]
 
 
 @jax.jit
@@ -68,6 +75,35 @@ def spmv_csr_cumsum(csr: CSRMatrix, x: jax.Array) -> jax.Array:
     prefix = jnp.cumsum(products)
     prefix = jnp.concatenate([jnp.zeros((1,), dtype=prefix.dtype), prefix])
     return prefix[csr.row_ptr[1:]] - prefix[csr.row_ptr[:-1]]
+
+
+@jax.jit
+def spmm_csr(csr: CSRMatrix, x: jax.Array) -> jax.Array:
+    """Y = A·X for a block of vectors X (ncols, k) — sparse × dense.
+
+    Multi-vector capability beyond the reference (which only ever
+    multiplies one ones-vector). The k dimension rides along the gather
+    and the segment reduction; k should be a lane-friendly multiple for
+    best TPU layout.
+    """
+    row_ids = csr.row_ids if csr.row_ids is not None else _row_ids_from_ptr(csr)
+    products = csr.vals[:, None] * x[csr.col_ind, :]
+    return jax.ops.segment_sum(
+        products,
+        row_ids,
+        num_segments=csr.shape[0],
+        indices_are_sorted=True,
+    )
+
+
+@jax.jit
+def spmm_tjds(tjds: TJDSMatrix, x: jax.Array) -> jax.Array:
+    """Y = A·X from TJDS for a block of vectors X (ncols, k)."""
+    xp = x[tjds.perm, :]
+    products = tjds.vals[:, None] * xp[tjds.offsets, :]
+    return jax.ops.segment_sum(
+        products, tjds.row_ind, num_segments=tjds.shape[0]
+    )
 
 
 @jax.jit
