@@ -119,3 +119,41 @@ def test_csr_tjds_reports_agree(tmp_path):
         vecs.append(np.array([float(t) for t in body.split()]))
     np.testing.assert_allclose(vecs[0], vecs[1], rtol=1e-5)
     assert vecs[0].sum() == 291.0  # = nnz for pattern matrix, x = ones
+
+
+def test_interactive_mode(tmp_path):
+    """The interactive front-end (working analog of the dead GUI stub)."""
+    import io as _io
+
+    from smvp_toolkit_tpu.interactive import main as interactive_main
+
+    answers = f"{PDP}\ny\nn\n2\n{tmp_path}\n"
+    rc = interactive_main(stdin=_io.StringIO(answers), stdout=_io.StringIO())
+    assert rc == 0
+    assert list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))
+
+
+def test_interactive_rejects_missing_file():
+    import io as _io
+
+    from smvp_toolkit_tpu.interactive import main as interactive_main
+
+    rc = interactive_main(
+        stdin=_io.StringIO("/does/not/exist.mtx\n\n"), stdout=_io.StringIO()
+    )
+    assert rc == 2
+
+
+def test_launch_runner_cpu(capsys):
+    """Distributed launch runner end-to-end on the virtual device mesh."""
+    from smvp_toolkit_tpu.parallel.launch import main as launch_main
+
+    rc = launch_main([PDP, "--alg", "csr", "-n", "2"])
+    assert rc == 0
+
+
+def test_launch_runner_synth():
+    from smvp_toolkit_tpu.parallel.launch import main as launch_main
+
+    rc = launch_main(["synth:1000:5000", "--alg", "tjds", "-n", "1"])
+    assert rc == 0
