@@ -53,17 +53,24 @@ class SellPlan:
     """Host-side arrays + static metadata for the SELL-T1 SpMV kernel.
 
     S = padded sublane count (multiple of ``chunk``), CT = column tiles
-    (padded), NS = row slices (padded to 8).
+    (padded), NS = row slices (padded to 8), WT = window tiles per chunk.
+
+    Sublanes are sorted by column tile so each chunk's tiles fall inside
+    a narrow window ``[tile_base[chunk], tile_base[chunk] + WT)`` — the
+    one-hot table matmul then contracts over WT tiles instead of all CT
+    (4-16x fewer MACs on the benchmark matrices).
     """
 
     vals: np.ndarray  # f32 (S, 128); 0 in dead slots
     lane_idx: np.ndarray  # i32 (S, 128): column offset within tile [0,128)
-    oht: np.ndarray  # f32 (S, CT): one-hot window (table-build matmul lhs)
+    oht: np.ndarray  # f32 (S, WT): one-hot of (tile - tile_base[chunk])
     seg: np.ndarray  # f32 (NS, S): one-hot reduce matmul lhs
+    tile_base: np.ndarray  # i32 (n_chunks,): window start tile per chunk
     shape: Tuple[int, int]
     nnz: int
     n_slices: int  # NS (padded)
     n_coltiles: int  # CT (padded)
+    window_tiles: int  # WT
     chunk: int  # sublane chunk size per kernel grid step
 
     @property
@@ -85,8 +92,13 @@ def build_sell_plan(
     shape: Tuple[int, int],
     *,
     chunk: int = 1024,
+    min_window_tiles: int = 8,
 ) -> SellPlan:
-    """Build the SELL-T1 plan from COO triplets (host, encode-time)."""
+    """Build the SELL-T1 plan from COO triplets (host, encode-time).
+
+    ``min_window_tiles`` forces WT at least that wide — used when several
+    shards must share one compiled kernel (common static window).
+    """
     nrows, ncols = shape
     nnz = len(rows)
     rows = np.asarray(rows, dtype=np.int64)
@@ -105,12 +117,14 @@ def build_sell_plan(
         return SellPlan(
             vals=np.zeros((S, LANES), dtype=np.float32),
             lane_idx=np.zeros((S, LANES), dtype=np.int32),
-            oht=np.zeros((S, CT), dtype=np.float32),
+            oht=np.zeros((S, 8), dtype=np.float32),
             seg=np.zeros((NS, S), dtype=np.float32),
+            tile_base=np.zeros((1,), dtype=np.int32),
             shape=shape,
             nnz=0,
             n_slices=NS,
             n_coltiles=CT,
+            window_tiles=8,
             chunk=chunk,
         )
 
@@ -137,8 +151,13 @@ def build_sell_plan(
     np.maximum.accumulate(run_start, out=run_start)
     dup = idx - run_start
 
-    # sublane key = (slice, tile, dup); assign dense sublane ids.
-    sub_key = (cell.astype(np.int64) << 20) | dup.astype(np.int64)
+    # sublane key = (tile, slice, dup): tile-major so each chunk of
+    # consecutive sublanes covers a narrow column-tile window.
+    sub_key = (
+        (tl_s.astype(np.int64) << 40)
+        | (sl_s.astype(np.int64) << 20)
+        | dup.astype(np.int64)
+    )
     uniq, sub_id = np.unique(sub_key, return_inverse=True)
     S_true = len(uniq)
     S = _round_up(S_true, chunk)
@@ -148,24 +167,43 @@ def build_sell_plan(
     vals_a[sub_id, ln_s] = v_s
     lidx_a[sub_id, ln_s] = lo_s
 
-    # Per-sublane tile and slice (uniq keys decode).
-    u_cell = (uniq >> 20).astype(np.int64)
-    u_tile = (u_cell % ct_true).astype(np.int64)
-    u_slice = (u_cell // ct_true).astype(np.int64)
+    # Per-sublane tile and slice (uniq keys decode, tile-sorted).
+    u_tile = np.full(S, -1, dtype=np.int64)
+    u_slice = np.zeros(S, dtype=np.int64)
+    u_tile[:S_true] = uniq >> 40
+    u_slice[:S_true] = (uniq >> 20) & 0xFFFFF
+    if S > S_true:  # dead padding sublanes adopt the last real tile
+        u_tile[S_true:] = u_tile[S_true - 1]
 
-    oht = np.zeros((S, CT), dtype=np.float32)
-    oht[np.arange(S_true), u_tile] = 1.0
+    # Per-chunk tile windows.
+    n_chunks = S // chunk
+    tiles_2d = u_tile.reshape(n_chunks, chunk)
+    t_lo = tiles_2d.min(axis=1)
+    t_hi = tiles_2d.max(axis=1)
+    WT = _round_up(max(int((t_hi - t_lo).max()) + 1, min_window_tiles), 8)
+    WT = min(WT, CT)
+    # Clamp windows to stay inside the padded tile range.
+    tile_base = np.minimum(t_lo, max(CT - WT, 0)).astype(np.int32)
+
+    oht = np.zeros((S, WT), dtype=np.float32)
+    rel = u_tile - np.repeat(tile_base.astype(np.int64), chunk)
+    ok = (rel >= 0) & (rel < WT)
+    oht[np.arange(S)[ok], rel[ok]] = 1.0
+    # (dead sublanes keep a one-hot too — harmless, their vals are 0)
+
     seg = np.zeros((NS, S), dtype=np.float32)
-    seg[u_slice, np.arange(S_true)] = 1.0
+    seg[u_slice[:S_true], np.arange(S_true)] = 1.0
 
     return SellPlan(
         vals=vals_a,
         lane_idx=lidx_a,
         oht=oht,
         seg=seg,
+        tile_base=tile_base,
         shape=shape,
         nnz=nnz,
         n_slices=NS,
         n_coltiles=CT,
+        window_tiles=WT,
         chunk=chunk,
     )

@@ -45,12 +45,13 @@ def _sell_kernel(x_ref, val_ref, lidx_ref, oht_ref, seg_ref, y_ref):
     def _init():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    # 1. Materialize each sublane's 128-wide x tile (one-hot MXU select).
-    # HIGHEST precision: the MXU's default bf16 passes would round the
-    # selected x values (and the reduced sums) to ~3 decimal digits.
+    # 1. Materialize each sublane's 128-wide x tile (one-hot MXU select
+    # from this chunk's WT-tile x window). HIGHEST precision: the MXU's
+    # default bf16 passes would round the selected x values (and the
+    # reduced sums) to ~3 decimal digits (observed 1e-2 error).
     table = jnp.dot(
         oht_ref[:],
-        x_ref[:],
+        x_ref[0],
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -67,24 +68,33 @@ def _sell_kernel(x_ref, val_ref, lidx_ref, oht_ref, seg_ref, y_ref):
     )
 
 
-@partial(jax.jit, static_argnames=("n_chunks", "chunk", "ns", "ct", "interpret"))
+@partial(jax.jit, static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret"))
 def _sell_spmv_call(
-    x_tiles, vals, lidx, oht, seg, *, n_chunks, chunk, ns, ct, interpret
+    x_tiles, vals, lidx, oht, seg, tile_base, *, n_chunks, chunk, ns, wt,
+    interpret,
 ):
+    # Per-chunk x windows: a handful of overlapping dynamic slices (XLA
+    # host of the pallas_call; n_chunks is small and static).
+    xw = jnp.stack(
+        [
+            jax.lax.dynamic_slice(x_tiles, (tile_base[i], 0), (wt, LANES))
+            for i in range(n_chunks)
+        ]
+    )
     return pl.pallas_call(
         _sell_kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((ct, LANES), lambda i: (0, 0)),
+            pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((chunk, ct), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, wt), lambda i: (i, 0)),
             pl.BlockSpec((ns, chunk), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
         interpret=interpret,
-    )(x_tiles, vals, lidx, oht, seg)
+    )(xw, vals, lidx, oht, seg)
 
 
 class SellSpMV:
@@ -103,6 +113,7 @@ class SellSpMV:
         self.lidx = jnp.asarray(plan.lane_idx)
         self.oht = jnp.asarray(plan.oht)
         self.seg = jnp.asarray(plan.seg)
+        self.tile_base = jnp.asarray(plan.tile_base)
 
     @staticmethod
     def from_coo(coo: COOMatrix, **kw) -> "SellSpMV":
@@ -122,10 +133,11 @@ class SellSpMV:
             self.lidx,
             self.oht,
             self.seg,
+            self.tile_base,
             n_chunks=plan.n_chunks,
             chunk=plan.chunk,
             ns=plan.n_slices,
-            ct=plan.n_coltiles,
+            wt=plan.window_tiles,
             interpret=self.interpret,
         )
         return y.reshape(-1)[: self.shape[0]]

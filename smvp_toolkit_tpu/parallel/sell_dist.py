@@ -41,25 +41,31 @@ class ShardedSell:
 
     vals: jax.Array  # f32 (n, S, 128)
     lidx: jax.Array  # i32 (n, S, 128)
-    oht: jax.Array  # f32 (n, S, CT)
+    oht: jax.Array  # f32 (n, S, WT)
     seg: jax.Array  # f32 (n, NSl, S)
+    tile_base: jax.Array  # i32 (n, n_chunks)
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     chunk: int = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    n_coltiles: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def S(self) -> int:
         return int(self.vals.shape[1])
 
     @property
-    def CT(self) -> int:
+    def WT(self) -> int:
         return int(self.oht.shape[2])
 
     @property
     def NSl(self) -> int:
         return int(self.seg.shape[1])
+
+    @property
+    def CT(self) -> int:
+        return self.n_coltiles
 
 
 def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
@@ -69,19 +75,32 @@ def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
     rows_blk = _round_up(nrows, n * LANES) // n  # multiple of 128
     r, c, v = coo.to_numpy()
 
-    plans = []
+    # Two passes: measure each shard's natural window, then rebuild with
+    # the common maximum so one compiled kernel (and one clamping rule)
+    # serves every shard.
+    parts = []
     for k in range(n):
         lo, hi = k * rows_blk, (k + 1) * rows_blk
         sel = (r >= lo) & (r < hi)
-        plans.append(
-            build_sell_plan(
-                r[sel] - lo, c[sel], v[sel], (rows_blk, ncols), chunk=chunk
-            )
+        parts.append((r[sel] - lo, c[sel], v[sel]))
+    probe = [
+        build_sell_plan(pr, pc, pv, (rows_blk, ncols), chunk=chunk)
+        for pr, pc, pv in parts
+    ]
+    wt_common = max(p.window_tiles for p in probe)
+    plans = [
+        build_sell_plan(
+            pr, pc, pv, (rows_blk, ncols), chunk=chunk,
+            min_window_tiles=wt_common,
         )
+        for pr, pc, pv in parts
+    ]
 
     S = max(p.n_sublanes for p in plans)
     CT = max(p.n_coltiles for p in plans)
+    WT = max(p.window_tiles for p in plans)
     NSl = max(p.n_slices for p in plans)
+    n_chunks = S // chunk
 
     def _pad(a, shape):
         out = np.zeros(shape, dtype=a.dtype)
@@ -90,8 +109,11 @@ def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
 
     vals = np.stack([_pad(p.vals, (S, LANES)) for p in plans])
     lidx = np.stack([_pad(p.lane_idx, (S, LANES)) for p in plans])
-    oht = np.stack([_pad(p.oht, (S, CT)) for p in plans])
+    oht = np.stack([_pad(p.oht, (S, WT)) for p in plans])
     seg = np.stack([_pad(p.seg, (NSl, S)) for p in plans])
+    tbase = np.stack(
+        [_pad(p.tile_base.astype(np.int32), (n_chunks,)) for p in plans]
+    )
 
     blk = NamedSharding(mesh, P(DP_AXIS))
     return ShardedSell(
@@ -99,11 +121,13 @@ def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
         lidx=jax.device_put(jnp.asarray(lidx), blk),
         oht=jax.device_put(jnp.asarray(oht), blk),
         seg=jax.device_put(jnp.asarray(seg), blk),
+        tile_base=jax.device_put(jnp.asarray(tbase), blk),
         shape=coo.shape,
         nnz=coo.nnz,
         chunk=chunk,
         n_shards=n,
         rows_per_shard=rows_blk,
+        n_coltiles=CT,
     )
 
 
@@ -118,17 +142,18 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     interpret = _use_interpret()
     n_chunks = sh.S // sh.chunk
 
-    def local(vals, lidx, oht, seg, xt):
+    def local(vals, lidx, oht, seg, tbase, xt):
         y = _sell_spmv_call(
             xt,
             vals[0],
             lidx[0],
             oht[0],
             seg[0],
+            tbase[0],
             n_chunks=n_chunks,
             chunk=sh.chunk,
             ns=sh.NSl,
-            ct=sh.CT,
+            wt=sh.WT,
             interpret=interpret,
         )
         return y[None]
@@ -141,13 +166,14 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
             P(DP_AXIS),
             P(DP_AXIS),
             P(DP_AXIS),
+            P(DP_AXIS),
             P(),
         ),
         out_specs=P(DP_AXIS),
         # pallas_call's out_shape carries no varying-mesh-axis annotation;
         # the output sharding is fully described by out_specs.
         check_vma=False,
-    )(sh.vals, sh.lidx, sh.oht, sh.seg, x_tiles)
+    )(sh.vals, sh.lidx, sh.oht, sh.seg, sh.tile_base, x_tiles)
     # Drop per-shard slice padding (NSl is rounded up to 8 slices), then
     # concatenate shards in row order and trim global row padding.
     ns_true = sh.rows_per_shard // LANES
