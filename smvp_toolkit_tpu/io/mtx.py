@@ -423,3 +423,39 @@ def write_mtx(
     else:
         with open(dest, "w") as f:
             f.write(text)
+
+
+def write_mtx_array(
+    dest: Union[str, os.PathLike, TextIO],
+    dense: np.ndarray,
+    *,
+    comment: Optional[str] = None,
+) -> None:
+    """Write a dense matrix in MatrixMarket array format (column-major).
+
+    Parity with mmio's array writers (mm_write_mtx_array_size,
+    mmio.c:240-246); values print with f64-lossless %.17g.
+    """
+    dense = np.asarray(dense)
+    if dense.ndim != 2:
+        raise ValueError("array format requires a 2-D matrix")
+    field = "complex" if np.iscomplexobj(dense) else "real"
+    buf = _io.StringIO()
+    buf.write(f"{MM_BANNER} matrix array {field} general\n")
+    if comment:
+        for line in comment.splitlines():
+            buf.write(f"%{line}\n")
+    buf.write(f"{dense.shape[0]} {dense.shape[1]}\n")
+    for j in range(dense.shape[1]):
+        for i in range(dense.shape[0]):
+            v = dense[i, j]
+            if field == "complex":
+                buf.write(f"{v.real:.17g} {v.imag:.17g}\n")
+            else:
+                buf.write(f"{float(v):.17g}\n")
+    text = buf.getvalue()
+    if hasattr(dest, "write"):
+        dest.write(text)
+    else:
+        with open(dest, "w") as f:
+            f.write(text)

@@ -229,3 +229,30 @@ def test_all_samples_load(sample_dir):
         coo = read_mtx(os.path.join(sample_dir, name), use_native=False)
         assert coo.shape == (m, n), name
         assert coo.nnz == nnz, name
+
+
+def test_write_array_format_roundtrip():
+    from smvp_toolkit_tpu.io.mtx import write_mtx_array
+
+    rng = np.random.RandomState(9)
+    dense = rng.randn(3, 4)
+    buf = io.StringIO()
+    write_mtx_array(buf, dense)
+    buf.seek(0)
+    tc, m, n, r, c, v = read_mtx_raw(buf)
+    assert tc.is_array and (m, n) == (3, 4)
+    back = np.zeros((3, 4))
+    back[r, c] = v
+    np.testing.assert_array_equal(back, dense)  # %.17g is lossless
+
+
+def test_profile_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.bench.profile import profile_fn
+
+    out = profile_fn(
+        lambda x: x * 2, jnp.ones(16), log_dir=str(tmp_path), iterations=2
+    )
+    assert float(out.sum()) == 32.0
+    assert any(tmp_path.rglob("*"))  # trace files written
