@@ -122,3 +122,36 @@ def test_coe_write_to_file(tmp_path):
     path = tmp_path / "out.coe"
     write_coe(cisr, str(path))
     assert path.read_text().startswith(";")
+
+
+def test_native_scheduler_matches_python():
+    """C++ scheduler (native/cisr.cpp) must be beat-for-beat identical."""
+    from smvp_toolkit_tpu.formats.cisr import _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("libcisr.so not built")
+    for name in SAMPLES_SMALL:
+        coo = _load(name)
+        for slots in (1, 3, 16):
+            a = cisr_encode(coo, slots, use_native=True)
+            b = cisr_encode(coo, slots, use_native=False)
+            assert a.num_groups == b.num_groups
+            np.testing.assert_array_equal(a.vals, b.vals)
+            np.testing.assert_array_equal(a.col_ind, b.col_ind)
+            np.testing.assert_array_equal(a.row_of, b.row_of)
+            np.testing.assert_array_equal(a.row_lengths, b.row_lengths)
+
+
+def test_native_scheduler_empty_rows():
+    from smvp_toolkit_tpu.formats.cisr import _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("libcisr.so not built")
+    r = np.array([0, 3], dtype=np.int32)
+    c = np.array([0, 1], dtype=np.int32)
+    v = np.array([1.0, 2.0])
+    coo = COOMatrix.from_numpy(r, c, v, shape=(4, 2))
+    a = cisr_encode(coo, 2, use_native=True)
+    b = cisr_encode(coo, 2, use_native=False)
+    np.testing.assert_array_equal(a.row_lengths, b.row_lengths)
+    np.testing.assert_array_equal(a.row_of, b.row_of)
