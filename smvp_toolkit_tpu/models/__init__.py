@@ -11,7 +11,14 @@ from smvp_toolkit_tpu.models.solvers import (
     power_iteration,
     pagerank,
     conjugate_gradient,
+    bicgstab,
     jacobi,
 )
 
-__all__ = ["power_iteration", "pagerank", "conjugate_gradient", "jacobi"]
+__all__ = [
+    "power_iteration",
+    "pagerank",
+    "conjugate_gradient",
+    "bicgstab",
+    "jacobi",
+]

@@ -17,7 +17,13 @@ import jax.numpy as jnp
 
 from smvp_toolkit_tpu.ops.spmv_xla import spmv_csr
 
-__all__ = ["power_iteration", "pagerank", "conjugate_gradient", "jacobi"]
+__all__ = [
+    "power_iteration",
+    "pagerank",
+    "conjugate_gradient",
+    "bicgstab",
+    "jacobi",
+]
 
 
 @partial(jax.jit, static_argnames=("num_iters", "spmv"))
@@ -96,6 +102,52 @@ def conjugate_gradient(
 
     (x, r, p, rs), res_norms = jax.lax.scan(
         step, (x, r, p, rs), None, length=num_iters
+    )
+    return x, res_norms
+
+
+@partial(jax.jit, static_argnames=("num_iters", "spmv"))
+def bicgstab(
+    matrix,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    num_iters: int = 50,
+    spmv: Callable = spmv_csr,
+):
+    """Solve A x = b for general (nonsymmetric) A by BiCGSTAB.
+
+    The nonsymmetric companion to :func:`conjugate_gradient` (the sample
+    matrices pdp08-pg4/memplus are nonsymmetric). Fixed step count under
+    ``lax.scan``; residual norms returned for host-side convergence
+    checks.
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - spmv(matrix, x)
+    r_hat = r
+    rho = jnp.vdot(r_hat, r)
+    p = r
+
+    def step(carry, _):
+        x, r, p, rho = carry
+        v = spmv(matrix, p)
+        alpha = rho / jnp.where(
+            jnp.abs(jnp.vdot(r_hat, v)) > 1e-30, jnp.vdot(r_hat, v), 1e-30
+        )
+        s = r - alpha * v
+        t = spmv(matrix, s)
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / jnp.where(jnp.abs(tt) > 1e-30, tt, 1e-30)
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        rho_new = jnp.vdot(r_hat, r)
+        beta = (rho_new / jnp.where(jnp.abs(rho) > 1e-30, rho, 1e-30)) * (
+            alpha / jnp.where(jnp.abs(omega) > 1e-30, omega, 1e-30)
+        )
+        p = r + beta * (p - omega * v)
+        return (x, r, p, rho_new), jnp.linalg.norm(r)
+
+    (x, r, p, rho), res_norms = jax.lax.scan(
+        step, (x, r, p, rho), None, length=num_iters
     )
     return x, res_norms
 

@@ -105,7 +105,12 @@ class SellSpMV:
     (used automatically off-TPU, e.g. in the CPU test suite).
     """
 
-    def __init__(self, plan: SellPlan, interpret: bool | None = None):
+    def __init__(
+        self,
+        plan: SellPlan,
+        interpret: bool | None = None,
+        _triplets=None,
+    ):
         self.plan = plan
         self.shape = plan.shape
         self.interpret = _use_interpret() if interpret is None else interpret
@@ -114,11 +119,56 @@ class SellSpMV:
         self.oht = jnp.asarray(plan.oht)
         self.seg = jnp.asarray(plan.seg)
         self.tile_base = jnp.asarray(plan.tile_base)
+        self._triplets = _triplets  # host (r, c, v) for lazy transpose
+        self._t_op: "SellSpMV | None" = None
 
     @staticmethod
     def from_coo(coo: COOMatrix, **kw) -> "SellSpMV":
         r, c, v = coo.to_numpy()
-        return SellSpMV(build_sell_plan(r, c, v, coo.shape), **kw)
+        return SellSpMV(
+            build_sell_plan(r, c, v, coo.shape), _triplets=(r, c, v), **kw
+        )
+
+    def transpose(self) -> "SellSpMV":
+        """Operator for Aᵀ (planned lazily from the stored triplets)."""
+        if self._t_op is None:
+            if self._triplets is None:
+                raise ValueError(
+                    "transpose requires an operator built via from_coo"
+                )
+            r, c, v = self._triplets
+            plan_t = build_sell_plan(
+                np.asarray(c), np.asarray(r), v,
+                (self.shape[1], self.shape[0]),
+            )
+            self._t_op = SellSpMV(
+                plan_t, interpret=self.interpret, _triplets=(c, r, v)
+            )
+        return self._t_op
+
+    def differentiable(self):
+        """A jax-differentiable ``f(x) = A·x`` (vjp via the Aᵀ operator).
+
+        The XLA kernels are differentiable out of the box; the Pallas
+        kernel is not, so the linear-map cotangent ``Aᵀ·g`` is supplied
+        explicitly through a second SELL operator. Enables gradient-based
+        consumers (GNN layers, iterative refinement) on the fast kernel.
+        """
+        op_t = self.transpose()
+        this = self
+
+        @jax.custom_vjp
+        def f(x):
+            return this(x)
+
+        def fwd(x):
+            return this(x), None
+
+        def bwd(_, g):
+            return (op_t(g),)
+
+        f.defvjp(fwd, bwd)
+        return f
 
     def __call__(self, x: jax.Array) -> jax.Array:
         plan = self.plan

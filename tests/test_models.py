@@ -105,3 +105,43 @@ def test_solver_with_tjds_kernel():
     x, res = conjugate_gradient(tj, b, num_iters=100, spmv=spmv_tjds)
     x_ref = np.linalg.solve(a, np.ones(a.shape[0]))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-2, atol=1e-3)
+
+
+def test_bicgstab_nonsymmetric():
+    # pdp08-pg4 is a real nonsymmetric sample; diagonally-dominant synth
+    # keeps BiCGSTAB well-conditioned for the test.
+    rng = np.random.RandomState(8)
+    n = 30
+    a = rng.randn(n, n) * (rng.rand(n, n) < 0.2)
+    a += np.diag(np.abs(a).sum(axis=1) + 1.0)
+    r, c = np.nonzero(a)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), a[r, c], shape=(n, n),
+        pad_to=64,
+    )
+    csr = csr_encode(coo)
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.models import bicgstab
+
+    b = jnp.asarray(rng.randn(n), jnp.float32)
+    x, res = bicgstab(csr, b, num_iters=80)
+    x_ref = np.linalg.solve(a, np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=5e-2, atol=1e-3)
+    assert float(res[-1]) < 1e-2 * float(res[0])
+
+
+def test_solver_with_pallas_kernel():
+    # Solvers compose with the Pallas operator through an adapter.
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV
+
+    coo, a = _spd_coo(seed=6)
+    op = SellSpMV.from_coo(coo)
+    import jax.numpy as jnp
+
+    b = jnp.ones((a.shape[0],), jnp.float32)
+    x, res = conjugate_gradient(
+        coo, b, num_iters=100, spmv=lambda m, xx: op(xx)
+    )
+    x_ref = np.linalg.solve(a, np.ones(a.shape[0]))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-2, atol=1e-3)

@@ -147,3 +147,29 @@ def test_rectangular_tall_and_wide():
         y = np.asarray(op(jnp.asarray(x)))
         y_ref = coo.to_dense() @ x.astype(np.float64)
         np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_transpose_operator():
+    coo = _load("pdp08-pg4.mtx")
+    op = SellSpMV.from_coo(coo)
+    op_t = op.transpose()
+    rng = np.random.RandomState(12)
+    y = rng.randn(coo.shape[0]).astype(np.float32)
+    g = np.asarray(op_t(jnp.asarray(y)))
+    g_ref = coo.to_dense().T @ y.astype(np.float64)
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_differentiable_spmv_grad():
+    import jax
+
+    coo = _load("curtis54.mtx")
+    op = SellSpMV.from_coo(coo)
+    f = op.differentiable()
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(coo.shape[1]), jnp.float32)
+    w = jnp.asarray(rng.randn(coo.shape[0]), jnp.float32)
+    loss = lambda x: jnp.vdot(w, f(x))  # noqa: E731
+    g = np.asarray(jax.grad(loss)(x))
+    g_ref = coo.to_dense().T @ np.asarray(w, np.float64)
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-4)
