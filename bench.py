@@ -51,6 +51,10 @@ def main() -> int:
     ):
         signal.signal(signal.SIGALRM, _fallback_to_cpu)
         signal.alarm(WATCHDOG_SECS)
+
+    # Persistent compilation cache: remote compiles cost ~2 min each in
+    # this environment; cache survivors make reruns near-instant.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -93,6 +93,7 @@ def build_sell_plan(
     *,
     chunk: int = 1024,
     min_window_tiles: int = 8,
+    allow_small_chunk: bool = True,
 ) -> SellPlan:
     """Build the SELL-T1 plan from COO triplets (host, encode-time).
 
@@ -160,6 +161,11 @@ def build_sell_plan(
     )
     uniq, sub_id = np.unique(sub_key, return_inverse=True)
     S_true = len(uniq)
+    # Small matrices: shrink the chunk to the real sublane count so the
+    # kernel does not churn through dead padding (static shapes per plan;
+    # disabled when several shards must share one compiled kernel).
+    if allow_small_chunk and S_true <= chunk:
+        chunk = _round_up(S_true, 8)
     S = _round_up(S_true, chunk)
 
     vals_a = np.zeros((S, LANES), dtype=np.float32)

@@ -84,14 +84,17 @@ def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
         sel = (r >= lo) & (r < hi)
         parts.append((r[sel] - lo, c[sel], v[sel]))
     probe = [
-        build_sell_plan(pr, pc, pv, (rows_blk, ncols), chunk=chunk)
+        build_sell_plan(
+            pr, pc, pv, (rows_blk, ncols), chunk=chunk,
+            allow_small_chunk=False,
+        )
         for pr, pc, pv in parts
     ]
     wt_common = max(p.window_tiles for p in probe)
     plans = [
         build_sell_plan(
             pr, pc, pv, (rows_blk, ncols), chunk=chunk,
-            min_window_tiles=wt_common,
+            min_window_tiles=wt_common, allow_small_chunk=False,
         )
         for pr, pc, pv in parts
     ]
