@@ -85,12 +85,56 @@ def main() -> int:
             1_000_000, nnz_per_row=10, bandwidth=256, seed=0
         ).pad(512)
 
+    import time as _time
+
+    from smvp_toolkit_tpu.formats.csr import csr_decode
+    from smvp_toolkit_tpu.formats.tjds import tjds_decode
+
     for name, coo in matrices.items():
         x = jnp.ones((coo.shape[1],), jnp.float32)
         r, c, v = coo.to_numpy()
         y_ref = np.zeros(coo.shape[0])
         np.add.at(y_ref, r, v.astype(np.float64))
         scale = np.abs(y_ref).max() + 1e-30
+
+        # Encode throughput + decode bit-exactness (BASELINE.json metric:
+        # "encode MB/s; decode bit-exactness").
+        coo_bytes = coo.nnz * 12  # 2 x int32 + f32 per entry
+        for alg, enc_fn, dec_fn in [
+            ("CSR", csr_encode, csr_decode),
+            ("TJDS", tjds_encode, tjds_decode),
+        ]:
+            try:
+                jax.block_until_ready(jax.tree_util.tree_leaves(enc_fn(coo)))
+                t0 = _time.perf_counter()
+                reps = 3
+                for _ in range(reps):
+                    enc = enc_fn(coo)
+                    jax.block_until_ready(jax.tree_util.tree_leaves(enc))
+                dt = (_time.perf_counter() - t0) / reps
+                dec = dec_fn(enc).canonical_order()
+                canon = coo.canonical_order()
+                dr, dc, dv = dec.to_numpy()
+                cr, cc, cv = canon.to_numpy()
+                exact = bool(
+                    np.array_equal(dr, cr)
+                    and np.array_equal(dc, cc)
+                    and np.array_equal(
+                        np.asarray(dv).view(np.uint32),
+                        np.asarray(cv).view(np.uint32),
+                    )
+                )
+                record({
+                    "matrix": name,
+                    "alg": alg,
+                    "op": "encode+decode",
+                    "encode_ms": round(dt * 1e3, 3),
+                    "encode_mb_s": round(coo_bytes / dt / 1e6, 1),
+                    "decode_bit_exact": exact,
+                })
+            except Exception as e:  # pragma: no cover
+                record({"matrix": name, "alg": alg, "op": "encode",
+                        "error": str(e)[:200]})
 
         encs = {
             "CSR": (csr_encode(coo), spmv_csr, spmv_csr_pallas,
