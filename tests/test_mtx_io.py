@@ -256,3 +256,31 @@ def test_profile_trace_smoke(tmp_path):
     )
     assert float(out.sum()) == 32.0
     assert any(tmp_path.rglob("*"))  # trace files written
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_parser_fuzz_never_crashes(seed):
+    """Malformed input must raise MTXError subclasses, never anything else."""
+    rng = np.random.RandomState(seed)
+    fragments = [
+        "%%MatrixMarket matrix coordinate real general\n",
+        "%%MatrixMarket matrix coordinate pattern symmetric\n",
+        "%%MatrixMarket bogus\n",
+        "% comment\n",
+        "3 3 4\n",
+        "3 3\n",
+        "1 1 2.5\n",
+        "-1 7 0.1\n",
+        "abc def\n",
+        "1e999 2 3\n",
+        "",
+        "\x00\x01\x02\n",
+    ]
+    n = rng.randint(1, 6)
+    text = "".join(fragments[i] for i in rng.randint(0, len(fragments), n))
+    try:
+        read_mtx_raw(io.StringIO(text))
+    except MTXError:
+        pass  # expected failure mode
+    except ValueError:
+        pass  # numeric conversion failure surfaced as ValueError is fine
