@@ -38,40 +38,48 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
-def _sell_kernel(x_ref, val_ref, lidx_ref, oht_ref, seg_ref, y_ref):
-    step = pl.program_id(0)
+def _make_sell_kernel(precision):
+    def _sell_kernel(x_ref, val_ref, lidx_ref, oht_ref, seg_ref, y_ref):
+        step = pl.program_id(0)
 
-    @pl.when(step == 0)
-    def _init():
-        y_ref[:] = jnp.zeros_like(y_ref)
+        @pl.when(step == 0)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
 
-    # 1. Materialize each sublane's 128-wide x tile (one-hot MXU select
-    # from this chunk's WT-tile x window). HIGHEST precision: the MXU's
-    # default bf16 passes would round the selected x values (and the
-    # reduced sums) to ~3 decimal digits (observed 1e-2 error).
-    table = jnp.dot(
-        oht_ref[:],
-        x_ref[0],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    # 2. In-tile gather: a single VPU lane shuffle.
-    g = jnp.take_along_axis(table, lidx_ref[:], axis=1)
-    # 3. Products (dead slots have val == 0).
-    prod = val_ref[:] * g
-    # 4. Row reduce: sum sublanes into their slice (one-hot MXU).
-    y_ref[:] += jnp.dot(
-        seg_ref[:],
-        prod,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        # 1. Materialize each sublane's 128-wide x tile (one-hot MXU select
+        # from this chunk's WT-tile x window). Precision matters: the MXU's
+        # single-pass bf16 default would round the selected x values (and
+        # the reduced sums) to ~3 decimal digits (observed 1e-2 error).
+        # HIGHEST (6-pass) is f32-exact; HIGH (3-pass) gives ~1e-5 at half
+        # the matmul cost.
+        table = jnp.dot(
+            oht_ref[:],
+            x_ref[0],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        # 2. In-tile gather: a single VPU lane shuffle.
+        g = jnp.take_along_axis(table, lidx_ref[:], axis=1)
+        # 3. Products (dead slots have val == 0).
+        prod = val_ref[:] * g
+        # 4. Row reduce: sum sublanes into their slice (one-hot MXU).
+        y_ref[:] += jnp.dot(
+            seg_ref[:],
+            prod,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    return _sell_kernel
 
 
-@partial(jax.jit, static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret", "precision"),
+)
 def _sell_spmv_call(
     x_tiles, vals, lidx, oht, seg, tile_base, *, n_chunks, chunk, ns, wt,
-    interpret,
+    interpret, precision=jax.lax.Precision.HIGHEST,
 ):
     # Per-chunk x windows: a handful of overlapping dynamic slices (XLA
     # host of the pallas_call; n_chunks is small and static).
@@ -82,7 +90,7 @@ def _sell_spmv_call(
         ]
     )
     return pl.pallas_call(
-        _sell_kernel,
+        _make_sell_kernel(precision),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
@@ -109,11 +117,15 @@ class SellSpMV:
         self,
         plan: SellPlan,
         interpret: bool | None = None,
+        precision=None,
         _triplets=None,
     ):
         self.plan = plan
         self.shape = plan.shape
         self.interpret = _use_interpret() if interpret is None else interpret
+        self.precision = (
+            jax.lax.Precision.HIGHEST if precision is None else precision
+        )
         self.vals = jnp.asarray(plan.vals)
         self.lidx = jnp.asarray(plan.lane_idx)
         self.oht = jnp.asarray(plan.oht)
@@ -189,6 +201,7 @@ class SellSpMV:
             ns=plan.n_slices,
             wt=plan.window_tiles,
             interpret=self.interpret,
+            precision=self.precision,
         )
         return y.reshape(-1)[: self.shape[0]]
 
