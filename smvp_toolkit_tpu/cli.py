@@ -151,6 +151,11 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="DIR",
         help="capture a jax.profiler device trace of the SpMV into DIR",
     )
+    p.add_argument(
+        "--analyze",
+        action="store_true",
+        help="print matrix structure statistics and kernel plan metrics",
+    )
     return p
 
 
@@ -298,6 +303,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             log("FILE", f"Execution report file saved as:\n\t{path}")
 
     vbytes = jnp.dtype(dtype).itemsize
+
+    if args.analyze:
+        from smvp_toolkit_tpu.utils.analyze import analyze, format_analysis
+
+        log("DATA", "Matrix analysis:")
+        for line in format_analysis(analyze(coo)).splitlines():
+            print(f"\t{line}")
 
     debug_on = args.debug or os.environ.get("SMVP_DEBUG", "0") not in (
         "", "0", "false"

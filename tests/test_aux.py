@@ -192,3 +192,26 @@ def test_writetest_fixed_matrix(capsys):
     out = capsys.readouterr().out
     assert "10 10 4" in out
     assert "10 10 4\n1 1 1\n4 4 2.5\n7 7 3.5\n10 10 4\n" in out
+
+
+def test_analyze():
+    from smvp_toolkit_tpu.utils.analyze import analyze, format_analysis
+
+    coo = _load("curtis54.mtx")
+    stats = analyze(coo)
+    assert stats["nnz"] == 291
+    assert stats["row_len"]["max"] >= stats["row_len"]["p50"]
+    assert stats["sell"]["slots"] >= 291
+    text = format_analysis(stats)
+    assert "SELL plan" in text and "bandwidth" in text
+
+
+def test_analyze_empty():
+    from smvp_toolkit_tpu.utils.analyze import analyze
+
+    coo = COOMatrix.from_numpy(
+        np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0),
+        shape=(5, 5),
+    )
+    stats = analyze(coo)
+    assert stats["nnz"] == 0
