@@ -158,6 +158,11 @@ class SellSpMV:
             )
         return self._t_op
 
+    def matmat(self, X: jax.Array) -> jax.Array:
+        """Y = A·X for a dense block X (ncols, k) — SpMM on the Pallas
+        kernel via vmap over columns (Pallas supports batching)."""
+        return jax.vmap(self, in_axes=1, out_axes=1)(X)
+
     def differentiable(self):
         """A jax-differentiable ``f(x) = A·x`` (vjp via the Aᵀ operator).
 

@@ -173,3 +173,13 @@ def test_differentiable_spmv_grad():
     g = np.asarray(jax.grad(loss)(x))
     g_ref = coo.to_dense().T @ np.asarray(w, np.float64)
     np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_matmat_spmm():
+    coo = _load("curtis54.mtx")
+    op = SellSpMV.from_coo(coo)
+    rng = np.random.RandomState(14)
+    X = jnp.asarray(rng.randn(coo.shape[1], 4), jnp.float32)
+    Y = np.asarray(op.matmat(X))
+    Y_ref = coo.to_dense() @ np.asarray(X, np.float64)
+    np.testing.assert_allclose(Y, Y_ref, rtol=1e-4, atol=1e-4)
