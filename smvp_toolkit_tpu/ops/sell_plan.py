@@ -63,8 +63,8 @@ class SellPlan:
 
     vals: np.ndarray  # f32 (S, 128); 0 in dead slots
     lane_idx: np.ndarray  # i32 (S, 128): column offset within tile [0,128)
-    oht: np.ndarray  # f32 (S, WT): one-hot of (tile - tile_base[chunk])
-    seg: np.ndarray  # f32 (NS, S): one-hot reduce matmul lhs
+    rel_tile: np.ndarray  # i32 (S, 1): tile - tile_base[chunk] (one-hot col)
+    slice_of: np.ndarray  # i32 (n_chunks, chunk): slice id (-1 = dead)
     tile_base: np.ndarray  # i32 (n_chunks,): window start tile per chunk
     shape: Tuple[int, int]
     nnz: int
@@ -83,6 +83,22 @@ class SellPlan:
 
     def slots(self) -> int:
         return self.n_sublanes * LANES
+
+    # Dense one-hot views (debug/tests only — the kernel builds these
+    # per-chunk on the fly; materializing them is O(S x NS) memory).
+    def oht_dense(self) -> np.ndarray:
+        oht = np.zeros((self.n_sublanes, self.window_tiles), dtype=np.float32)
+        rel = self.rel_tile.reshape(-1)
+        ok = (rel >= 0) & (rel < self.window_tiles)
+        oht[np.arange(self.n_sublanes)[ok], rel[ok]] = 1.0
+        return oht
+
+    def seg_dense(self) -> np.ndarray:
+        seg = np.zeros((self.n_slices, self.n_sublanes), dtype=np.float32)
+        sl = self.slice_of.reshape(-1)
+        ok = (sl >= 0) & (sl < self.n_slices)
+        seg[sl[ok], np.arange(self.n_sublanes)[ok]] = 1.0
+        return seg
 
 
 def build_sell_plan(
@@ -114,12 +130,14 @@ def build_sell_plan(
     NS = _round_up(ns_true, 8)
 
     if nnz == 0:
+        if allow_small_chunk:
+            chunk = 8
         S = chunk
         return SellPlan(
             vals=np.zeros((S, LANES), dtype=np.float32),
             lane_idx=np.zeros((S, LANES), dtype=np.int32),
-            oht=np.zeros((S, 8), dtype=np.float32),
-            seg=np.zeros((NS, S), dtype=np.float32),
+            rel_tile=np.full((S, 1), -1, dtype=np.int32),
+            slice_of=np.full((1, S), -1, dtype=np.int32),
             tile_base=np.zeros((1,), dtype=np.int32),
             shape=shape,
             nnz=0,
@@ -191,20 +209,21 @@ def build_sell_plan(
     # Clamp windows to stay inside the padded tile range.
     tile_base = np.minimum(t_lo, max(CT - WT, 0)).astype(np.int32)
 
-    oht = np.zeros((S, WT), dtype=np.float32)
-    rel = u_tile - np.repeat(tile_base.astype(np.int64), chunk)
-    ok = (rel >= 0) & (rel < WT)
-    oht[np.arange(S)[ok], rel[ok]] = 1.0
-    # (dead sublanes keep a one-hot too — harmless, their vals are 0)
-
-    seg = np.zeros((NS, S), dtype=np.float32)
-    seg[u_slice[:S_true], np.arange(S_true)] = 1.0
+    # Compact one-hot generators: the kernel rebuilds the (chunk, WT) and
+    # (NS, chunk) one-hot matrices per grid step by iota comparison, so
+    # only one int32 per sublane is stored for each.
+    rel = (u_tile - np.repeat(tile_base.astype(np.int64), chunk)).astype(
+        np.int32
+    )
+    rel[(rel < 0) | (rel >= WT)] = -1  # dead/out-of-window -> no one-hot
+    slice_compact = np.full(S, -1, dtype=np.int32)
+    slice_compact[:S_true] = u_slice[:S_true]
 
     return SellPlan(
         vals=vals_a,
         lane_idx=lidx_a,
-        oht=oht,
-        seg=seg,
+        rel_tile=rel.reshape(S, 1),
+        slice_of=slice_compact.reshape(n_chunks, chunk),
         tile_base=tile_base,
         shape=shape,
         nnz=nnz,

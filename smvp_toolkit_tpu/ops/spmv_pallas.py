@@ -38,13 +38,19 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
-def _make_sell_kernel(precision):
-    def _sell_kernel(x_ref, val_ref, lidx_ref, oht_ref, seg_ref, y_ref):
+def _make_sell_kernel(precision, ns, wt):
+    def _sell_kernel(x_ref, val_ref, lidx_ref, rel_ref, sl_ref, y_ref):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _init():
             y_ref[:] = jnp.zeros_like(y_ref)
+
+        # One-hot matrices are rebuilt per chunk from one int32 per
+        # sublane (storing them dense would be O(S x NS) bytes — 7 GB at
+        # 10M nnz). An iota compare is a few hundred ns on the VPU.
+        wt_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wt), 1)
+        oht = (rel_ref[:] == wt_iota).astype(jnp.float32)  # (chunk, wt)
 
         # 1. Materialize each sublane's 128-wide x tile (one-hot MXU select
         # from this chunk's WT-tile x window). Precision matters: the MXU's
@@ -53,7 +59,7 @@ def _make_sell_kernel(precision):
         # HIGHEST (6-pass) is f32-exact; HIGH (3-pass) gives ~1e-5 at half
         # the matmul cost.
         table = jnp.dot(
-            oht_ref[:],
+            oht,
             x_ref[0],
             preferred_element_type=jnp.float32,
             precision=precision,
@@ -63,8 +69,10 @@ def _make_sell_kernel(precision):
         # 3. Products (dead slots have val == 0).
         prod = val_ref[:] * g
         # 4. Row reduce: sum sublanes into their slice (one-hot MXU).
+        ns_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+        seg = (ns_iota == sl_ref[:]).astype(jnp.float32)  # (ns, chunk)
         y_ref[:] += jnp.dot(
-            seg_ref[:],
+            seg,
             prod,
             preferred_element_type=jnp.float32,
             precision=precision,
@@ -78,8 +86,8 @@ def _make_sell_kernel(precision):
     static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret", "precision"),
 )
 def _sell_spmv_call(
-    x_tiles, vals, lidx, oht, seg, tile_base, *, n_chunks, chunk, ns, wt,
-    interpret, precision=jax.lax.Precision.HIGHEST,
+    x_tiles, vals, lidx, rel_tile, slice_of, tile_base, *, n_chunks, chunk,
+    ns, wt, interpret, precision=jax.lax.Precision.HIGHEST,
 ):
     # Per-chunk x windows: a handful of overlapping dynamic slices (XLA
     # host of the pallas_call; n_chunks is small and static).
@@ -90,19 +98,19 @@ def _sell_spmv_call(
         ]
     )
     return pl.pallas_call(
-        _make_sell_kernel(precision),
+        _make_sell_kernel(precision, ns, wt),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((chunk, wt), lambda i: (i, 0)),
-            pl.BlockSpec((ns, chunk), lambda i: (0, i)),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, chunk), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
         interpret=interpret,
-    )(xw, vals, lidx, oht, seg)
+    )(xw, vals, lidx, rel_tile, slice_of)
 
 
 class SellSpMV:
@@ -128,8 +136,8 @@ class SellSpMV:
         )
         self.vals = jnp.asarray(plan.vals)
         self.lidx = jnp.asarray(plan.lane_idx)
-        self.oht = jnp.asarray(plan.oht)
-        self.seg = jnp.asarray(plan.seg)
+        self.rel_tile = jnp.asarray(plan.rel_tile)
+        self.slice_of = jnp.asarray(plan.slice_of)
         self.tile_base = jnp.asarray(plan.tile_base)
         self._triplets = _triplets  # host (r, c, v) for lazy transpose
         self._t_op: "SellSpMV | None" = None
@@ -198,8 +206,8 @@ class SellSpMV:
             x_tiles,
             self.vals,
             self.lidx,
-            self.oht,
-            self.seg,
+            self.rel_tile,
+            self.slice_of,
             self.tile_base,
             n_chunks=plan.n_chunks,
             chunk=plan.chunk,

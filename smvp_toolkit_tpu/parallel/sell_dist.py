@@ -41,8 +41,8 @@ class ShardedSell:
 
     vals: jax.Array  # f32 (n, S, 128)
     lidx: jax.Array  # i32 (n, S, 128)
-    oht: jax.Array  # f32 (n, S, WT)
-    seg: jax.Array  # f32 (n, NSl, S)
+    rel_tile: jax.Array  # i32 (n, S, 1)
+    slice_of: jax.Array  # i32 (n, n_chunks, chunk)
     tile_base: jax.Array  # i32 (n, n_chunks)
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
@@ -50,6 +50,8 @@ class ShardedSell:
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
     n_coltiles: int = dataclasses.field(metadata=dict(static=True))
+    window_tiles: int = dataclasses.field(metadata=dict(static=True))
+    n_slices_local: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def S(self) -> int:
@@ -57,11 +59,11 @@ class ShardedSell:
 
     @property
     def WT(self) -> int:
-        return int(self.oht.shape[2])
+        return self.window_tiles
 
     @property
     def NSl(self) -> int:
-        return int(self.seg.shape[1])
+        return self.n_slices_local
 
     @property
     def CT(self) -> int:
@@ -112,8 +114,19 @@ def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
 
     vals = np.stack([_pad(p.vals, (S, LANES)) for p in plans])
     lidx = np.stack([_pad(p.lane_idx, (S, LANES)) for p in plans])
-    oht = np.stack([_pad(p.oht, (S, WT)) for p in plans])
-    seg = np.stack([_pad(p.seg, (NSl, S)) for p in plans])
+
+    def _pad_rel(p):
+        out = np.full((S, 1), -1, dtype=np.int32)
+        out[: p.rel_tile.shape[0]] = p.rel_tile
+        return out
+
+    def _pad_slice(p):
+        out = np.full((n_chunks, chunk), -1, dtype=np.int32)
+        out[: p.slice_of.shape[0], :] = p.slice_of
+        return out
+
+    rel = np.stack([_pad_rel(p) for p in plans])
+    slc = np.stack([_pad_slice(p) for p in plans])
     tbase = np.stack(
         [_pad(p.tile_base.astype(np.int32), (n_chunks,)) for p in plans]
     )
@@ -122,8 +135,8 @@ def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
     return ShardedSell(
         vals=jax.device_put(jnp.asarray(vals), blk),
         lidx=jax.device_put(jnp.asarray(lidx), blk),
-        oht=jax.device_put(jnp.asarray(oht), blk),
-        seg=jax.device_put(jnp.asarray(seg), blk),
+        rel_tile=jax.device_put(jnp.asarray(rel), blk),
+        slice_of=jax.device_put(jnp.asarray(slc), blk),
         tile_base=jax.device_put(jnp.asarray(tbase), blk),
         shape=coo.shape,
         nnz=coo.nnz,
@@ -131,6 +144,8 @@ def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
         n_shards=n,
         rows_per_shard=rows_blk,
         n_coltiles=CT,
+        window_tiles=WT,
+        n_slices_local=NSl,
     )
 
 
@@ -145,13 +160,13 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     interpret = _use_interpret()
     n_chunks = sh.S // sh.chunk
 
-    def local(vals, lidx, oht, seg, tbase, xt):
+    def local(vals, lidx, rel, slc, tbase, xt):
         y = _sell_spmv_call(
             xt,
             vals[0],
             lidx[0],
-            oht[0],
-            seg[0],
+            rel[0],
+            slc[0],
             tbase[0],
             n_chunks=n_chunks,
             chunk=sh.chunk,
@@ -176,7 +191,7 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
         # pallas_call's out_shape carries no varying-mesh-axis annotation;
         # the output sharding is fully described by out_specs.
         check_vma=False,
-    )(sh.vals, sh.lidx, sh.oht, sh.seg, sh.tile_base, x_tiles)
+    )(sh.vals, sh.lidx, sh.rel_tile, sh.slice_of, sh.tile_base, x_tiles)
     # Drop per-shard slice padding (NSl is rounded up to 8 slices), then
     # concatenate shards in row order and trim global row padding.
     ns_true = sh.rows_per_shard // LANES

@@ -48,9 +48,15 @@ def test_plan_structure():
     plan = build_sell_plan(r, c, v, coo.shape)
     # Every nonzero occupies exactly one live slot.
     assert (plan.vals != 0).sum() <= coo.nnz  # (zero-valued entries allowed)
-    # OHT/SEG rows are one-hot (at most a single 1).
-    assert plan.oht.max() <= 1 and (plan.oht.sum(axis=1) <= 1).all()
-    assert plan.seg.max() <= 1 and (plan.seg.sum(axis=0) <= 1).all()
+    # Dense one-hot views are one-hot (at most a single 1).
+    oht, seg = plan.oht_dense(), plan.seg_dense()
+    assert oht.max() <= 1 and (oht.sum(axis=1) <= 1).all()
+    assert seg.max() <= 1 and (seg.sum(axis=0) <= 1).all()
+    # Live sublanes route to exactly one slice; window offsets in range.
+    live = plan.slice_of.reshape(-1) >= 0
+    assert live.sum() <= plan.n_sublanes
+    rel = plan.rel_tile.reshape(-1)
+    assert ((rel[live] >= 0) & (rel[live] < plan.window_tiles)).all()
     # Padded shapes.
     assert plan.n_sublanes % plan.chunk == 0
     assert plan.vals.shape == (plan.n_sublanes, 128)
