@@ -45,6 +45,11 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="also append JSONL here")
     ap.add_argument("--skip-synth", action="store_true")
     ap.add_argument("--kernels", default="xla,pallas")
+    ap.add_argument(
+        "--matrices",
+        default=None,
+        help="comma-separated subset of sample matrices (default: all)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -77,9 +82,11 @@ def main() -> int:
             with open(args.out, "a") as f:
                 f.write(line + "\n")
 
+    wanted = args.matrices.split(",") if args.matrices else list(SAMPLES)
     matrices = {}
     for name, path in SAMPLES.items():
-        matrices[name] = read_mtx(path).pad(512)
+        if name in wanted:
+            matrices[name] = read_mtx(path).pad(512)
     if not args.skip_synth:
         matrices["synth-10M"] = synth_banded(
             1_000_000, nnz_per_row=10, bandwidth=256, seed=0
