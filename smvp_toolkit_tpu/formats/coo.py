@@ -79,10 +79,13 @@ class COOMatrix:
                 r = np.concatenate([r, np.full(pad, shape[0], dtype=np.int32)])
                 c = np.concatenate([c, np.zeros(pad, dtype=np.int32)])
                 v = np.concatenate([v, np.zeros(pad, dtype=v.dtype)])
+        # Downcast host-side so jnp.asarray does not warn about f64
+        # truncation (f32-on-device is the documented default).
+        v_host = np.asarray(v, dtype=jnp.dtype(dtype))
         return COOMatrix(
             rows=jnp.asarray(r),
             cols=jnp.asarray(c),
-            vals=jnp.asarray(v, dtype=dtype),
+            vals=jnp.asarray(v_host),
             shape=(int(shape[0]), int(shape[1])),
             nnz=nnz,
             typecode=typecode or MMTypeCode(),
