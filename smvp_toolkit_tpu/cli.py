@@ -156,6 +156,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="print matrix structure statistics and kernel plan metrics",
     )
+    p.add_argument(
+        "--fused",
+        action="store_true",
+        help=(
+            "time the N iterations as one on-device loop (eliminates "
+            "host dispatch overhead; recommended on remote/tunneled TPUs)"
+        ),
+    )
     return p
 
 
@@ -265,6 +273,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             stats, y = shard_and_bench(
                 alg_name, encoded, x, args.shards, iterations=args.iter
             )
+        elif args.fused:
+            from smvp_toolkit_tpu.bench import bench_spmv_fused
+
+            stats = bench_spmv_fused(
+                spmv_fn, encoded, x, iterations=args.iter, repeats=3
+            )
+            y = np.asarray(spmv_fn(encoded, x))
         else:
             stats = bench_spmv(spmv_fn, encoded, x, iterations=args.iter)
             y = np.asarray(spmv_fn(encoded, x))

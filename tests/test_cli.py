@@ -157,3 +157,11 @@ def test_launch_runner_synth():
 
     rc = launch_main(["synth:1000:5000", "--alg", "tjds", "-n", "1"])
     assert rc == 0
+
+
+def test_fused_timing_mode(tmp_path):
+    rc = main(["-c", "-n", "5", "--fused", "-d", str(tmp_path),
+               "--kernel", "xla", IBM32])
+    assert rc == 0
+    f = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))[0]
+    assert "Compute times for 5 iterations:" in f.read_text()
