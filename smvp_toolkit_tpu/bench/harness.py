@@ -156,8 +156,11 @@ def bench_spmv_fused(
 
     nrows = matrix.shape[0]
 
+    # The matrix is a closure constant, NOT a traced argument: SpMV
+    # implementations may do host-side planning on it (the Pallas path
+    # builds its SELL plan with numpy), which is impossible on tracers.
     @jax.jit
-    def run(matrix, x):
+    def run(x):
         def body(i, acc):
             # acc-dependent perturbation that is always exactly 0.0 at
             # runtime but defeats loop-invariant code motion.
@@ -170,12 +173,20 @@ def bench_spmv_fused(
         )
 
     for _ in range(max(warmup, 1)):
-        run(matrix, x).block_until_ready()
+        run(x).block_until_ready()
 
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter_ns()
-        run(matrix, x).block_until_ready()
+        run(x).block_until_ready()
         t1 = time.perf_counter_ns()
         samples.append((t1 - t0) / 1e6 / iterations)
-    return TimingStats(times_ms=np.asarray(samples), iterations=iterations)
+
+    # Expand the per-repeat loop averages to one sample per iteration so
+    # TimingStats totals/extrema mean what the reference-format report
+    # says they mean (Total ≈ iterations x avg; Fastest/Slowest are the
+    # best/worst device-loop averages).
+    per_iter = np.repeat(
+        np.asarray(samples), -(-iterations // max(repeats, 1))
+    )[:iterations]
+    return TimingStats(times_ms=per_iter, iterations=iterations)

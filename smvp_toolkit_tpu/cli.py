@@ -181,6 +181,8 @@ def _validate(args) -> Optional[str]:
         return f"report directory does not exist: {args.dir}"
     if args.shards < 1:
         return "shard count must be >= 1"
+    if getattr(args, "fused", False) and args.shards > 1:
+        return "--fused is not supported together with --shards"
     return None
 
 
@@ -279,9 +281,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             stats = bench_spmv_fused(
                 spmv_fn, encoded, x, iterations=args.iter, repeats=3
             )
-            y = np.asarray(spmv_fn(encoded, x))
+            y = None
         else:
             stats = bench_spmv(spmv_fn, encoded, x, iterations=args.iter)
+            y = None
+        if y is None:
             y = np.asarray(spmv_fn(encoded, x))
         if args.profile:
             from smvp_toolkit_tpu.bench.profile import profile_fn

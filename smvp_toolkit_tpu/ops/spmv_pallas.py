@@ -27,8 +27,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from smvp_toolkit_tpu.formats.coo import COOMatrix
-from smvp_toolkit_tpu.formats.csr import CSRMatrix, csr_decode
-from smvp_toolkit_tpu.formats.tjds import TJDSMatrix, tjds_decode
+from smvp_toolkit_tpu.formats.csr import CSRMatrix
+from smvp_toolkit_tpu.formats.tjds import TJDSMatrix
 from smvp_toolkit_tpu.ops.sell_plan import LANES, SellPlan, build_sell_plan
 
 __all__ = ["SellSpMV", "spmv_csr_pallas", "spmv_tjds_pallas", "spmv_coo_pallas"]
@@ -134,11 +134,16 @@ class SellSpMV:
         self.precision = (
             jax.lax.Precision.HIGHEST if precision is None else precision
         )
-        self.vals = jnp.asarray(plan.vals)
-        self.lidx = jnp.asarray(plan.lane_idx)
-        self.rel_tile = jnp.asarray(plan.rel_tile)
-        self.slice_of = jnp.asarray(plan.slice_of)
-        self.tile_base = jnp.asarray(plan.tile_base)
+        # Eager upload even if construction happens inside a jit trace
+        # (e.g. the fused benchmark loop builds the cached operator during
+        # tracing): without this the arrays would be trace-local tracers
+        # and leak through the operator cache.
+        with jax.ensure_compile_time_eval():
+            self.vals = jnp.asarray(plan.vals)
+            self.lidx = jnp.asarray(plan.lane_idx)
+            self.rel_tile = jnp.asarray(plan.rel_tile)
+            self.slice_of = jnp.asarray(plan.slice_of)
+            self.tile_base = jnp.asarray(plan.tile_base)
         self._triplets = _triplets  # host (r, c, v) for lazy transpose
         self._t_op: "SellSpMV | None" = None
 
@@ -226,13 +231,44 @@ class SellSpMV:
 _CACHE: Dict[int, Tuple[object, SellSpMV]] = {}
 
 
-def _cached_op(matrix, decode_fn) -> SellSpMV:
+def _triplets_from_csr_host(csr: CSRMatrix):
+    """Host (numpy) CSR → COO triplets — safe to call inside a jit trace
+    (the format arrays are concrete closure constants; the *jitted*
+    decode would inline into the trace and hand us tracers)."""
+    row_ptr = np.asarray(csr.row_ptr)
+    col = np.asarray(csr.col_ind)[: csr.nnz]
+    val = np.asarray(csr.vals)[: csr.nnz]
+    rows = np.repeat(
+        np.arange(csr.nrows, dtype=np.int64), np.diff(row_ptr.astype(np.int64))
+    )
+    return rows, col, val, csr.shape
+
+
+def _triplets_from_tjds_host(tjds: TJDSMatrix):
+    """Host (numpy) TJDS → COO triplets (mirrors formats/tjds.py decode)."""
+    sp = np.asarray(tjds.start_pos).astype(np.int64)
+    j = np.arange(tjds.nnz, dtype=np.int64)
+    d = np.searchsorted(sp, j, side="right") - 1
+    offset = j - sp[d]
+    perm = np.asarray(tjds.perm)
+    cols = perm[np.clip(offset, 0, max(tjds.ncols - 1, 0))]
+    rows = np.asarray(tjds.row_ind)[: tjds.nnz]
+    vals = np.asarray(tjds.vals)[: tjds.nnz]
+    return rows, cols, vals, tjds.shape
+
+
+def _triplets_from_coo_host(coo: COOMatrix):
+    r, c, v = coo.to_numpy()
+    return r, c, v, coo.shape
+
+
+def _cached_op(matrix, triplets_fn) -> SellSpMV:
     key = id(matrix)
     hit = _CACHE.get(key)
     if hit is not None and hit[0] is matrix:
         return hit[1]
-    coo = decode_fn(matrix) if decode_fn is not None else matrix
-    op = SellSpMV.from_coo(coo)
+    r, c, v, shape = triplets_fn(matrix)
+    op = SellSpMV(build_sell_plan(r, c, v, shape), _triplets=(r, c, v))
     _CACHE[key] = (matrix, op)
     if len(_CACHE) > 64:  # bound the cache
         _CACHE.pop(next(iter(_CACHE)))
@@ -241,14 +277,14 @@ def _cached_op(matrix, decode_fn) -> SellSpMV:
 
 def spmv_csr_pallas(csr: CSRMatrix, x: jax.Array) -> jax.Array:
     """y = A·x from CSR via the Pallas SELL-T1 kernel (plan cached)."""
-    return _cached_op(csr, csr_decode)(x)
+    return _cached_op(csr, _triplets_from_csr_host)(x)
 
 
 def spmv_tjds_pallas(tjds: TJDSMatrix, x: jax.Array) -> jax.Array:
     """y = A·x from TJDS via the Pallas SELL-T1 kernel (plan cached)."""
-    return _cached_op(tjds, tjds_decode)(x)
+    return _cached_op(tjds, _triplets_from_tjds_host)(x)
 
 
 def spmv_coo_pallas(coo: COOMatrix, x: jax.Array) -> jax.Array:
     """y = A·x from COO via the Pallas SELL-T1 kernel (plan cached)."""
-    return _cached_op(coo, None)(x)
+    return _cached_op(coo, _triplets_from_coo_host)(x)

@@ -66,7 +66,7 @@ def test_fused_device_loop_matches_reference_semantics():
     x = jnp.ones((3,), jnp.float32)
     stats = bench_spmv_fused(spmv_csr, csr, x, iterations=10, repeats=3)
     assert stats.iterations == 10
-    assert len(stats.times_ms) == 3
+    assert len(stats.times_ms) == 10  # one sample per reported iteration
     assert (stats.times_ms > 0).all()
 
 
@@ -154,3 +154,23 @@ def test_roofline_positive():
     bw = hbm_bandwidth_gbs()
     assert bw > 0
     assert roofline_fraction(bw / 2) == 0.5
+
+
+def test_fused_stats_match_report_semantics():
+    # Total Time must be ~iterations x avg, not the repeat-sample sum.
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.bench.harness import bench_spmv_fused
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.ops import spmv_csr
+
+    r = np.array([0, 1], dtype=np.int32)
+    c = np.array([0, 1], dtype=np.int32)
+    coo = COOMatrix.from_numpy(r, c, np.ones(2), shape=(2, 2), pad_to=8)
+    csr = csr_encode(coo)
+    stats = bench_spmv_fused(
+        spmv_csr, csr, jnp.ones((2,), jnp.float32), iterations=50, repeats=3
+    )
+    assert len(stats.times_ms) == 50
+    np.testing.assert_allclose(stats.total_ms, 50 * stats.avg_ms, rtol=1e-6)

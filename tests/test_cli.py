@@ -165,3 +165,15 @@ def test_fused_timing_mode(tmp_path):
     assert rc == 0
     f = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))[0]
     assert "Compute times for 5 iterations:" in f.read_text()
+
+
+def test_fused_with_pallas_kernel(tmp_path):
+    # Regression: --fused must not trace the matrix through host-side
+    # Pallas planning (TracerArrayConversionError).
+    rc = main(["-c", "-n", "3", "--fused", "--kernel", "pallas",
+               "-d", str(tmp_path), PDP])
+    assert rc == 0
+
+
+def test_fused_excludes_shards():
+    assert _validate(_args(["-c", "--fused", "--shards", "2", "x.mtx"])) is not None
