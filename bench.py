@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import json
 import os
-import signal
 import sys
 
 BASELINE_NNZ_PER_S = 325e6  # memplus CSR, reference hardware (BASELINE.md)
@@ -21,36 +20,59 @@ MATRIX = "/root/reference/sample-data/memplus.mtx"
 
 # The TPU here is reached through a network tunnel whose compile service
 # can wedge (observed: compiler crash leaves the endpoint accepting TCP
-# but never answering). A hung benchmark is worse than a CPU number, so
-# a watchdog re-execs this script on the CPU backend if the TPU path
+# but never answering, with the hang inside a GIL-holding C call — so an
+# in-process SIGALRM cannot fire). A hung benchmark is worse than a CPU
+# number, so the watchdog runs OUT of process: this script supervises a
+# child copy of itself and reruns it on the CPU backend if the TPU run
 # makes no progress in time.
 WATCHDOG_SECS = int(os.environ.get("SMVP_BENCH_WATCHDOG", "480"))
 
 
-def _fallback_to_cpu(signum, frame):
+def _supervise() -> int:
+    import subprocess
+
+    def _run(extra_env, timeout):
+        env = dict(os.environ)
+        env.update(extra_env)
+        env["SMVP_BENCH_CHILD"] = "1"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                timeout=timeout,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                start_new_session=True,  # isolate so we can kill the tree
+            )
+            return proc.returncode, proc.stdout
+        except subprocess.TimeoutExpired:
+            return None, ""
+
+    rc_out = _run({}, WATCHDOG_SECS if WATCHDOG_SECS > 0 else None)
+    if rc_out[0] == 0 and rc_out[1].strip():
+        sys.stdout.write(rc_out[1])
+        return 0
     sys.stderr.write(
-        f"bench.py: no TPU progress in {WATCHDOG_SECS}s; "
+        f"bench.py: TPU run failed or made no progress in {WATCHDOG_SECS}s; "
         "falling back to CPU backend\n"
     )
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = os.pathsep.join(
-        p
-        for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and os.path.normpath(p) != "/root/.axon_site"
-    )
-    env["SMVP_BENCH_NO_WATCHDOG"] = "1"
-    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+    cpu_env = {
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": os.pathsep.join(
+            p
+            for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+            if p and os.path.normpath(p) != "/root/.axon_site"
+        ),
+    }
+    rc, out = _run(cpu_env, None)
+    sys.stdout.write(out)
+    return rc if rc is not None else 1
 
 
 def main() -> int:
-    if (
-        WATCHDOG_SECS > 0
-        and os.environ.get("SMVP_BENCH_NO_WATCHDOG") != "1"
-        and hasattr(signal, "SIGALRM")
-    ):
-        signal.signal(signal.SIGALRM, _fallback_to_cpu)
-        signal.alarm(WATCHDOG_SECS)
+    if os.environ.get("SMVP_BENCH_CHILD") != "1":
+        return _supervise()
 
     # Persistent compilation cache: remote compiles cost ~2 min each in
     # this environment; cache survivors make reruns near-instant.
@@ -104,8 +126,6 @@ def main() -> int:
     nnzs = stats.nnz_per_s(coo.nnz)
     gbs = stats.gb_per_s(spmv_bytes_csr(coo.nnz, coo.shape[0]))
 
-    if hasattr(signal, "SIGALRM"):
-        signal.alarm(0)
     print(
         json.dumps(
             {
