@@ -325,6 +325,18 @@ def write_coe(
                 b = rl[rl_iter]
                 rl_iter += 1
             lines.append(f"02{pack_rowlen_word(a, b):08x},")
+    # Flush row-length records beyond 2x the value-word count (possible
+    # when many rows are empty: correct empty-row handling produces fewer
+    # beats than rows, which the reference never hits because its
+    # scheduler assumes every row yields a value word).
+    while rl_iter < nrows:
+        a = rl[rl_iter]
+        rl_iter += 1
+        b = None
+        if rl_iter < nrows:
+            b = rl[rl_iter]
+            rl_iter += 1
+        lines.append(f"02{pack_rowlen_word(a, b):08x},")
     lines.append(f"03{_END_WORD:08x};")
     lines.append("")
     text = "\n".join(lines)

@@ -172,9 +172,18 @@ def build_sell_plan(
 
     # sublane key = (tile, slice, dup): tile-major so each chunk of
     # consecutive sublanes covers a narrow column-tile window.
+    # Field widths: tile 24b (ncols < 2^31), slice 24b (nrows < 2^31),
+    # dup 16b — guarded, not assumed.
+    if dup.size and int(dup.max()) >= (1 << 16):
+        raise ValueError(
+            "more than 65535 duplicate entries share one (row, col-tile); "
+            "coalesce duplicates before encoding"
+        )
+    if int(sl_s.max()) >= (1 << 24) or int(tl_s.max()) >= (1 << 24):
+        raise ValueError("matrix dimensions exceed 2^31 rows/cols")
     sub_key = (
         (tl_s.astype(np.int64) << 40)
-        | (sl_s.astype(np.int64) << 20)
+        | (sl_s.astype(np.int64) << 16)
         | dup.astype(np.int64)
     )
     uniq, sub_id = np.unique(sub_key, return_inverse=True)
@@ -195,7 +204,7 @@ def build_sell_plan(
     u_tile = np.full(S, -1, dtype=np.int64)
     u_slice = np.zeros(S, dtype=np.int64)
     u_tile[:S_true] = uniq >> 40
-    u_slice[:S_true] = (uniq >> 20) & 0xFFFFF
+    u_slice[:S_true] = (uniq >> 16) & 0xFFFFFF
     if S > S_true:  # dead padding sublanes adopt the last real tile
         u_tile[S_true:] = u_tile[S_true - 1]
 

@@ -167,7 +167,10 @@ class SellSpMV:
                 (self.shape[1], self.shape[0]),
             )
             self._t_op = SellSpMV(
-                plan_t, interpret=self.interpret, _triplets=(c, r, v)
+                plan_t,
+                interpret=self.interpret,
+                precision=self.precision,
+                _triplets=(c, r, v),
             )
         return self._t_op
 
@@ -263,14 +266,24 @@ def _triplets_from_coo_host(coo: COOMatrix):
 
 
 def _cached_op(matrix, triplets_fn) -> SellSpMV:
+    """Per-matrix operator cache keyed weakly: the cache must not keep a
+    discarded matrix's device buffers (or its multi-MB SELL planes) alive
+    — entries evict when the matrix object is collected."""
     key = id(matrix)
     hit = _CACHE.get(key)
-    if hit is not None and hit[0] is matrix:
-        return hit[1]
+    if hit is not None:
+        ref, op = hit
+        if ref() is matrix:
+            return op
+        del _CACHE[key]  # stale id reuse
     r, c, v, shape = triplets_fn(matrix)
     op = SellSpMV(build_sell_plan(r, c, v, shape), _triplets=(r, c, v))
-    _CACHE[key] = (matrix, op)
-    if len(_CACHE) > 64:  # bound the cache
+    try:
+        ref = weakref.ref(matrix, lambda _r, _k=key: _CACHE.pop(_k, None))
+    except TypeError:  # non-weakrefable input
+        ref = lambda m=matrix: m  # noqa: E731 — strong fallback
+    _CACHE[key] = (ref, op)
+    if len(_CACHE) > 64:  # hard bound even if nothing gets collected
         _CACHE.pop(next(iter(_CACHE)))
     return op
 

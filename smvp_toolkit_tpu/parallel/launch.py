@@ -41,17 +41,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from smvp_toolkit_tpu.bench.harness import time_fn
     from smvp_toolkit_tpu.formats.csr import csr_encode
     from smvp_toolkit_tpu.formats.tjds import tjds_encode
     from smvp_toolkit_tpu.io.mtx import read_mtx
-    from smvp_toolkit_tpu.parallel import (
-        make_mesh,
-        shard_csr,
-        shard_tjds,
-        spmv_csr_sharded,
-        spmv_tjds_sharded,
-    )
+    from smvp_toolkit_tpu.parallel.spmv_dist import shard_and_bench
     from smvp_toolkit_tpu.utils.logging import log
     from smvp_toolkit_tpu.utils.synth import synth_banded
 
@@ -67,18 +60,10 @@ def main(argv=None) -> int:
         coo = read_mtx(args.file)
     coo = coo.pad(512)
 
-    mesh = make_mesh(n_dev)
     x = jnp.ones((coo.shape[1],), jnp.float32)
-
-    if args.alg == "csr":
-        sharded = shard_csr(csr_encode(coo), mesh)
-        fn = lambda: spmv_csr_sharded(sharded, x, mesh)  # noqa: E731
-    else:
-        sharded = shard_tjds(tjds_encode(coo), mesh)
-        fn = lambda: spmv_tjds_sharded(sharded, x, mesh)  # noqa: E731
-
-    stats = time_fn(fn, iterations=args.iter, warmup=2)
-    y = np.asarray(fn())
+    alg = args.alg.upper()
+    encoded = csr_encode(coo) if alg == "CSR" else tjds_encode(coo)
+    stats, y = shard_and_bench(alg, encoded, x, n_dev, iterations=args.iter)
 
     if is_lead:
         nnzs = stats.nnz_per_s(coo.nnz)

@@ -19,28 +19,38 @@ __all__ = ["make_mesh", "distributed_init", "device_count"]
 DP_AXIS = "dp"
 
 
+_DIST_INITIALIZED = False
+
+
 def distributed_init(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-) -> None:
-    """Initialize the multi-host process group (no-op when single-process).
+) -> bool:
+    """Initialize the multi-host process group; returns True on success.
 
-    Call once per host before any device computation on a multi-host
-    slice. Arguments default to the TPU metadata auto-detection built into
-    ``jax.distributed.initialize``.
+    Must run before anything touches the XLA backend (so no
+    ``jax.devices()``/``jax.process_count()`` guards here — they would
+    themselves initialize the backend and make ``initialize()`` raise).
+    With no arguments, ``jax.distributed.initialize`` auto-detects the
+    coordinator from TPU pod metadata; in a plain single-process
+    environment that detection fails and we quietly stay single-process.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes is None:
-        # Single-process (or auto-detected TPU env): initialize() with no
-        # args is only valid on TPU pods; skip quietly elsewhere.
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    global _DIST_INITIALIZED
+    if _DIST_INITIALIZED:
+        return True
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _DIST_INITIALIZED = True
+        return True
+    except (RuntimeError, ValueError):
+        # Not a pod / backend already up / no coordinator to find:
+        # single-process operation.
+        return False
 
 
 def device_count() -> int:

@@ -102,8 +102,12 @@ def shard_csr(csr: CSRMatrix, mesh: Mesh) -> ShardedCSR:
     cols_b = np.zeros((n, nnz_blk), dtype=np.int32)
     lrows_b = np.full((n, nnz_blk), rows_blk, dtype=np.int32)  # pad sentinel
 
-    # Local row ids per entry from the global row_ptr.
-    grow = np.searchsorted(row_ptr, np.arange(csr.nnz), side="right") - 1
+    # Local row ids per entry (reuse the cached device row_ids when the
+    # encoder materialized them; fall back to the row_ptr prefix search).
+    if csr.row_ids is not None:
+        grow = np.asarray(csr.row_ids)[: csr.nnz].astype(np.int64)
+    else:
+        grow = np.searchsorted(row_ptr, np.arange(csr.nnz), side="right") - 1
     for k in range(n):
         s, e = int(starts[k]), int(ends[k])
         w = e - s

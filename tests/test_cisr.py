@@ -155,3 +155,16 @@ def test_native_scheduler_empty_rows():
     b = cisr_encode(coo, 2, use_native=False)
     np.testing.assert_array_equal(a.row_lengths, b.row_lengths)
     np.testing.assert_array_equal(a.row_of, b.row_of)
+
+
+def test_coe_emits_all_row_lengths_with_many_empty_rows():
+    # 40 rows, 4 nnz: beats x slots can hold only 8 lengths inline; the
+    # remainder must still be flushed before the end word.
+    r = np.array([0, 1, 2, 3], dtype=np.int32)
+    c = np.array([0, 1, 2, 3], dtype=np.int32)
+    v = np.ones(4)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(40, 40))
+    cisr = cisr_encode(coo, slot_count=4)
+    text = write_coe(cisr)
+    rowlen_words = [ln for ln in text.splitlines() if ln.startswith("02")]
+    assert len(rowlen_words) == 20  # all 40 lengths, two per word

@@ -189,3 +189,26 @@ def test_matmat_spmm():
     Y = np.asarray(op.matmat(X))
     Y_ref = coo.to_dense() @ np.asarray(X, np.float64)
     np.testing.assert_allclose(Y, Y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cache_does_not_retain_matrices():
+    import gc
+
+    from smvp_toolkit_tpu.ops import spmv_pallas
+
+    coo = _load("pdp08-pg4.mtx").pad(32)
+    csr = csr_encode(coo)
+    spmv_csr_pallas(csr, jnp.ones((coo.shape[1],), jnp.float32))
+    key = id(csr)
+    assert key in spmv_pallas._CACHE
+    del csr
+    gc.collect()
+    assert key not in spmv_pallas._CACHE
+
+
+def test_transpose_inherits_precision():
+    import jax
+
+    coo = _load("pdp08-pg4.mtx")
+    op = SellSpMV.from_coo(coo, precision=jax.lax.Precision.HIGH)
+    assert op.transpose().precision == jax.lax.Precision.HIGH
