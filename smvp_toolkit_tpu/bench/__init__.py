@@ -17,6 +17,7 @@ from smvp_toolkit_tpu.bench.harness import (
 from smvp_toolkit_tpu.bench.report import generate_report_text, write_report
 from smvp_toolkit_tpu.bench.roofline import (
     hbm_bandwidth_gbs,
+    roofline_fraction,
     spmv_bytes_csr,
     spmv_bytes_tjds,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "generate_report_text",
     "write_report",
     "hbm_bandwidth_gbs",
+    "roofline_fraction",
     "spmv_bytes_csr",
     "spmv_bytes_tjds",
 ]

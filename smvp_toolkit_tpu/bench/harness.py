@@ -89,7 +89,9 @@ def time_fn(
         elif hasattr(res, "block_until_ready"):
             res.block_until_ready()
 
-    for _ in range(max(warmup, 1)):
+    # warmup=0 is honored: the first timed sample then includes compile
+    # (useful for cold-start measurement).
+    for _ in range(max(warmup, 0)):
         _block(fn())
 
     samples: List[float] = []

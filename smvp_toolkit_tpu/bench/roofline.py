@@ -22,12 +22,15 @@ __all__ = [
 ]
 
 # Published per-chip HBM bandwidth (GB/s). Conservative public numbers.
+# device_kind strings use both marketing names ("v5e") and internal
+# forms ("TPU v5 lite"), so each generation needs both aliases.
 _HBM_GBS = {
     "v4": 1228.0,
     "v5e": 819.0,
     "v5 lite": 819.0,
     "v5p": 2765.0,
     "v6e": 1640.0,
+    "v6 lite": 1640.0,
     "cpu": 50.0,  # nominal DRAM figure for CPU-simulated runs
 }
 

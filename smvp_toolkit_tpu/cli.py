@@ -183,6 +183,14 @@ def _validate(args) -> Optional[str]:
         return "shard count must be >= 1"
     if getattr(args, "fused", False) and args.shards > 1:
         return "--fused is not supported together with --shards"
+    run_csr = args.csr or args.all_algs
+    run_tjds = args.tjds or args.all_algs
+    if args.lut_out and not run_tjds:
+        return "--lut-out requires the TJDS algorithm (-t or -a)"
+    if args.save_encoded and not (run_csr or run_tjds):
+        return "--save-encoded requires -c, -t or -a"
+    if args.decode_check and not (run_csr or run_tjds):
+        return "--decode-check requires -c, -t or -a"
     return None
 
 
@@ -206,7 +214,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         bench_spmv,
         spmv_bytes_csr,
         spmv_bytes_tjds,
-        hbm_bandwidth_gbs,
+        roofline_fraction,
         write_report,
     )
     from smvp_toolkit_tpu.formats.cisr import cisr_encode, write_coe
@@ -295,7 +303,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             log("FILE", f"Profiler trace: {args.profile}/{alg_name}")
         nnzs = stats.nnz_per_s(coo.nnz)
         gbs = stats.gb_per_s(bytes_per_iter)
-        frac = gbs / hbm_bandwidth_gbs(device)
+        frac = roofline_fraction(gbs, device)
         log(
             "DATA",
             f"{alg_name}: avg {stats.avg_ms:.6f} ms  "
@@ -330,9 +338,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         for line in format_analysis(analyze(coo)).splitlines():
             print(f"\t{line}")
 
-    debug_on = args.debug or os.environ.get("SMVP_DEBUG", "0") not in (
-        "", "0", "false"
-    )
+    from smvp_toolkit_tpu.utils.debug import debug_enabled
+
+    debug_on = args.debug or debug_enabled()
     if debug_on:
         from smvp_toolkit_tpu.utils.debug import dump_coo
 

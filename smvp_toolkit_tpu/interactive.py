@@ -19,12 +19,13 @@ from smvp_toolkit_tpu.utils.logging import log
 __all__ = ["main"]
 
 
-def _ask(prompt: str, default: str, stdin, stdout) -> str:
+def _ask(prompt: str, default: str, stdin, stdout) -> Optional[str]:
+    """Prompt once; returns None on EOF (caller must abort, not loop)."""
     stdout.write(f"{prompt} [{default}]: ")
     stdout.flush()
     line = stdin.readline()
-    if not line:  # EOF
-        return default
+    if not line:  # EOF — distinct from a blank line ("\n")
+        return None
     line = line.strip()
     return line or default
 
@@ -37,22 +38,30 @@ def main(argv: Optional[List[str]] = None, stdin=None, stdout=None) -> int:
     stdout.write("--------------------------------------\n")
 
     path = _ask("Matrix (.mtx) file", "", stdin, stdout)
-    while not path or not os.path.exists(path):
+    while path is not None and (not path or not os.path.exists(path)):
         if path:
             stdout.write(f"file not found: {path}\n")
         path = _ask("Matrix (.mtx) file", "", stdin, stdout)
-        if not path and stdin is not sys.stdin:
-            log("ERROR", "no input file provided")
-            return 2
+    if path is None:
+        log("ERROR", "no input file provided (EOF)")
+        return 2
 
-    run_csr = _ask("Run CSR? (y/n)", "y", stdin, stdout).lower().startswith("y")
-    run_tjds = _ask("Run TJDS? (y/n)", "y", stdin, stdout).lower().startswith("y")
-    iters = _ask("Iterations", "1000", stdin, stdout)
+    answers = [
+        _ask("Run CSR? (y/n)", "y", stdin, stdout),
+        _ask("Run TJDS? (y/n)", "y", stdin, stdout),
+        _ask("Iterations", "1000", stdin, stdout),
+        _ask("Report directory", ".", stdin, stdout),
+    ]
+    if any(a is None for a in answers):
+        log("ERROR", "aborted (EOF)")
+        return 2
+    run_csr = answers[0].lower().startswith("y")
+    run_tjds = answers[1].lower().startswith("y")
     try:
-        iters_n = max(int(iters), 1)
+        iters_n = max(int(answers[2]), 1)
     except ValueError:
         iters_n = 1000
-    report_dir = _ask("Report directory", ".", stdin, stdout)
+    report_dir = answers[3]
 
     if not (run_csr or run_tjds):
         log("ERROR", "nothing selected")

@@ -207,16 +207,27 @@ def _read_size_line(f: TextIO, typecode: MMTypeCode) -> Tuple[int, int, int]:
         if not stripped or stripped.startswith("%"):
             continue
         parts = stripped.split()
-        if typecode.is_coordinate:
-            if len(parts) != 3:
-                raise MTXError(f"bad coordinate size line: {stripped!r}")
-            m, n, nnz = (int(p) for p in parts)
-            return m, n, nnz
-        else:
-            if len(parts) != 2:
-                raise MTXError(f"bad array size line: {stripped!r}")
-            m, n = (int(p) for p in parts)
-            return m, n, m * n
+        try:
+            if typecode.is_coordinate:
+                if len(parts) != 3:
+                    raise MTXError(f"bad coordinate size line: {stripped!r}")
+                m, n, nnz = (int(p) for p in parts)
+            else:
+                if len(parts) != 2:
+                    raise MTXError(f"bad array size line: {stripped!r}")
+                m, n = (int(p) for p in parts)
+                if typecode.is_general:
+                    nnz = m * n
+                elif typecode.is_skew:
+                    # Strictly-lower triangle stored (MatrixMarket spec).
+                    nnz = m * (m - 1) // 2
+                else:  # symmetric / hermitian: lower triangle + diagonal
+                    nnz = m * (m + 1) // 2
+        except ValueError as e:
+            raise MTXError(f"bad size line: {stripped!r}") from e
+        if m < 0 or n < 0 or nnz < 0:
+            raise MTXError(f"negative dimension in size line: {stripped!r}")
+        return m, n, nnz
     raise MTXPrematureEOF("file ended before the size line")
 
 
@@ -257,7 +268,9 @@ def read_mtx_raw(
     tokens = payload.split()
 
     if typecode.is_array:
-        # Dense array: column-major list of values (mmio spec).
+        # Dense array: column-major list of values (mmio spec). For
+        # symmetric/skew/hermitian, only the (strictly-)lower triangle is
+        # stored — mirror with expand_symmetric() if full form is wanted.
         want = nnz if not typecode.is_complex else 2 * nnz
         if typecode.is_pattern:
             raise MTXUnsupportedType("array + pattern is invalid MatrixMarket")
@@ -265,15 +278,32 @@ def read_mtx_raw(
             raise MTXPrematureEOF(
                 f"expected {want} array values, found {len(tokens)}"
             )
-        flat = np.array(tokens[:want], dtype=np.float64)
+        try:
+            flat = np.array(tokens[:want], dtype=np.float64)
+        except ValueError as e:
+            raise MTXError(f"malformed array value: {e}") from e
         if typecode.is_complex:
             vals = flat[0::2] + 1j * flat[1::2]
         else:
             vals = flat
-        # Column-major order → (row, col) indices.
-        cc, rr = np.meshgrid(np.arange(ncols), np.arange(nrows))
-        r = rr.T.reshape(-1).astype(np.int32)  # col-major enumeration
-        c = cc.T.reshape(-1).astype(np.int32)
+        if typecode.is_general:
+            # Column-major order → (row, col) indices.
+            cc, rr = np.meshgrid(np.arange(ncols), np.arange(nrows))
+            r = rr.T.reshape(-1).astype(np.int32)  # col-major enumeration
+            c = cc.T.reshape(-1).astype(np.int32)
+        else:
+            # Column-major lower triangle (diagonal excluded for skew).
+            off = 1 if typecode.is_skew else 0
+            cols_list = [
+                np.full(nrows - j - off, j, dtype=np.int32)
+                for j in range(ncols)
+            ]
+            rows_list = [
+                np.arange(j + off, nrows, dtype=np.int32)
+                for j in range(ncols)
+            ]
+            c = np.concatenate(cols_list) if cols_list else np.empty(0, np.int32)
+            r = np.concatenate(rows_list) if rows_list else np.empty(0, np.int32)
         return typecode, nrows, ncols, r, c, vals
 
     # Coordinate format.
@@ -289,7 +319,10 @@ def read_mtx_raw(
             f"expected {nnz} coordinate entries ({want} tokens), "
             f"found {len(tokens)} tokens"
         )
-    flat = np.array(tokens[:want], dtype=np.float64).reshape(nnz, per)
+    try:
+        flat = np.array(tokens[:want], dtype=np.float64).reshape(nnz, per)
+    except ValueError as e:
+        raise MTXError(f"malformed coordinate entry: {e}") from e
     r = flat[:, 0].astype(np.int32) - 1  # 1-based → 0-based (main-cli.c:1437-1438)
     c = flat[:, 1].astype(np.int32) - 1
     if typecode.is_pattern:
@@ -363,6 +396,17 @@ def read_mtx(
     typecode, nrows, ncols, r, c, v = result
     if expand_symmetry:
         r, c, v = expand_symmetric(typecode, r, c, v)
+    if np.iscomplexobj(v):
+        import jax.numpy as jnp
+
+        if dtype is None:
+            dtype = jnp.complex64
+        elif not jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+            # Refuse to silently drop imaginary parts.
+            raise MTXUnsupportedType(
+                "complex matrix requires a complex dtype "
+                "(e.g. dtype=jnp.complex64)"
+            )
     return COOMatrix.from_numpy(
         r, c, v, shape=(nrows, ncols), typecode=typecode, dtype=dtype
     )

@@ -23,19 +23,33 @@ _COLORS = {
 }
 _RESET = "\x1b[0m"
 
-_use_color = sys.stdout.isatty() and os.environ.get("NO_COLOR") is None
+_forced_color = None  # None = auto (per destination stream)
 
 
 def set_color(enabled: bool) -> None:
-    global _use_color
-    _use_color = enabled
+    global _forced_color
+    _forced_color = enabled
+
+
+def _colorize(stream) -> bool:
+    if _forced_color is not None:
+        return _forced_color
+    if os.environ.get("NO_COLOR") is not None:
+        return False
+    # Decide per destination: ERROR goes to stderr, which may be a tty
+    # while stdout is piped (or vice versa).
+    isatty = getattr(stream, "isatty", lambda: False)
+    try:
+        return bool(isatty())
+    except (ValueError, OSError):  # closed stream
+        return False
 
 
 def log(tag: str, message: str, *, file=None) -> None:
-    """Print a tagged line, colored when stdout is a TTY."""
+    """Print a tagged line, colored when the destination is a TTY."""
     file = file or (sys.stderr if tag == "ERROR" else sys.stdout)
     color = _COLORS.get(tag, "")
-    if _use_color and color:
+    if color and _colorize(file):
         print(f"{color}[{tag}]\t{message}{_RESET}", file=file)
     else:
         print(f"[{tag}]\t{message}", file=file)

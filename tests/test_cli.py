@@ -177,3 +177,20 @@ def test_fused_with_pallas_kernel(tmp_path):
 
 def test_fused_excludes_shards():
     assert _validate(_args(["-c", "--fused", "--shards", "2", "x.mtx"])) is not None
+
+
+def test_output_flags_require_their_algorithm():
+    assert _validate(_args(["-c", "--lut-out", "l.v", "x.mtx"])) is not None
+    assert _validate(_args(["-t", "--lut-out", "l.v", "x.mtx"])) is None
+    assert _validate(_args(["-g", "--save-encoded", "p", "x.mtx"])) is not None
+    assert _validate(_args(["-g", "--decode-check", "x.mtx"])) is not None
+
+
+def test_interactive_eof_on_real_stdin_pattern():
+    # EOF must abort, not busy-loop (regression).
+    import io as _io
+
+    from smvp_toolkit_tpu.interactive import main as interactive_main
+
+    rc = interactive_main(stdin=_io.StringIO(""), stdout=_io.StringIO())
+    assert rc == 2

@@ -284,3 +284,54 @@ def test_parser_fuzz_never_crashes(seed):
         pass  # expected failure mode
     except ValueError:
         pass  # numeric conversion failure surfaced as ValueError is fine
+
+
+def test_complex_matrix_needs_complex_dtype():
+    import jax.numpy as jnp
+
+    src = (
+        "%%MatrixMarket matrix coordinate complex general\n"
+        "2 2 2\n1 1 1.0 2.0\n2 2 3.0 -4.0\n"
+    )
+    # Default dtype auto-promotes to complex64 (never drops imag parts).
+    coo = read_mtx(io.StringIO(src))
+    v = np.asarray(coo.vals)[: coo.nnz]
+    assert v[0] == np.complex64(1 + 2j)
+    # An explicit real dtype is refused rather than silently truncated.
+    with pytest.raises(MTXUnsupportedType):
+        read_mtx(io.StringIO(src), dtype=jnp.float32)
+
+
+def test_array_symmetric_lower_triangle():
+    src = io.StringIO(
+        "%%MatrixMarket matrix array real symmetric\n2 2\n1.0\n2.0\n3.0\n"
+    )
+    tc, m, n, r, c, v = read_mtx_raw(src)
+    dense = np.zeros((2, 2))
+    dense[r, c] = v
+    np.testing.assert_array_equal(dense, [[1.0, 0.0], [2.0, 3.0]])
+
+
+def test_array_skew_lower_triangle():
+    src = io.StringIO(
+        "%%MatrixMarket matrix array real skew-symmetric\n3 3\n1.0\n2.0\n3.0\n"
+    )
+    tc, m, n, r, c, v = read_mtx_raw(src)
+    assert len(r) == 3  # strictly-lower entries only
+    assert (r > c).all()
+
+
+def test_malformed_value_raises_typed_error():
+    src = io.StringIO(
+        "%%MatrixMarket matrix coordinate real general\n2 2 1\n1 1 abc\n"
+    )
+    with pytest.raises(MTXError):
+        read_mtx_raw(src)
+
+
+def test_negative_size_raises_typed_error():
+    src = io.StringIO(
+        "%%MatrixMarket matrix coordinate real general\n-2 2 1\n1 1 1.0\n"
+    )
+    with pytest.raises(MTXError):
+        read_mtx_raw(src)
