@@ -72,6 +72,10 @@ def main() -> int:
     device = jax.devices()[0]
     iters = 50 if args.quick else 200
     kernels = args.kernels.split(",")
+    if device.platform == "cpu" and "pallas" in kernels and args.kernels == "xla,pallas":
+        # Default kernel list on CPU: the Pallas interpreter is orders of
+        # magnitude slower than compiled mode — only run it when asked.
+        kernels = ["xla"]
     results = []
 
     def record(rec):
