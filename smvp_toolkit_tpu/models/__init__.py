@@ -13,6 +13,8 @@ from smvp_toolkit_tpu.models.solvers import (
     conjugate_gradient,
     bicgstab,
     jacobi,
+    lanczos,
+    cgls,
 )
 
 __all__ = [
@@ -21,4 +23,6 @@ __all__ = [
     "conjugate_gradient",
     "bicgstab",
     "jacobi",
+    "lanczos",
+    "cgls",
 ]

@@ -23,6 +23,8 @@ __all__ = [
     "conjugate_gradient",
     "bicgstab",
     "jacobi",
+    "lanczos",
+    "cgls",
 ]
 
 
@@ -150,6 +152,79 @@ def bicgstab(
         step, (x, r, p, rho), None, length=num_iters
     )
     return x, res_norms
+
+
+@partial(jax.jit, static_argnames=("num_iters", "spmv"))
+def lanczos(
+    matrix,
+    v0: jax.Array,
+    num_iters: int = 30,
+    spmv: Callable = spmv_csr,
+):
+    """Lanczos tridiagonalization of a symmetric A (extremal eigenvalues).
+
+    Returns (alphas, betas, V): the tridiagonal coefficients (whose
+    eigenvalues approximate A's extremal spectrum — compute them host-side
+    with ``scipy.linalg.eigh_tridiagonal``) and the Krylov basis. Full
+    reorthogonalization is omitted (single-pass classic Lanczos).
+    """
+    n = v0.shape[0]
+    v = v0 / jnp.linalg.norm(v0)
+
+    def step(carry, _):
+        v_prev, v_cur, beta_prev = carry
+        w = spmv(matrix, v_cur) - beta_prev * v_prev
+        alpha = jnp.vdot(v_cur, w)
+        w = w - alpha * v_cur
+        beta = jnp.linalg.norm(w)
+        v_next = w / jnp.maximum(beta, 1e-30)
+        return (v_cur, v_next, beta), (alpha, beta, v_cur)
+
+    (_, _, _), (alphas, betas, V) = jax.lax.scan(
+        step,
+        (jnp.zeros((n,), v.dtype), v, jnp.asarray(0.0, v.dtype)),
+        None,
+        length=num_iters,
+    )
+    return alphas, betas, V
+
+
+@partial(jax.jit, static_argnames=("num_iters", "spmv", "spmv_t"))
+def cgls(
+    matrix,
+    matrix_t,
+    b: jax.Array,
+    num_iters: int = 50,
+    spmv: Callable = spmv_csr,
+    spmv_t: Callable = spmv_csr,
+):
+    """Least-squares min ||A x - b|| via CGLS (CG on the normal equations).
+
+    ``matrix_t`` is the encoded transpose (encode Aᵀ once host-side);
+    works for rectangular systems. Returns (x, residual norms of Aᵀr).
+    """
+    x = jnp.zeros((matrix.shape[1],), b.dtype)
+    r = b
+    s = spmv_t(matrix_t, r)
+    p = s
+    gamma = jnp.vdot(s, s)
+
+    def step(carry, _):
+        x, r, p, gamma = carry
+        q = spmv(matrix, p)
+        alpha = gamma / jnp.maximum(jnp.vdot(q, q), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * q
+        s = spmv_t(matrix_t, r)
+        gamma_new = jnp.vdot(s, s)
+        beta = gamma_new / jnp.maximum(gamma, 1e-30)
+        p = s + beta * p
+        return (x, r, p, gamma_new), jnp.sqrt(gamma_new)
+
+    (x, r, p, gamma), norms = jax.lax.scan(
+        step, (x, r, p, gamma), None, length=num_iters
+    )
+    return x, norms
 
 
 @partial(jax.jit, static_argnames=("num_iters", "spmv"))

@@ -145,3 +145,47 @@ def test_solver_with_pallas_kernel():
     )
     x_ref = np.linalg.solve(a, np.ones(a.shape[0]))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-2, atol=1e-3)
+
+
+def test_lanczos_extremal_eigenvalue():
+    from smvp_toolkit_tpu.models import lanczos
+
+    coo, a = _spd_coo(seed=7)
+    csr = csr_encode(coo)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(9)
+    v0 = jnp.asarray(rng.randn(a.shape[0]), jnp.float32)
+    alphas, betas, V = lanczos(csr, v0, num_iters=25)
+    from scipy.linalg import eigh_tridiagonal
+
+    al = np.asarray(alphas, np.float64)
+    be = np.asarray(betas, np.float64)[:-1]
+    ritz = eigh_tridiagonal(al, be, eigvals_only=True)
+    true = np.linalg.eigvalsh(a)
+    np.testing.assert_allclose(ritz.max(), true.max(), rtol=1e-3)
+
+
+def test_cgls_rectangular_least_squares():
+    from smvp_toolkit_tpu.models import cgls
+
+    rng = np.random.RandomState(10)
+    m, n = 60, 25
+    dense = rng.randn(m, n) * (rng.rand(m, n) < 0.3)
+    r, c = np.nonzero(dense)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), dense[r, c], shape=(m, n),
+        pad_to=64,
+    )
+    coo_t = COOMatrix.from_numpy(
+        c.astype(np.int32), r.astype(np.int32), dense[r, c], shape=(n, m),
+        pad_to=64,
+    )
+    A = csr_encode(coo)
+    At = csr_encode(coo_t)
+    import jax.numpy as jnp
+
+    b = jnp.asarray(rng.randn(m), jnp.float32)
+    x, norms = cgls(A, At, b, num_iters=80)
+    x_ref, *_ = np.linalg.lstsq(dense, np.asarray(b, np.float64), rcond=None)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=5e-2, atol=5e-3)
