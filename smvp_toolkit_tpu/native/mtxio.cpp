@@ -42,7 +42,9 @@ struct FileBuf {
   ~FileBuf() { free(data); }
 };
 
-int read_file(const char* path, FileBuf* out) {
+int read_file(const char* path, FileBuf* out, size_t limit = 0) {
+  // limit > 0: read at most that many bytes (header-only probe — the
+  // banner + size line sit in the leading comment block).
   FILE* f = fopen(path, "rb");
   if (!f) return ERR_OPEN;
   fseek(f, 0, SEEK_END);
@@ -51,13 +53,15 @@ int read_file(const char* path, FileBuf* out) {
     fclose(f);
     return ERR_OPEN;
   }
+  size_t want = static_cast<size_t>(sz);
+  if (limit > 0 && want > limit) want = limit;
   fseek(f, 0, SEEK_SET);
-  out->data = static_cast<char*>(malloc(static_cast<size_t>(sz) + 1));
+  out->data = static_cast<char*>(malloc(want + 1));
   if (!out->data) {
     fclose(f);
     return ERR_OPEN;
   }
-  size_t got = fread(out->data, 1, static_cast<size_t>(sz), f);
+  size_t got = fread(out->data, 1, want, f);
   fclose(f);
   out->data[got] = '\0';
   out->size = got;
@@ -185,7 +189,9 @@ extern "C" {
 int mtx_read_header(const char* path, long long* rows, long long* cols,
                     long long* nnz, int* field, int* sym) {
   FileBuf buf;
-  int rc = read_file(path, &buf);
+  // 1 MiB covers any sane banner/comment block without pulling the
+  // whole payload into memory twice.
+  int rc = read_file(path, &buf, 1 << 20);
   if (rc != OK) return rc;
   if (buf.size == 0) return ERR_PREMATURE_EOF;
   Cursor cur{buf.data, buf.data + buf.size};
