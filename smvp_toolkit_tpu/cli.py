@@ -81,9 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native extensions -------------------------------------------
     p.add_argument(
         "--kernel",
-        choices=["auto", "xla", "pallas"],
+        choices=["auto", "xla", "pallas", "native"],
         default="auto",
-        help="SpMV kernel implementation (auto: pallas on TPU, xla elsewhere)",
+        help=(
+            "SpMV kernel implementation (auto: pallas on TPU, xla "
+            "elsewhere; native = C++ CPU backend, CSR only)"
+        ),
     )
     p.add_argument(
         "--dtype",
@@ -256,6 +259,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     exit_code = 0
 
     def _spmv_fns():
+        if args.kernel == "native":
+            from smvp_toolkit_tpu.ops.spmv_native import (
+                NativeCsrSpMV,
+                native_spmv_available,
+            )
+
+            if not native_spmv_available():
+                log("ERROR", "native backend not built "
+                    "(make -C smvp_toolkit_tpu/native)")
+                raise SystemExit(1)
+
+            def csr_native(encoded, xx):
+                return jnp.asarray(NativeCsrSpMV(encoded)(np.asarray(xx)))
+
+            # TJDS has no native kernel; route through XLA.
+            return csr_native, spmv_tjds, "native"
         use_pallas = args.kernel == "pallas" or (
             args.kernel == "auto" and device.platform != "cpu"
         )

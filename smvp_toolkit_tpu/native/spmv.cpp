@@ -1,0 +1,56 @@
+// Native CPU SpMV backend (shared library, ctypes ABI).
+//
+// The framework's CPU execution path: the same CSR traversal as the
+// reference hot loop (main-cli.c:410-416) but compiled -O3 -march=native
+// on the host, single-threaded or row-block threaded. Used when no TPU
+// is attached (the CLI's `--kernel native` and bench.py's CPU fallback);
+// the XLA CPU path remains the portable default.
+
+#include <cstdint>
+#include <thread>
+#include <vector>
+
+namespace {
+
+void csr_rows(const long long* row_ptr, const int32_t* col, const float* val,
+              const float* x, float* y, long long r0, long long r1) {
+  for (long long r = r0; r < r1; r++) {
+    float acc = 0.0f;
+    for (long long j = row_ptr[r]; j < row_ptr[r + 1]; j++) {
+      acc += val[j] * x[col[j]];
+    }
+    y[r] = acc;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// y = A.x for CSR (f32). threads <= 1 runs the reference-style serial
+// loop; otherwise rows are split into contiguous blocks across threads.
+// iterations > 1 repeats the full SpMV (benchmark mode) back to back.
+void csr_spmv_f32(const long long* row_ptr, const int32_t* col,
+                  const float* val, const float* x, float* y,
+                  long long nrows, int threads, int iterations) {
+  if (threads <= 1) {
+    for (int it = 0; it < iterations; it++) {
+      csr_rows(row_ptr, col, val, x, y, 0, nrows);
+    }
+    return;
+  }
+  long long blk = (nrows + threads - 1) / threads;
+  for (int it = 0; it < iterations; it++) {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int t = 0; t < threads; t++) {
+      long long r0 = t * blk;
+      long long r1 = r0 + blk < nrows ? r0 + blk : nrows;
+      if (r0 >= r1) break;
+      pool.emplace_back(csr_rows, row_ptr, col, val, x, y, r0, r1);
+    }
+    for (auto& th : pool) th.join();
+  }
+}
+
+}  // extern "C"

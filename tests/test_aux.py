@@ -215,3 +215,21 @@ def test_analyze_empty():
     )
     stats = analyze(coo)
     assert stats["nnz"] == 0
+
+
+def test_native_spmv_matches_oracle():
+    from smvp_toolkit_tpu.ops.spmv_native import (
+        NativeCsrSpMV,
+        native_spmv_available,
+    )
+
+    if not native_spmv_available():
+        pytest.skip("libspmv.so not built")
+    coo = _load("curtis54.mtx").pad(64)
+    csr = csr_encode(coo)
+    rng = np.random.RandomState(3)
+    x = rng.randn(coo.shape[1]).astype(np.float32)
+    for threads in (1, 4):
+        y = NativeCsrSpMV(csr, threads=threads)(x)
+        y_ref = coo.to_dense() @ x.astype(np.float64)
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)

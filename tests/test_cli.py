@@ -194,3 +194,18 @@ def test_interactive_eof_on_real_stdin_pattern():
 
     rc = interactive_main(stdin=_io.StringIO(""), stdout=_io.StringIO())
     assert rc == 2
+
+
+def test_native_kernel_mode(tmp_path):
+    from smvp_toolkit_tpu.ops.spmv_native import native_spmv_available
+
+    if not native_spmv_available():
+        import pytest
+
+        pytest.skip("libspmv.so not built")
+    rc = main(["-c", "-n", "2", "--kernel", "native", "-d", str(tmp_path),
+               IBM32])
+    assert rc == 0
+    f = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))[0]
+    body = re.search(r"\[\n(.*?)\n\]", f.read_text(), re.S).group(1)
+    assert sum(float(t) for t in body.split()) == 126.0
