@@ -135,15 +135,18 @@ def main() -> int:
             from smvp_toolkit_tpu.bench.harness import TimingStats
             from smvp_toolkit_tpu.ops.spmv_native import NativeCsrSpMV
 
-            op = NativeCsrSpMV(csr, threads=1)
-            y_n = op(np.asarray(x)).astype(np.float64)
-            n_err = np.abs(y_n - y_ref).max() / ref_scale
-            if n_err < 1e-3:
-                op(np.asarray(x), iterations=20)  # warm
+            xn = np.asarray(x)
+            for threads in (1, os.cpu_count() or 1):
+                op = NativeCsrSpMV(csr, threads=threads)
+                y_n = op(xn).astype(np.float64)
+                n_err = np.abs(y_n - y_ref).max() / ref_scale
+                if n_err >= 1e-3:
+                    continue
+                op(xn, iterations=20)  # warm
                 samples = []
                 for _ in range(5):
                     t0 = _t.perf_counter_ns()
-                    op(np.asarray(x), iterations=200)
+                    op(xn, iterations=200)
                     samples.append((_t.perf_counter_ns() - t0) / 1e6 / 200)
                 n_stats = TimingStats(
                     times_ms=np.repeat(np.asarray(samples), 40)[:200],
@@ -151,7 +154,7 @@ def main() -> int:
                 )
                 if n_stats.avg_ms < stats.avg_ms:
                     stats = n_stats
-                    kernel = "cpu-native-1thread"
+                    kernel = f"cpu-native-{op.threads}thread"
         except Exception:
             pass
 

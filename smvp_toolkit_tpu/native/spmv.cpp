@@ -13,13 +13,19 @@
 namespace {
 
 void csr_rows(const long long* row_ptr, const int32_t* col, const float* val,
-              const float* x, float* y, long long r0, long long r1) {
-  for (long long r = r0; r < r1; r++) {
-    float acc = 0.0f;
-    for (long long j = row_ptr[r]; j < row_ptr[r + 1]; j++) {
-      acc += val[j] * x[col[j]];
+              const float* x, float* y, long long r0, long long r1,
+              int iterations) {
+  // Iterations inside the worker: each thread owns a disjoint row block,
+  // so repeated SpMVs need no barrier (y entries are overwritten with
+  // the same values each pass) and thread spawn cost is paid once.
+  for (int it = 0; it < iterations; it++) {
+    for (long long r = r0; r < r1; r++) {
+      float acc = 0.0f;
+      for (long long j = row_ptr[r]; j < row_ptr[r + 1]; j++) {
+        acc += val[j] * x[col[j]];
+      }
+      y[r] = acc;
     }
-    y[r] = acc;
   }
 }
 
@@ -34,23 +40,19 @@ void csr_spmv_f32(const long long* row_ptr, const int32_t* col,
                   const float* val, const float* x, float* y,
                   long long nrows, int threads, int iterations) {
   if (threads <= 1) {
-    for (int it = 0; it < iterations; it++) {
-      csr_rows(row_ptr, col, val, x, y, 0, nrows);
-    }
+    csr_rows(row_ptr, col, val, x, y, 0, nrows, iterations);
     return;
   }
   long long blk = (nrows + threads - 1) / threads;
-  for (int it = 0; it < iterations; it++) {
-    std::vector<std::thread> pool;
-    pool.reserve(threads);
-    for (int t = 0; t < threads; t++) {
-      long long r0 = t * blk;
-      long long r1 = r0 + blk < nrows ? r0 + blk : nrows;
-      if (r0 >= r1) break;
-      pool.emplace_back(csr_rows, row_ptr, col, val, x, y, r0, r1);
-    }
-    for (auto& th : pool) th.join();
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; t++) {
+    long long r0 = t * blk;
+    long long r1 = r0 + blk < nrows ? r0 + blk : nrows;
+    if (r0 >= r1) break;
+    pool.emplace_back(csr_rows, row_ptr, col, val, x, y, r0, r1, iterations);
   }
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"
