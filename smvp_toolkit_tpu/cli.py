@@ -270,11 +270,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                     "(make -C smvp_toolkit_tpu/native)")
                 raise SystemExit(1)
 
+            from smvp_toolkit_tpu.ops.spmv_native import NativeTjdsSpMV
+
             def csr_native(encoded, xx):
                 return jnp.asarray(NativeCsrSpMV(encoded)(np.asarray(xx)))
 
-            # TJDS has no native kernel; route through XLA.
-            return csr_native, spmv_tjds, "native"
+            def tjds_native(encoded, xx):
+                return jnp.asarray(NativeTjdsSpMV(encoded)(np.asarray(xx)))
+
+            return csr_native, tjds_native, "native"
         use_pallas = args.kernel == "pallas" or (
             args.kernel == "auto" and device.platform != "cpu"
         )

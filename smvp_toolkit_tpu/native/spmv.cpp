@@ -55,4 +55,23 @@ void csr_spmv_f32(const long long* row_ptr, const int32_t* col,
   for (auto& th : pool) th.join();
 }
 
+// y = A.x for TJDS (f32): jagged-diagonal traversal with contiguous
+// permuted-x reads (the reference hot loop main-cli.c:1013-1020, with
+// the correct per-position x index — SURVEY.md B4). xp must already be
+// the permuted x (xp[k] = x[perm[k]]). Serial: the scatter into y by
+// row_ind has no disjoint partitioning across diagonals.
+void tjds_spmv_f32(const long long* start_pos, const int32_t* row_ind,
+                   const float* val, const float* xp, float* y,
+                   long long nrows, long long num_diags, int iterations) {
+  for (int it = 0; it < iterations; it++) {
+    for (long long r = 0; r < nrows; r++) y[r] = 0.0f;
+    for (long long d = 0; d < num_diags; d++) {
+      const long long lo = start_pos[d], hi = start_pos[d + 1];
+      for (long long j = lo; j < hi; j++) {
+        y[row_ind[j]] += val[j] * xp[j - lo];
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -17,7 +17,13 @@ import numpy as np
 
 from smvp_toolkit_tpu.formats.csr import CSRMatrix
 
-__all__ = ["native_spmv_available", "NativeCsrSpMV", "spmv_csr_native"]
+__all__ = [
+    "native_spmv_available",
+    "NativeCsrSpMV",
+    "NativeTjdsSpMV",
+    "spmv_csr_native",
+    "spmv_tjds_native",
+]
 
 _LIB = None
 _LIB_FAILED = False
@@ -50,6 +56,17 @@ def _load():
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             ctypes.c_longlong,
             ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.tjds_spmv_f32.restype = None
+        lib.tjds_spmv_f32.argtypes = [
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_longlong,
+            ctypes.c_longlong,
             ctypes.c_int,
         ]
         _LIB = lib
@@ -103,3 +120,49 @@ class NativeCsrSpMV:
 def spmv_csr_native(csr: CSRMatrix, x) -> np.ndarray:
     """One-shot native CSR SpMV (builds the operator each call)."""
     return NativeCsrSpMV(csr)(x)
+
+
+class NativeTjdsSpMV:
+    """Encoded TJDS operator on the native CPU backend.
+
+    The jagged-diagonal traversal of the reference hot loop
+    (main-cli.c:1013-1020) with the correct per-position x index
+    (SURVEY.md §B4). Serial (the y scatter spans all rows).
+    """
+
+    def __init__(self, tjds):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "libspmv.so not built (make -C smvp_toolkit_tpu/native)"
+            )
+        self._lib = lib
+        self.shape = tjds.shape
+        self.nnz = tjds.nnz
+        nd = int(tjds.num_diags)
+        self.num_diags = nd
+        self.start_pos = np.ascontiguousarray(
+            np.asarray(tjds.start_pos)[: nd + 1], dtype=np.int64
+        )
+        self.row_ind = np.ascontiguousarray(
+            np.asarray(tjds.row_ind)[: tjds.nnz], dtype=np.int32
+        )
+        self.val = np.ascontiguousarray(
+            np.asarray(tjds.vals)[: tjds.nnz], dtype=np.float32
+        )
+        self.perm = np.asarray(tjds.perm)
+
+    def __call__(self, x, iterations: int = 1) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float32)
+        xp = np.ascontiguousarray(x[self.perm])
+        y = np.zeros(self.shape[0], dtype=np.float32)
+        self._lib.tjds_spmv_f32(
+            self.start_pos, self.row_ind, self.val, xp, y,
+            self.shape[0], self.num_diags, iterations,
+        )
+        return y
+
+
+def spmv_tjds_native(tjds, x) -> np.ndarray:
+    """One-shot native TJDS SpMV (builds the operator each call)."""
+    return NativeTjdsSpMV(tjds)(x)

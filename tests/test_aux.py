@@ -233,3 +233,20 @@ def test_native_spmv_matches_oracle():
         y = NativeCsrSpMV(csr, threads=threads)(x)
         y_ref = coo.to_dense() @ x.astype(np.float64)
         np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_native_tjds_matches_oracle():
+    from smvp_toolkit_tpu.ops.spmv_native import (
+        NativeTjdsSpMV,
+        native_spmv_available,
+    )
+
+    if not native_spmv_available():
+        pytest.skip("libspmv.so not built")
+    coo = _load("curtis54.mtx").pad(64)
+    tj = tjds_encode(coo)
+    rng = np.random.RandomState(5)
+    x = rng.randn(coo.shape[1]).astype(np.float32)
+    y = NativeTjdsSpMV(tj)(x)
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
