@@ -10,6 +10,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 void csr_rows(const long long* row_ptr, const int32_t* col, const float* val,
@@ -20,8 +24,32 @@ void csr_rows(const long long* row_ptr, const int32_t* col, const float* val,
   // the same values each pass) and thread spawn cost is paid once.
   for (int it = 0; it < iterations; it++) {
     for (long long r = r0; r < r1; r++) {
+      long long j = row_ptr[r];
+      const long long end = row_ptr[r + 1];
       float acc = 0.0f;
-      for (long long j = row_ptr[r]; j < row_ptr[r + 1]; j++) {
+#if defined(__AVX2__) && defined(__FMA__)
+      // Vectorize along the row (8-wide gather + FMA) — only when the
+      // row is long enough to amortize the setup + horizontal reduce
+      // (short-row matrices like pwt otherwise pay it per row for
+      // nothing).
+      if (end - j >= 8) {
+        __m256 vacc = _mm256_setzero_ps();
+        for (; j + 8 <= end; j += 8) {
+          __m256i idx =
+              _mm256_loadu_si256(reinterpret_cast<const __m256i*>(col + j));
+          __m256 xv = _mm256_i32gather_ps(x, idx, 4);
+          __m256 vv = _mm256_loadu_ps(val + j);
+          vacc = _mm256_fmadd_ps(vv, xv, vacc);
+        }
+        __m128 lo = _mm256_castps256_ps128(vacc);
+        __m128 hi = _mm256_extractf128_ps(vacc, 1);
+        __m128 s = _mm_add_ps(lo, hi);
+        s = _mm_hadd_ps(s, s);
+        s = _mm_hadd_ps(s, s);
+        acc = _mm_cvtss_f32(s);
+      }
+#endif
+      for (; j < end; j++) {
         acc += val[j] * x[col[j]];
       }
       y[r] = acc;
