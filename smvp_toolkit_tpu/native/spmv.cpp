@@ -86,19 +86,54 @@ void csr_spmv_f32(const long long* row_ptr, const int32_t* col,
 // y = A.x for TJDS (f32): jagged-diagonal traversal with contiguous
 // permuted-x reads (the reference hot loop main-cli.c:1013-1020, with
 // the correct per-position x index — SURVEY.md B4). xp must already be
-// the permuted x (xp[k] = x[perm[k]]). Serial: the scatter into y by
-// row_ind has no disjoint partitioning across diagonals.
+// the permuted x (xp[k] = x[perm[k]]).
+//
+// threads > 1: each thread owns a POSITION stripe of every diagonal
+// (entries j with (j - lo) in its stripe scatter into a private partial
+// y — rows overlap between stripes), then partials reduce into y.
 void tjds_spmv_f32(const long long* start_pos, const int32_t* row_ind,
                    const float* val, const float* xp, float* y,
-                   long long nrows, long long num_diags, int iterations) {
-  for (int it = 0; it < iterations; it++) {
-    for (long long r = 0; r < nrows; r++) y[r] = 0.0f;
-    for (long long d = 0; d < num_diags; d++) {
-      const long long lo = start_pos[d], hi = start_pos[d + 1];
-      for (long long j = lo; j < hi; j++) {
-        y[row_ind[j]] += val[j] * xp[j - lo];
+                   long long nrows, long long num_diags, int iterations,
+                   int threads) {
+  if (threads <= 1) {
+    for (int it = 0; it < iterations; it++) {
+      for (long long r = 0; r < nrows; r++) y[r] = 0.0f;
+      for (long long d = 0; d < num_diags; d++) {
+        const long long lo = start_pos[d], hi = start_pos[d + 1];
+        for (long long j = lo; j < hi; j++) {
+          y[row_ind[j]] += val[j] * xp[j - lo];
+        }
       }
     }
+    return;
+  }
+  const long long width = start_pos[1] - start_pos[0];  // widest diagonal
+  const long long stripe = (width + threads - 1) / threads;
+  std::vector<std::vector<float>> partial(
+      threads, std::vector<float>(nrows, 0.0f));
+  auto worker = [&](int t) {
+    const long long p0 = t * stripe;
+    const long long p1 = p0 + stripe < width ? p0 + stripe : width;
+    float* yp = partial[t].data();
+    for (int it = 0; it < iterations; it++) {
+      for (long long r = 0; r < nrows; r++) yp[r] = 0.0f;
+      for (long long d = 0; d < num_diags; d++) {
+        const long long lo = start_pos[d], hi = start_pos[d + 1];
+        const long long jb = lo + p0;
+        const long long je = lo + p1 < hi ? lo + p1 : hi;
+        for (long long j = jb; j < je; j++) {
+          yp[row_ind[j]] += val[j] * xp[j - lo];
+        }
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) pool.emplace_back(worker, t);
+  for (auto& th : pool) th.join();
+  for (long long r = 0; r < nrows; r++) y[r] = 0.0f;
+  for (int t = 0; t < threads; t++) {
+    const float* yp = partial[t].data();
+    for (long long r = 0; r < nrows; r++) y[r] += yp[r];
   }
 }
 

@@ -68,6 +68,7 @@ def _load():
             ctypes.c_longlong,
             ctypes.c_longlong,
             ctypes.c_int,
+            ctypes.c_int,
         ]
         _LIB = lib
         return lib
@@ -127,10 +128,11 @@ class NativeTjdsSpMV:
 
     The jagged-diagonal traversal of the reference hot loop
     (main-cli.c:1013-1020) with the correct per-position x index
-    (SURVEY.md §B4). Serial (the y scatter spans all rows).
+    (SURVEY.md §B4). ``threads > 1`` stripes diagonal positions across
+    workers with private partial-y reduction (rows overlap stripes).
     """
 
-    def __init__(self, tjds):
+    def __init__(self, tjds, threads: Optional[int] = None):
         lib = _load()
         if lib is None:
             raise RuntimeError(
@@ -151,6 +153,8 @@ class NativeTjdsSpMV:
             np.asarray(tjds.vals)[: tjds.nnz], dtype=np.float32
         )
         self.perm = np.asarray(tjds.perm)
+        cpus = os.cpu_count() or 1
+        self.threads = min(threads or 1, 16)
 
     def __call__(self, x, iterations: int = 1) -> np.ndarray:
         x = np.asarray(x, dtype=np.float32)
@@ -158,7 +162,7 @@ class NativeTjdsSpMV:
         y = np.zeros(self.shape[0], dtype=np.float32)
         self._lib.tjds_spmv_f32(
             self.start_pos, self.row_ind, self.val, xp, y,
-            self.shape[0], self.num_diags, iterations,
+            self.shape[0], self.num_diags, iterations, self.threads,
         )
         return y
 
