@@ -159,6 +159,44 @@ def main() -> int:
 
         for alg, (enc, fn_xla, fn_pal, bytes_per) in encs.items():
             for kernel in kernels:
+                if kernel == "native":
+                    try:
+                        from smvp_toolkit_tpu.ops.spmv_native import (
+                            NativeCsrSpMV,
+                            NativeTjdsSpMV,
+                            native_spmv_available,
+                        )
+                    except ImportError:
+                        continue
+                    if not native_spmv_available():
+                        continue
+                    op = (NativeCsrSpMV if alg == "CSR" else NativeTjdsSpMV)(enc)
+                    xn = np.ones(coo.shape[1], dtype=np.float32)
+                    y = op(xn).astype(np.float64)
+                    err = float(np.abs(y - y_ref).max() / scale)
+                    if err > 1e-3:
+                        record({"matrix": name, "alg": alg, "kernel": kernel,
+                                "error": f"wrong result ({err:.2e})"})
+                        continue
+                    import time as _t2
+
+                    op(xn, iterations=20)
+                    t0 = _t2.perf_counter()
+                    op(xn, iterations=iters)
+                    dt_ms = (_t2.perf_counter() - t0) / iters * 1e3
+                    nnzs = coo.nnz / (dt_ms * 1e-3)
+                    rec = {
+                        "matrix": name, "alg": alg,
+                        "kernel": f"native-{op.threads}t",
+                        "nnz": coo.nnz, "avg_ms": round(dt_ms, 6),
+                        "gnnz_per_s": round(nnzs / 1e9, 3),
+                        "rel_err": err, "device": "cpu-native",
+                    }
+                    ref_ms = REFERENCE_MS.get((name, alg))
+                    if ref_ms:
+                        rec["vs_reference"] = round(ref_ms / dt_ms, 2)
+                    record(rec)
+                    continue
                 fn = fn_xla if kernel == "xla" else fn_pal
                 try:
                     y = np.asarray(fn(enc, x)).astype(np.float64)

@@ -103,8 +103,12 @@ class NativeCsrSpMV:
         self.val = np.ascontiguousarray(
             np.asarray(csr.vals)[: csr.nnz], dtype=np.float32
         )
-        cpus = os.cpu_count() or 1
-        self.threads = min(threads or cpus, 16)
+        if threads is None:
+            # Thread spawn costs ~25 us each; below ~32k nnz the serial
+            # loop wins outright.
+            cpus = os.cpu_count() or 1
+            threads = 1 if csr.nnz < 32768 else cpus
+        self.threads = min(threads, 16)
 
     def __call__(self, x, iterations: int = 1) -> np.ndarray:
         x = np.ascontiguousarray(np.asarray(x), dtype=np.float32)
@@ -153,8 +157,10 @@ class NativeTjdsSpMV:
             np.asarray(tjds.vals)[: tjds.nnz], dtype=np.float32
         )
         self.perm = np.asarray(tjds.perm)
-        cpus = os.cpu_count() or 1
-        self.threads = min(threads or 1, 16)
+        if threads is None:
+            cpus = os.cpu_count() or 1
+            threads = 1 if tjds.nnz < 32768 else cpus
+        self.threads = min(threads, 16)
 
     def __call__(self, x, iterations: int = 1) -> np.ndarray:
         x = np.asarray(x, dtype=np.float32)
