@@ -11,9 +11,11 @@ Intentional fix: ``--all-algs`` actually runs every algorithm — in the
 reference it is a no-op because ``ALG_ALL`` shares no bits with the
 per-algorithm masks (SURVEY.md §B1).
 
-New flags (TPU capabilities the reference lacks): ``--kernel``,
-``--dtype``, ``--expand-symmetry``, ``--decode-check``, ``--coe-out``,
-``--shards``.
+New flags (capabilities the reference lacks): ``--kernel`` (xla /
+pallas / native C++), ``--dtype``, ``--expand-symmetry``,
+``--decode-check``, ``--coe-out``, ``--shards``, ``--fused``,
+``--debug``, ``--lut-out``, ``--save-encoded``, ``--profile``,
+``--analyze``, ``--no-report``.
 """
 
 from __future__ import annotations
