@@ -95,7 +95,7 @@ void tjds_spmv_f32(const long long* start_pos, const int32_t* row_ind,
                    const float* val, const float* xp, float* y,
                    long long nrows, long long num_diags, int iterations,
                    int threads) {
-  if (threads <= 1) {
+  if (threads <= 1 || num_diags == 0) {
     for (int it = 0; it < iterations; it++) {
       for (long long r = 0; r < nrows; r++) y[r] = 0.0f;
       for (long long d = 0; d < num_diags; d++) {

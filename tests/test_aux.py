@@ -250,3 +250,20 @@ def test_native_tjds_matches_oracle():
     y = NativeTjdsSpMV(tj)(x)
     y_ref = coo.to_dense() @ x.astype(np.float64)
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_native_tjds_empty_matrix_threaded():
+    from smvp_toolkit_tpu.ops.spmv_native import (
+        NativeTjdsSpMV,
+        native_spmv_available,
+    )
+
+    if not native_spmv_available():
+        pytest.skip("libspmv.so not built")
+    coo = COOMatrix.from_numpy(
+        np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0),
+        shape=(8, 8),
+    )
+    tj = tjds_encode(coo.pad(8))
+    y = NativeTjdsSpMV(tj, threads=4)(np.ones(8, np.float32))
+    np.testing.assert_array_equal(y, np.zeros(8))
