@@ -306,7 +306,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             from smvp_toolkit_tpu.parallel import shard_and_bench
 
             stats, y = shard_and_bench(
-                alg_name, encoded, x, args.shards, iterations=args.iter
+                alg_name, encoded, x, args.shards, iterations=args.iter,
+                kernel=kernel_kind if kernel_kind in ("xla", "pallas")
+                else "xla",
             )
         elif args.fused:
             from smvp_toolkit_tpu.bench import bench_spmv_fused

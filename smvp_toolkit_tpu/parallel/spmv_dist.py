@@ -217,12 +217,42 @@ def spmv_tjds_sharded(sharded: ShardedTJDS, x: jax.Array, mesh: Mesh) -> jax.Arr
 # ---------------------------------------------------------------------------
 
 
-def shard_and_bench(alg_name, encoded, x, n_shards, *, iterations=1000):
-    """Shard an encoded matrix over n devices and benchmark sharded SpMV."""
+def shard_and_bench(
+    alg_name, encoded, x, n_shards, *, iterations=1000, kernel="xla"
+):
+    """Shard an encoded matrix over n devices and benchmark sharded SpMV.
+
+    ``kernel="pallas"`` runs the SELL-T1 Pallas kernel per device under
+    shard_map (format decoded to COO for planning); ``"xla"`` uses the
+    portable segment-sum kernels.
+    """
     from smvp_toolkit_tpu.bench.harness import time_fn
 
     mesh = make_mesh(n_shards)
-    if alg_name == "CSR":
+    if kernel == "pallas":
+        from smvp_toolkit_tpu.ops.spmv_pallas import (
+            _triplets_from_csr_host,
+            _triplets_from_tjds_host,
+        )
+        from smvp_toolkit_tpu.formats.coo import COOMatrix
+        from smvp_toolkit_tpu.parallel.sell_dist import (
+            shard_sell,
+            spmv_sell_sharded,
+        )
+
+        trip = (
+            _triplets_from_csr_host(encoded)
+            if alg_name == "CSR"
+            else _triplets_from_tjds_host(encoded)
+        )
+        r, c, v, shape = trip
+        coo = COOMatrix.from_numpy(
+            np.asarray(r, dtype=np.int32), np.asarray(c, dtype=np.int32),
+            v, shape=shape,
+        )
+        sharded = shard_sell(coo, mesh)
+        fn = lambda: spmv_sell_sharded(sharded, x, mesh)  # noqa: E731
+    elif alg_name == "CSR":
         sharded = shard_csr(encoded, mesh)
         fn = lambda: spmv_csr_sharded(sharded, x, mesh)  # noqa: E731
     elif alg_name == "TJDS":

@@ -209,3 +209,12 @@ def test_native_kernel_mode(tmp_path):
     f = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))[0]
     body = re.search(r"\[\n(.*?)\n\]", f.read_text(), re.S).group(1)
     assert sum(float(t) for t in body.split()) == 126.0
+
+
+def test_sharded_pallas_via_cli(tmp_path):
+    rc = main(["-c", "-n", "2", "--shards", "4", "--kernel", "pallas",
+               "-d", str(tmp_path), os.path.join(SAMPLE_DIR, "curtis54.mtx")])
+    assert rc == 0
+    f = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))[0]
+    body = re.search(r"\[\n(.*?)\n\]", f.read_text(), re.S).group(1)
+    assert sum(float(t) for t in body.split()) == 291.0
