@@ -13,6 +13,7 @@ from smvp_toolkit_tpu.bench.harness import (
     time_fn,
     bench_spmv,
     bench_spmv_fused,
+    bench_native_batched,
 )
 from smvp_toolkit_tpu.bench.report import generate_report_text, write_report
 from smvp_toolkit_tpu.bench.roofline import (
@@ -27,6 +28,7 @@ __all__ = [
     "time_fn",
     "bench_spmv",
     "bench_spmv_fused",
+    "bench_native_batched",
     "generate_report_text",
     "write_report",
     "hbm_bandwidth_gbs",

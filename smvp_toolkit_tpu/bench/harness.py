@@ -19,7 +19,13 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-__all__ = ["TimingStats", "time_fn", "bench_spmv", "bench_spmv_fused"]
+__all__ = [
+    "TimingStats",
+    "time_fn",
+    "bench_spmv",
+    "bench_spmv_fused",
+    "bench_native_batched",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,6 +38,10 @@ class TimingStats:
 
     times_ms: np.ndarray  # per-sample ms (flexible array member analog)
     iterations: int
+    # Fused device-loop runs cannot observe individual iterations: each
+    # sample is a per-launch average over the whole loop, so min/max/stdev
+    # describe launches, not iterations. Reports label this.
+    per_launch: bool = False
 
     @property
     def total_ms(self) -> float:
@@ -132,6 +142,48 @@ def bench_spmv(
     )
 
 
+def bench_native_batched(
+    op,
+    x,
+    *,
+    iterations: int = 1000,
+    repeats: int = 8,
+    warmup: int = 1,
+) -> TimingStats:
+    """Time a native (ctypes) operator with iterations batched inside the
+    C loop.
+
+    The ~2.7 µs Python→ctypes dispatch floor dominates sub-300-nnz
+    matrices when every iteration is a separate call; batching K
+    iterations per launch (the native kernels accept ``iterations=``)
+    measures the C hot loop itself, like the reference's in-process timed
+    loop (main-cli.c:402-420).
+    """
+    import numpy as np  # noqa: F811 — keep module import graph lazy-safe
+
+    xn = np.ascontiguousarray(np.asarray(x), dtype=np.float32)
+    repeats = max(min(repeats, iterations), 1)
+    per = iterations // repeats
+    for _ in range(max(warmup, 0)):
+        op(xn, iterations=max(min(per, 20), 1))
+
+    samples = []
+    left = iterations
+    for i in range(repeats):
+        k = per if i < repeats - 1 else left
+        left -= k
+        t0 = time.perf_counter_ns()
+        op(xn, iterations=k)
+        t1 = time.perf_counter_ns()
+        samples.append((t1 - t0) / 1e6 / k)
+    per_iter = np.repeat(np.asarray(samples), max(per, 1))[:iterations]
+    if per_iter.size < iterations:
+        per_iter = np.pad(per_iter, (0, iterations - per_iter.size),
+                          mode="edge")
+    return TimingStats(times_ms=per_iter, iterations=iterations,
+                       per_launch=per > 1)
+
+
 def bench_spmv_fused(
     spmv: Callable,
     matrix,
@@ -158,6 +210,11 @@ def bench_spmv_fused(
 
     nrows = matrix.shape[0]
 
+    # The kernel's output dtype sets the accumulator dtype: e.g. the
+    # Pallas SELL kernel returns float32 even for bfloat16 x, and a
+    # fori_loop carry must keep one dtype across iterations.
+    acc_dtype = jax.eval_shape(lambda xx: spmv(matrix, xx), x).dtype
+
     # The matrix is a closure constant, NOT a traced argument: SpMV
     # implementations may do host-side planning on it (the Pallas path
     # builds its SELL plan with numpy), which is impossible on tracers.
@@ -166,12 +223,14 @@ def bench_spmv_fused(
         def body(i, acc):
             # acc-dependent perturbation that is always exactly 0.0 at
             # runtime but defeats loop-invariant code motion.
-            xi = x.at[0].add(jnp.where(i < 0, acc[0], 0.0))
+            xi = x.at[0].add(
+                jnp.where(i < 0, acc[0], 0.0).astype(x.dtype)
+            )
             y = spmv(matrix, xi)
-            return acc + y
+            return acc + y.astype(acc_dtype)
 
         return jax.lax.fori_loop(
-            0, iterations, body, jnp.zeros((nrows,), x.dtype)
+            0, iterations, body, jnp.zeros((nrows,), acc_dtype)
         )
 
     for _ in range(max(warmup, 1)):
@@ -187,8 +246,9 @@ def bench_spmv_fused(
     # Expand the per-repeat loop averages to one sample per iteration so
     # TimingStats totals/extrema mean what the reference-format report
     # says they mean (Total ≈ iterations x avg; Fastest/Slowest are the
-    # best/worst device-loop averages).
+    # best/worst device-loop averages — per_launch marks them as such).
     per_iter = np.repeat(
         np.asarray(samples), -(-iterations // max(repeats, 1))
     )[:iterations]
-    return TimingStats(times_ms=per_iter, iterations=iterations)
+    return TimingStats(times_ms=per_iter, iterations=iterations,
+                       per_launch=True)

@@ -60,8 +60,13 @@ def generate_report_text(
         f"Fastest Time: {_g(stats.min_ms)} ms",
         f"Slowest Time: {_g(stats.max_ms)} ms",
         f"Time StDev: {_g(stats.stdev_ms)} ms",
-        "",
     ]
+    if getattr(stats, "per_launch", False):
+        lines.append(
+            "(fused device loop: Fastest/Slowest/StDev describe "
+            "per-launch averages, not individual iterations)"
+        )
+    lines.append("")
     if extra_metrics:
         lines.append("Device metrics:")
         for key, val in extra_metrics.items():

@@ -274,12 +274,28 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             from smvp_toolkit_tpu.ops.spmv_native import NativeTjdsSpMV
 
+            # Operator cache: building the ctypes operator re-copies the
+            # format arrays; benchmark loops must reuse one instance.
+            ops = {}
+
+            def _native_op(alg, encoded):
+                op = ops.get((alg, id(encoded)))
+                if op is None:
+                    cls = NativeCsrSpMV if alg == ALG_CSR else NativeTjdsSpMV
+                    op = cls(encoded)
+                    ops[(alg, id(encoded))] = op
+                return op
+
             def csr_native(encoded, xx):
-                return jnp.asarray(NativeCsrSpMV(encoded)(np.asarray(xx)))
+                return jnp.asarray(_native_op(ALG_CSR, encoded)(np.asarray(xx)))
 
             def tjds_native(encoded, xx):
-                return jnp.asarray(NativeTjdsSpMV(encoded)(np.asarray(xx)))
+                return jnp.asarray(
+                    _native_op(ALG_TJDS, encoded)(np.asarray(xx))
+                )
 
+            csr_native.native_op = lambda e: _native_op(ALG_CSR, e)
+            tjds_native.native_op = lambda e: _native_op(ALG_TJDS, e)
             return csr_native, tjds_native, "native"
         use_pallas = args.kernel == "pallas" or (
             args.kernel == "auto" and device.platform != "cpu"
@@ -300,16 +316,33 @@ def main(argv: Optional[List[str]] = None) -> int:
     csr_fn, tjds_fn, kernel_kind = _spmv_fns()
 
     def _run(alg_name, encoded, spmv_fn, bytes_per_iter):
-        log("INFO", f"Benchmarking {alg_name} SpMV ({kernel_kind} kernel), "
+        run_kernel = kernel_kind  # the kernel actually benchmarked
+        if args.shards > 1 and kernel_kind not in ("xla", "pallas"):
+            # The sharded path runs jitted device kernels; the native
+            # ctypes backend cannot trace. Report what actually ran.
+            run_kernel = "xla"
+            log("INFO", "--shards does not support the native backend; "
+                "benchmarking the XLA kernel instead.")
+        log("INFO", f"Benchmarking {alg_name} SpMV ({run_kernel} kernel), "
             f"{args.iter} iterations.")
         if args.shards > 1:
             from smvp_toolkit_tpu.parallel import shard_and_bench
 
             stats, y = shard_and_bench(
                 alg_name, encoded, x, args.shards, iterations=args.iter,
-                kernel=kernel_kind if kernel_kind in ("xla", "pallas")
-                else "xla",
+                kernel=run_kernel,
             )
+        elif kernel_kind == "native":
+            # Batch iterations inside the C loop (both --fused and
+            # per-call modes): a traced fori_loop cannot call ctypes, and
+            # batching amortizes the ~2.7 us dispatch floor that would
+            # otherwise dominate sub-300-nnz matrices.
+            from smvp_toolkit_tpu.bench import bench_native_batched
+
+            stats = bench_native_batched(
+                spmv_fn.native_op(encoded), x, iterations=args.iter
+            )
+            y = None
         elif args.fused:
             from smvp_toolkit_tpu.bench import bench_spmv_fused
 
@@ -348,7 +381,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 output_vector=y[: coo.shape[0]],
                 extra_metrics={
                     "Device": f"{device.device_kind} ({device.platform})",
-                    "Kernel": kernel_kind,
+                    "Kernel": run_kernel,
                     "nnz/s": f"{nnzs:.4g}",
                     "Effective GB/s": f"{gbs:.4g}",
                     "Roofline fraction": f"{frac:.4g}",

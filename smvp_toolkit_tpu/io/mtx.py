@@ -227,6 +227,14 @@ def _read_size_line(f: TextIO, typecode: MMTypeCode) -> Tuple[int, int, int]:
             raise MTXError(f"bad size line: {stripped!r}") from e
         if m < 0 or n < 0 or nnz < 0:
             raise MTXError(f"negative dimension in size line: {stripped!r}")
+        if not typecode.is_general and m != n:
+            # MatrixMarket symmetric/skew/hermitian matrices must be
+            # square; a malformed rectangular declaration would otherwise
+            # surface as a raw numpy error in the triangle enumeration.
+            raise MTXError(
+                f"{typecode.symmetry} matrix must be square, "
+                f"got {m}x{n} in size line {stripped!r}"
+            )
         return m, n, nnz
     raise MTXPrematureEOF("file ended before the size line")
 
@@ -394,6 +402,13 @@ def read_mtx(
     if result is None:
         result = read_mtx_raw(source)
     typecode, nrows, ncols, r, c, v = result
+    if not typecode.is_general and nrows != ncols:
+        # The Python parser rejects this at the size line; the native C++
+        # fast path does not, so the gate is repeated here.
+        raise MTXError(
+            f"{typecode.symmetry} matrix must be square, "
+            f"got {nrows}x{ncols}"
+        )
     if expand_symmetry:
         r, c, v = expand_symmetric(typecode, r, c, v)
     if np.iscomplexobj(v):

@@ -218,3 +218,42 @@ def test_sharded_pallas_via_cli(tmp_path):
     f = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))[0]
     body = re.search(r"\[\n(.*?)\n\]", f.read_text(), re.S).group(1)
     assert sum(float(t) for t in body.split()) == 291.0
+
+
+def test_fused_native_kernel_batches(tmp_path):
+    """--fused --kernel native runs the batched C loop instead of trying
+    to trace ctypes inside a fori_loop (round-1 advisor finding)."""
+    from smvp_toolkit_tpu.ops.spmv_native import native_spmv_available
+
+    if not native_spmv_available():
+        pytest.skip("libspmv.so not built")
+    rc = main(["-c", "-t", "-n", "8", "--fused", "--kernel", "native",
+               "-d", str(tmp_path), IBM32])
+    assert rc == 0
+    f = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))[0]
+    body = re.search(r"\[\n(.*?)\n\]", f.read_text(), re.S).group(1)
+    assert sum(float(t) for t in body.split()) == 126.0
+
+
+def test_sharded_native_reports_actual_kernel(tmp_path):
+    """--shards with --kernel native benchmarks XLA; the report must say
+    so (round-1 advisor finding: misattributed kernel label)."""
+    from smvp_toolkit_tpu.ops.spmv_native import native_spmv_available
+
+    if not native_spmv_available():
+        pytest.skip("libspmv.so not built")
+    rc = main(["-c", "-n", "2", "--shards", "2", "--kernel", "native",
+               "-d", str(tmp_path), IBM32])
+    assert rc == 0
+    f = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))[0]
+    text = f.read_text()
+    assert "Kernel: xla" in text
+    assert "Kernel: native" not in text
+
+
+def test_fused_bfloat16_pallas_accumulates(tmp_path):
+    """--fused with --dtype bfloat16 and the (f32-returning) Pallas
+    kernel must not crash on carry-dtype mismatch (advisor finding)."""
+    rc = main(["-c", "-n", "2", "--fused", "--kernel", "pallas",
+               "--dtype", "bfloat16", "-d", str(tmp_path), IBM32])
+    assert rc == 0

@@ -335,3 +335,26 @@ def test_negative_size_raises_typed_error():
     )
     with pytest.raises(MTXError):
         read_mtx_raw(src)
+
+
+def test_symmetric_must_be_square(tmp_path):
+    """A rectangular symmetric declaration raises a typed MTXError, not a
+    raw numpy ValueError (round-1 advisor finding)."""
+    import pytest
+
+    from smvp_toolkit_tpu.io.mtx import MTXError, read_mtx
+
+    p = tmp_path / "rect_sym_array.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix array real symmetric\n3 5\n"
+        + "1.0\n" * 6
+    )
+    with pytest.raises(MTXError):
+        read_mtx(str(p))
+    p2 = tmp_path / "rect_sym_coord.mtx"
+    p2.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n3 5 2\n"
+        "1 1 1.0\n2 2 2.0\n"
+    )
+    with pytest.raises(MTXError):
+        read_mtx(str(p2))
