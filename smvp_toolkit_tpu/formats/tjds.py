@@ -26,6 +26,7 @@ is no host loop over columns or diagonals.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -100,14 +101,20 @@ class TJDSMatrix:
 
 
 @jax.jit
-def _tjds_encode_impl(coo: COOMatrix) -> TJDSMatrix:
+def _max_col_count(coo: COOMatrix) -> jax.Array:
+    """Longest column's entry count (the true jagged-diagonal count)."""
+    ncols = coo.shape[1]
+    valid = jnp.arange(coo.nnz_padded, dtype=jnp.int32) < coo.nnz
+    cols = jnp.where(valid, coo.cols, ncols).astype(jnp.int32)
+    counts = jnp.bincount(cols, length=ncols + 1)[:ncols]
+    return counts.max() if ncols > 0 else jnp.int32(0)
+
+
+@partial(jax.jit, static_argnames=("diag_bound",))
+def _tjds_encode_impl(coo: COOMatrix, diag_bound: int) -> TJDSMatrix:
     nrows, ncols = coo.shape
     nnz = coo.nnz
     npad = coo.nnz_padded
-    # Upper bound on the diagonal count: the longest column cannot exceed
-    # the entry count (duplicates may push it past nrows, so npad is the
-    # only safe static bound).
-    diag_bound = npad
 
     valid = jnp.arange(npad, dtype=jnp.int32) < nnz
     rows = jnp.where(valid, coo.rows, nrows).astype(jnp.int32)
@@ -173,8 +180,17 @@ def _tjds_encode_impl(coo: COOMatrix) -> TJDSMatrix:
 
 
 def tjds_encode(coo: COOMatrix) -> TJDSMatrix:
-    """Encode COO → TJDS on device (jitted XLA sorts + prefix builds)."""
-    return _tjds_encode_impl(coo)
+    """Encode COO → TJDS on device (jitted XLA sorts + prefix builds).
+
+    The diagonal-count bound is measured first (one tiny device reduce
+    whose scalar comes back to the host) so ``start_pos`` is sized
+    O(num_diags), not O(nnz_padded) — a 10M-nnz matrix must not carry a
+    40 MB prefix array for a format whose point is compression. The bound
+    rounds up to a multiple of 8 to bucket recompiles of the encoder.
+    """
+    nd = int(_max_col_count(coo))
+    diag_bound = max(-(-nd // 8) * 8, 8)
+    return _tjds_encode_impl(coo, diag_bound)
 
 
 @jax.jit

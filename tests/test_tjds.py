@@ -159,3 +159,47 @@ def test_footprint_accounting():
     nd = int(tj.num_diags)
     expected = 291 * (4 + 4) + (nd + 1) * 4 + 54 * 4
     assert tj.footprint_bytes() == expected
+
+
+def test_start_pos_is_o_num_diags():
+    """start_pos must be sized by the diagonal count, not padded nnz
+    (round-1 finding: diag_bound = npad made it O(nnz_padded))."""
+    import numpy as np
+
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.formats.tjds import tjds_encode
+
+    rng = np.random.default_rng(7)
+    n = 200
+    nnz = 2000
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    v = rng.standard_normal(nnz)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(n, n)).pad(256)
+    tj = tjds_encode(coo)
+    nd = int(tj.num_diags)
+    assert tj.start_pos.shape[0] <= -(-nd // 8) * 8 + 1
+    assert tj.start_pos.shape[0] < coo.nnz_padded // 2
+
+
+def test_tjds_duplicates_roundtrip():
+    """Duplicate (row, col) entries survive encode/decode and make
+    column lengths exceed nrows without breaking the diagonal bound."""
+    import numpy as np
+
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.formats.tjds import tjds_decode, tjds_encode
+
+    r = np.array([0, 0, 0, 0, 1, 2], dtype=np.int32)
+    c = np.array([1, 1, 1, 1, 1, 0], dtype=np.int32)
+    v = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    coo = COOMatrix.from_numpy(r, c, v, shape=(3, 3)).pad(8)
+    tj = tjds_encode(coo)
+    assert int(tj.num_diags) == 5  # column 1 holds 5 entries > nrows
+    back = tjds_decode(tj).canonical_order()
+    ref = coo.canonical_order()
+    br, bc, bv = back.to_numpy()
+    rr, rc, rv = ref.to_numpy()
+    np.testing.assert_array_equal(br, rr)
+    np.testing.assert_array_equal(bc, rc)
+    np.testing.assert_allclose(np.sort(bv), np.sort(rv))
