@@ -72,7 +72,13 @@ def main(argv=None) -> int:
             f"{args.alg.upper()} sharded over {n_dev} devices: "
             f"avg {stats.avg_ms:.4f} ms  ({nnzs/1e9:.3f} Gnnz/s aggregate)",
         )
-        log("DATA", f"y checksum: {float(y.sum()):.6g}")
+    # Every process prints its checksum: multi-process tests assert the
+    # replicated y agrees across the process group.
+    log(
+        "DATA",
+        f"y checksum [process {jax.process_index()}]: {float(y.sum()):.6g}",
+    )
+    if is_lead:
         log("STOP", "done")
     return 0
 

@@ -169,9 +169,12 @@ def spmv_csr_sharded(
 ) -> jax.Array:
     """y = A·x with row-block DP; x replicated, y ordered.
 
-    With ``gather=True`` the per-device y blocks are all-gathered (ordered
-    by shard = matrix row order) and the padded tail sliced off; with
-    ``False`` the result stays sharded as (n, rows_per_shard).
+    With ``gather=True`` the per-device y blocks are all-gathered inside
+    the shard_map (an ordered ``all_gather`` along the dp axis — shard
+    order IS matrix row order) and the padded tail sliced off; the result
+    is fully replicated, so it is addressable on every process of a
+    multi-host run. With ``False`` the result stays sharded as
+    (n, rows_per_shard).
     """
     rows_blk = sharded.rows_per_shard
 
@@ -180,16 +183,22 @@ def spmv_csr_sharded(
         yblk = jax.ops.segment_sum(
             prod, lrows[0], num_segments=rows_blk, indices_are_sorted=True
         )
+        if gather:
+            return jax.lax.all_gather(yblk, DP_AXIS, tiled=True)
         return yblk[None, :]
 
     y_blocks = jax.shard_map(
         local_spmv,
         mesh=mesh,
         in_specs=(P(DP_AXIS, None), P(DP_AXIS, None), P(DP_AXIS, None), P()),
-        out_specs=P(DP_AXIS, None),
+        out_specs=P() if gather else P(DP_AXIS, None),
+        # all_gather output IS replicated (every device holds the full,
+        # identically-ordered y) but the varying-mesh-axes checker cannot
+        # infer that through collectives.
+        check_vma=not gather,
     )(sharded.vals, sharded.col_ind, sharded.local_rows, x)
     if gather:
-        return y_blocks.reshape(-1)[: sharded.shape[0]]
+        return y_blocks[: sharded.shape[0]]
     return y_blocks
 
 
