@@ -21,6 +21,7 @@ from smvp_toolkit_tpu.bench.roofline import (
     roofline_fraction,
     spmv_bytes_csr,
     spmv_bytes_tjds,
+    spmv_bytes_cisr,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "roofline_fraction",
     "spmv_bytes_csr",
     "spmv_bytes_tjds",
+    "spmv_bytes_cisr",
 ]

@@ -75,5 +75,18 @@ def spmv_bytes_tjds(nnz: int, nrows: int, ndiags: int, value_bytes: int = 4) -> 
     )
 
 
+def spmv_bytes_cisr(
+    num_groups: int, slot_count: int, nrows: int, value_bytes: int = 4
+) -> float:
+    """Bytes touched per CISR-schedule SpMV iteration.
+
+    Every beat×slot cell is read (val + col + x-gather), including the
+    zero padding of idle channels — that traffic is the cost of the
+    interleaved layout; y write per row.
+    """
+    cells = num_groups * slot_count
+    return cells * (value_bytes + _isz() + value_bytes) + nrows * value_bytes
+
+
 def roofline_fraction(gbs: float, device=None) -> float:
     return gbs / hbm_bandwidth_gbs(device)

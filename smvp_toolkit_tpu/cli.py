@@ -315,9 +315,15 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     csr_fn, tjds_fn, kernel_kind = _spmv_fns()
 
-    def _run(alg_name, encoded, spmv_fn, bytes_per_iter):
+    def _run(alg_name, encoded, spmv_fn, bytes_per_iter, force_xla=False):
         run_kernel = kernel_kind  # the kernel actually benchmarked
-        if args.shards > 1 and kernel_kind not in ("xla", "pallas"):
+        use_shards = args.shards > 1 and not force_xla
+        if force_xla:
+            if kernel_kind != "xla" or args.shards > 1:
+                log("INFO", f"{alg_name} SpMV runs on the XLA schedule "
+                    "kernel (no sharded/native/pallas variant).")
+            run_kernel = "xla"
+        elif args.shards > 1 and kernel_kind not in ("xla", "pallas"):
             # The sharded path runs jitted device kernels; the native
             # ctypes backend cannot trace. Report what actually ran.
             run_kernel = "xla"
@@ -325,14 +331,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "benchmarking the XLA kernel instead.")
         log("INFO", f"Benchmarking {alg_name} SpMV ({run_kernel} kernel), "
             f"{args.iter} iterations.")
-        if args.shards > 1:
+        if use_shards:
             from smvp_toolkit_tpu.parallel import shard_and_bench
 
             stats, y = shard_and_bench(
                 alg_name, encoded, x, args.shards, iterations=args.iter,
                 kernel=run_kernel,
             )
-        elif kernel_kind == "native":
+        elif kernel_kind == "native" and not force_xla:
             # Batch iterations inside the C loop (both --fused and
             # per-call modes): a traced fori_loop cannot call ctypes, and
             # batching amortizes the ~2.7 us dispatch floor that would
@@ -454,6 +460,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             log("FILE", f"CISR COE image saved as:\n\t{args.coe_out}")
         else:
             print(text)
+        # Compute with the schedule — the capability the reference only
+        # gestures at (its CISR path stops at .coe emission,
+        # main-cli.c:542-612): channel-per-lane interleaved SpMV.
+        from smvp_toolkit_tpu.bench import spmv_bytes_cisr
+        from smvp_toolkit_tpu.ops import spmv_cisr
+
+        _run(
+            ALG_CISR,
+            cisr,
+            spmv_cisr,
+            spmv_bytes_cisr(
+                cisr.num_groups, cisr.slot_count, coo.shape[0], vbytes
+            ),
+            force_xla=True,
+        )
 
     log("STOP", "smvp-toolkit-tpu run complete.")
     return exit_code

@@ -13,12 +13,15 @@ from smvp_toolkit_tpu.ops.spmv_xla import (
     spmm_csr,
     spmm_tjds,
 )
+from smvp_toolkit_tpu.ops.spmv_cisr import spmv_cisr, CisrSpMV
 
 __all__ = [
     "spmv_coo",
     "spmv_csr",
     "spmv_csr_cumsum",
     "spmv_tjds",
+    "spmv_cisr",
+    "CisrSpMV",
     "spmm_csr",
     "spmm_tjds",
 ]

@@ -19,7 +19,7 @@ from smvp_toolkit_tpu.formats.cisr import (
 from smvp_toolkit_tpu.formats.coo import COOMatrix
 from smvp_toolkit_tpu.io.mtx import read_mtx
 
-from conftest import SAMPLE_DIR, SAMPLES_SMALL, random_coo
+from conftest import SAMPLE_DIR, SAMPLES_ALL, SAMPLES_SMALL, random_coo
 
 
 def _load(name):
@@ -168,3 +168,75 @@ def test_coe_emits_all_row_lengths_with_many_empty_rows():
     text = write_coe(cisr)
     rowlen_words = [ln for ln in text.splitlines() if ln.startswith("02")]
     assert len(rowlen_words) == 20  # all 40 lengths, two per word
+
+
+# ---------------------------------------------------------------------------
+# Schedule-consuming SpMV (the compute the reference never implemented)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", SAMPLES_ALL)
+def test_cisr_spmv_matches_oracle(name, sample_dir):
+    """spmv_cisr executes the interleaved schedule and must agree with a
+    float64 host oracle on every reference sample, general x."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops import spmv_cisr
+
+    coo = read_mtx(os.path.join(sample_dir, name))
+    r, c, v = coo.to_numpy()
+    cisr = cisr_encode(coo, slot_count=16)
+    rng = np.random.default_rng(3)
+    xh = rng.standard_normal(coo.shape[1]).astype(np.float32)
+    y = np.asarray(spmv_cisr(cisr, jnp.asarray(xh))).astype(np.float64)
+    y_ref = np.zeros(coo.shape[0])
+    np.add.at(y_ref, r, v.astype(np.float64) * xh[c].astype(np.float64))
+    scale = np.abs(y_ref).max() + 1e-30
+    assert np.abs(y - y_ref).max() / scale < 1e-5
+
+
+@pytest.mark.parametrize("slots", [1, 3, 16, 128])
+def test_cisr_spmv_slot_counts(slots):
+    """Correct across channel counts incl. degenerate 1 and lane-wide 128,
+    with empty rows in the matrix."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.ops import spmv_cisr
+
+    rng = np.random.default_rng(slots)
+    nrows, ncols, nnz = 97, 61, 400
+    r = rng.integers(0, nrows, nnz).astype(np.int32)
+    r[r % 7 == 0] = 5  # force several empty rows + a heavy row
+    c = rng.integers(0, ncols, nnz).astype(np.int32)
+    # de-duplicate (the CISR scheduler consumes CSR, duplicates coalesce
+    # in the oracle but not the schedule stream)
+    keys = np.unique(r.astype(np.int64) * ncols + c)
+    r = (keys // ncols).astype(np.int32)
+    c = (keys % ncols).astype(np.int32)
+    v = rng.standard_normal(len(r))
+    coo = COOMatrix.from_numpy(r, c, v, shape=(nrows, ncols))
+    cisr = cisr_encode(coo, slot_count=slots)
+    xh = rng.standard_normal(ncols).astype(np.float32)
+    y = np.asarray(spmv_cisr(cisr, jnp.asarray(xh))).astype(np.float64)
+    y_ref = np.zeros(nrows)
+    np.add.at(y_ref, r, v * xh[c].astype(np.float64))
+    scale = np.abs(y_ref).max() + 1e-30
+    assert np.abs(y - y_ref).max() / scale < 1e-5
+
+
+def test_cli_cisr_benchmark_report(tmp_path):
+    """-g now also benchmarks the schedule-consuming kernel and writes a
+    CISR report whose y matches the CSR math."""
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    rc = cli_main(["-g", "-n", "2", "-d", str(tmp_path),
+                   "--coe-out", str(tmp_path / "x.coe"),
+                   os.path.join(SAMPLE_DIR, "curtis54.mtx")])
+    assert rc == 0
+    f = list(tmp_path.glob("smvp-toolbox_report_CISR_*.txt"))[0]
+    import re as _re
+
+    body = _re.search(r"\[\n(.*?)\n\]", f.read_text(), _re.S).group(1)
+    assert sum(float(t) for t in body.split()) == 291.0
