@@ -38,7 +38,7 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
-def _make_sell_kernel(precision, ns, wt):
+def _make_sell_kernel(precision, ns, wt, bf16_values):
     def _sell_kernel(x_ref, val_ref, lidx_ref, rel_ref, sl_ref, y_ref):
         step = pl.program_id(0)
 
@@ -50,24 +50,32 @@ def _make_sell_kernel(precision, ns, wt):
         # sublane (storing them dense would be O(S x NS) bytes — 7 GB at
         # 10M nnz). An iota compare is a few hundred ns on the VPU.
         wt_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wt), 1)
-        oht = (rel_ref[:] == wt_iota).astype(jnp.float32)  # (chunk, wt)
 
         # 1. Materialize each sublane's 128-wide x tile (one-hot MXU select
-        # from this chunk's WT-tile x window). Precision matters: the MXU's
-        # single-pass bf16 default would round the selected x values (and
-        # the reduced sums) to ~3 decimal digits (observed 1e-2 error).
-        # HIGHEST (6-pass) is f32-exact; HIGH (3-pass) gives ~1e-5 at half
-        # the matmul cost.
+        # from this chunk's WT-tile x window). Precision matters: when x is
+        # f32, the MXU's single-pass bf16 default would round the selected
+        # x values to ~3 decimal digits (observed 1e-2 error) — HIGHEST
+        # (6-pass) is f32-exact. In bf16 value mode x is *already* bf16, so
+        # a single MXU pass selects it exactly: the one-hot entries are
+        # exact in bf16 and f32 accumulation of one product is lossless —
+        # the 6x precision tax disappears along with half the HBM traffic.
+        if bf16_values:
+            oht = (rel_ref[:] == wt_iota).astype(jnp.bfloat16)
+            table_prec = jax.lax.Precision.DEFAULT
+        else:
+            oht = (rel_ref[:] == wt_iota).astype(jnp.float32)
+            table_prec = precision
         table = jnp.dot(
             oht,
             x_ref[0],
             preferred_element_type=jnp.float32,
-            precision=precision,
+            precision=table_prec,
         )
         # 2. In-tile gather: a single VPU lane shuffle.
         g = jnp.take_along_axis(table, lidx_ref[:], axis=1)
-        # 3. Products (dead slots have val == 0).
-        prod = val_ref[:] * g
+        # 3. Products (dead slots have val == 0). Arithmetic stays f32;
+        # bf16 is a storage format here.
+        prod = val_ref[:].astype(jnp.float32) * g
         # 4. Row reduce: sum sublanes into their slice (one-hot MXU).
         ns_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
         seg = (ns_iota == sl_ref[:]).astype(jnp.float32)  # (ns, chunk)
@@ -97,8 +105,9 @@ def _sell_spmv_call(
             for i in range(n_chunks)
         ]
     )
+    bf16_values = vals.dtype == jnp.bfloat16
     return pl.pallas_call(
-        _make_sell_kernel(precision, ns, wt),
+        _make_sell_kernel(precision, ns, wt, bf16_values),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
@@ -126,6 +135,7 @@ class SellSpMV:
         plan: SellPlan,
         interpret: bool | None = None,
         precision=None,
+        value_dtype=None,
         _triplets=None,
     ):
         self.plan = plan
@@ -134,12 +144,24 @@ class SellSpMV:
         self.precision = (
             jax.lax.Precision.HIGHEST if precision is None else precision
         )
+        # bf16 value mode: vals AND the x stream are stored/streamed in
+        # bfloat16 (halving the dominant HBM traffic) while all kernel
+        # arithmetic accumulates in f32. Exact w.r.t. the bf16-rounded
+        # inputs — see the kernel's table-matmul note.
+        self.value_dtype = (
+            jnp.dtype(value_dtype) if value_dtype is not None
+            else jnp.dtype(jnp.float32)
+        )
+        if self.value_dtype not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
+        ):
+            raise ValueError("value_dtype must be float32 or bfloat16")
         # Eager upload even if construction happens inside a jit trace
         # (e.g. the fused benchmark loop builds the cached operator during
         # tracing): without this the arrays would be trace-local tracers
         # and leak through the operator cache.
         with jax.ensure_compile_time_eval():
-            self.vals = jnp.asarray(plan.vals)
+            self.vals = jnp.asarray(plan.vals, dtype=self.value_dtype)
             self.lidx = jnp.asarray(plan.lane_idx)
             self.rel_tile = jnp.asarray(plan.rel_tile)
             self.slice_of = jnp.asarray(plan.slice_of)
@@ -170,6 +192,7 @@ class SellSpMV:
                 plan_t,
                 interpret=self.interpret,
                 precision=self.precision,
+                value_dtype=self.value_dtype,
                 _triplets=(c, r, v),
             )
         return self._t_op
@@ -206,7 +229,7 @@ class SellSpMV:
     def __call__(self, x: jax.Array) -> jax.Array:
         plan = self.plan
         ncols_pad = plan.n_coltiles * LANES
-        x = x.astype(jnp.float32)
+        x = x.astype(self.value_dtype)
         if x.shape[0] < ncols_pad:
             x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
         x_tiles = x.reshape(plan.n_coltiles, LANES)
@@ -277,7 +300,17 @@ def _cached_op(matrix, triplets_fn) -> SellSpMV:
             return op
         del _CACHE[key]  # stale id reuse
     r, c, v, shape = triplets_fn(matrix)
-    op = SellSpMV(build_sell_plan(r, c, v, shape), _triplets=(r, c, v))
+    # A bfloat16-encoded matrix runs the kernel in bf16 value mode (the
+    # CLI's --dtype bfloat16 must actually change kernel traffic, not
+    # just the encode dtype).
+    vdt = (
+        jnp.bfloat16
+        if jnp.dtype(getattr(matrix, "dtype", jnp.float32)) == jnp.bfloat16
+        else jnp.float32
+    )
+    op = SellSpMV(
+        build_sell_plan(r, c, v, shape), value_dtype=vdt, _triplets=(r, c, v)
+    )
     try:
         ref = weakref.ref(matrix, lambda _r, _k=key: _CACHE.pop(_k, None))
     except TypeError:  # non-weakrefable input

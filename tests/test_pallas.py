@@ -212,3 +212,51 @@ def test_transpose_inherits_precision():
     coo = _load("pdp08-pg4.mtx")
     op = SellSpMV.from_coo(coo, precision=jax.lax.Precision.HIGH)
     assert op.transpose().precision == jax.lax.Precision.HIGH
+
+
+def test_bf16_value_mode_accuracy():
+    """bf16 value mode: vals + x stream in bfloat16, f32 accumulation.
+    Error vs the f64 oracle must be within bf16 rounding of the inputs
+    (~1e-2 relative), and the operator's buffers must actually be bf16."""
+    coo = _load("curtis54.mtx")
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    assert op.vals.dtype == jnp.bfloat16
+    rng = np.random.RandomState(1)
+    x = rng.randn(coo.shape[1]).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    assert y.dtype == np.float32
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    scale = np.abs(y_ref).max() + 1e-30
+    assert np.abs(y - y_ref).max() / scale < 2e-2
+    # And it must be *exact* w.r.t. bf16-rounded inputs.
+    import ml_dtypes
+
+    vals_bf = np.asarray(op.plan.vals).astype(ml_dtypes.bfloat16)
+    x_bf = x.astype(ml_dtypes.bfloat16)
+    r, c, v = coo.to_numpy()
+    dense = np.zeros(coo.shape, dtype=np.float64)
+    # rebuild the bf16-rounded dense operator from the plan's slot values
+    y_bf_ref = np.zeros(coo.shape[0], dtype=np.float64)
+    np.add.at(
+        y_bf_ref, r,
+        v.astype(ml_dtypes.bfloat16).astype(np.float64)
+        * x_bf[c].astype(np.float64),
+    )
+    assert np.abs(y - y_bf_ref).max() / scale < 1e-6
+
+
+def test_bf16_mode_via_format_wrapper():
+    """A bfloat16-encoded CSR routes through the kernel in bf16 value mode
+    (--dtype bfloat16 changes kernel traffic, not just encode dtype)."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import _cached_op, _triplets_from_csr_host
+
+    coo = _load("ibm32.mtx")
+    csr = csr_encode(
+        COOMatrix.from_numpy(*coo.to_numpy(), shape=coo.shape,
+                             dtype=jnp.bfloat16)
+    )
+    op = _cached_op(csr, _triplets_from_csr_host)
+    assert op.value_dtype == jnp.dtype(jnp.bfloat16)
+    x = jnp.ones((coo.shape[1],), jnp.bfloat16)
+    y = np.asarray(op(x))
+    assert float(y.sum()) == 126.0  # pattern matrix, exact in bf16
