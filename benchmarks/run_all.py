@@ -147,6 +147,28 @@ def main() -> int:
                 record({"matrix": name, "alg": alg, "op": "encode",
                         "error": str(e)[:200]})
 
+        # SELL plan throughput (the Pallas performance path's encode;
+        # BASELINE.json "encode MB/s" applies to it too — the C++ planner
+        # pass makes the 10M-nnz config tractable).
+        try:
+            from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+
+            t0 = _time.perf_counter()
+            plan = build_sell_plan(r, c, v, coo.shape)
+            dt = _time.perf_counter() - t0
+            record({
+                "matrix": name,
+                "alg": "SELL",
+                "op": "plan",
+                "encode_ms": round(dt * 1e3, 3),
+                "encode_mb_s": round(coo_bytes / dt / 1e6, 1),
+                "sublanes": plan.n_sublanes,
+                "window_tiles": plan.window_tiles,
+            })
+        except Exception as e:  # pragma: no cover
+            record({"matrix": name, "alg": "SELL", "op": "plan",
+                    "error": str(e)[:200]})
+
         encs = {
             "CSR": (csr_encode(coo), spmv_csr, spmv_csr_pallas,
                     spmv_bytes_csr(coo.nnz, coo.shape[0])),

@@ -34,7 +34,10 @@ device kernel lives in ``spmv_pallas.py``.
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
+import os
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -42,6 +45,51 @@ import numpy as np
 __all__ = ["SellPlan", "build_sell_plan"]
 
 LANES = 128
+
+_PLAN_LIB = None
+_PLAN_LIB_FAILED = False
+_PLAN_LOCK = threading.Lock()
+
+
+def _plan_lib():
+    """ctypes handle to the native planner (None if unavailable)."""
+    global _PLAN_LIB, _PLAN_LIB_FAILED
+    with _PLAN_LOCK:
+        if _PLAN_LIB is not None:
+            return _PLAN_LIB
+        if _PLAN_LIB_FAILED or os.environ.get("SMVP_NO_NATIVE_PLAN") == "1":
+            return None
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.abspath(
+            os.path.join(here, "..", "native", "libsellplan.so")
+        )
+        if not os.path.exists(path):
+            _PLAN_LIB_FAILED = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:  # pragma: no cover
+            _PLAN_LIB_FAILED = True
+            return None
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.sell_plan_create.restype = ctypes.c_void_p
+        lib.sell_plan_create.argtypes = [
+            i64p, i64p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_int,
+        ]
+        lib.sell_plan_sublanes.restype = ctypes.c_longlong
+        lib.sell_plan_sublanes.argtypes = [ctypes.c_void_p]
+        lib.sell_plan_fill.restype = None
+        lib.sell_plan_fill.argtypes = [
+            ctypes.c_void_p, i64p, f32p, ctypes.c_longlong,
+            f32p, i32p, i64p, i64p,
+        ]
+        lib.sell_plan_free.restype = None
+        lib.sell_plan_free.argtypes = [ctypes.c_void_p]
+        _PLAN_LIB = lib
+        return lib
 
 
 def _round_up(x: int, m: int) -> int:
@@ -147,6 +195,20 @@ def build_sell_plan(
             chunk=chunk,
         )
 
+    # Native planner fast path: one threaded C++ sort + linear passes
+    # (~10x the numpy flow at 10M nnz on this host). Falls back to the
+    # numpy planner when the library is missing or field widths overflow.
+    lib = _plan_lib()
+    if lib is not None:
+        native = _build_native(
+            lib, rows, cols, v, shape, nnz, CT, NS,
+            chunk=chunk,
+            min_window_tiles=min_window_tiles,
+            allow_small_chunk=allow_small_chunk,
+        )
+        if native is not None:
+            return native
+
     slice_ = rows >> 7
     lane = rows & 127
     tile = cols >> 7
@@ -208,6 +270,18 @@ def build_sell_plan(
     if S > S_true:  # dead padding sublanes adopt the last real tile
         u_tile[S_true:] = u_tile[S_true - 1]
 
+    return _finish_plan(
+        vals_a, lidx_a, u_tile, u_slice, S_true, S, chunk,
+        CT=CT, NS=NS, shape=shape, nnz=nnz,
+        min_window_tiles=min_window_tiles,
+    )
+
+
+def _finish_plan(
+    vals_a, lidx_a, u_tile, u_slice, S_true, S, chunk, *,
+    CT, NS, shape, nnz, min_window_tiles,
+):
+    """Window + compact one-hot metadata (shared numpy/native tail)."""
     # Per-chunk tile windows.
     n_chunks = S // chunk
     tiles_2d = u_tile.reshape(n_chunks, chunk)
@@ -240,4 +314,40 @@ def build_sell_plan(
         n_coltiles=CT,
         window_tiles=WT,
         chunk=chunk,
+    )
+
+
+def _build_native(
+    lib, rows, cols, v, shape, nnz, CT, NS, *,
+    chunk, min_window_tiles, allow_small_chunk,
+):
+    """Plan via the C++ pass (native/sellplan.cpp); None on overflow."""
+    rows64 = np.ascontiguousarray(rows, dtype=np.int64)
+    cols64 = np.ascontiguousarray(cols, dtype=np.int64)
+    v32 = np.ascontiguousarray(v, dtype=np.float32)
+    threads = min(os.cpu_count() or 1, 8)
+    handle = lib.sell_plan_create(
+        rows64, cols64, nnz, shape[0], shape[1], threads
+    )
+    if not handle:
+        return None
+    try:
+        S_true = int(lib.sell_plan_sublanes(handle))
+        if allow_small_chunk and S_true <= chunk:
+            chunk = _round_up(S_true, 8)
+        S = _round_up(S_true, chunk)
+        vals_a = np.zeros((S, LANES), dtype=np.float32)
+        lidx_a = np.zeros((S, LANES), dtype=np.int32)
+        u_tile = np.empty(S, dtype=np.int64)
+        u_slice = np.empty(S, dtype=np.int64)
+        lib.sell_plan_fill(
+            handle, cols64, v32, S,
+            vals_a.reshape(-1), lidx_a.reshape(-1), u_tile, u_slice,
+        )
+    finally:
+        lib.sell_plan_free(handle)
+    return _finish_plan(
+        vals_a, lidx_a, u_tile, u_slice, S_true, S, chunk,
+        CT=CT, NS=NS, shape=shape, nnz=nnz,
+        min_window_tiles=min_window_tiles,
     )

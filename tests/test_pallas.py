@@ -260,3 +260,36 @@ def test_bf16_mode_via_format_wrapper():
     x = jnp.ones((coo.shape[1],), jnp.bfloat16)
     y = np.asarray(op(x))
     assert float(y.sum()) == 126.0  # pattern matrix, exact in bf16
+
+
+def test_native_planner_matches_numpy():
+    """The C++ planner pass must produce bit-identical plans to the numpy
+    planner (stable dup ordering included)."""
+    import smvp_toolkit_tpu.ops.sell_plan as sp
+
+    if sp._plan_lib() is None:
+        pytest.skip("libsellplan.so not built")
+    rng = np.random.RandomState(11)
+    nrows, ncols, nnz = 700, 900, 6000
+    r = rng.randint(0, nrows, nnz).astype(np.int64)
+    c = rng.randint(0, ncols, nnz).astype(np.int64)
+    # Inject duplicates (same row+col) and same-tile collisions.
+    k = min(len(r[::7]), len(r[1::7]))
+    r[: 7 * k : 7] = r[1 : 7 * k : 7]
+    c[: 7 * k : 7] = c[1 : 7 * k : 7]
+    v = rng.randn(nnz).astype(np.float32)
+    p_nat = sp.build_sell_plan(r, c, v, (nrows, ncols))
+    assert sp._PLAN_LIB is not None  # native path was really taken
+    numpy_impl = sp.__dict__["build_sell_plan"]
+    saved, sp._PLAN_LIB, sp._PLAN_LIB_FAILED = sp._PLAN_LIB, None, True
+    try:
+        p_np = numpy_impl(r, c, v, (nrows, ncols))
+    finally:
+        sp._PLAN_LIB, sp._PLAN_LIB_FAILED = saved, False
+    for f in ("vals", "lane_idx", "rel_tile", "slice_of", "tile_base"):
+        np.testing.assert_array_equal(
+            getattr(p_nat, f), getattr(p_np, f), err_msg=f
+        )
+    assert (p_nat.n_slices, p_nat.n_coltiles, p_nat.window_tiles,
+            p_nat.chunk) == (p_np.n_slices, p_np.n_coltiles,
+                             p_np.window_tiles, p_np.chunk)
