@@ -89,23 +89,88 @@ def _make_sell_kernel(precision, ns, wt, bf16_values):
     return _sell_kernel
 
 
+def _make_sell_kernel_resident(precision, ns, wt, bf16_values):
+    """Kernel variant with the full x tile array resident in VMEM.
+
+    The per-chunk (wt, 128) x window is a dynamic sublane slice of the
+    resident block, started at ``tile_base[chunk]`` read from SMEM — no
+    host-side window stack, no duplicated x traffic: x crosses HBM once.
+    """
+
+    def _sell_kernel(tb_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
+                     y_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        x_win = x_ref[pl.ds(tb_ref[step], wt), :]  # (wt, LANES)
+        wt_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wt), 1)
+        if bf16_values:
+            oht = (rel_ref[:] == wt_iota).astype(jnp.bfloat16)
+            table_prec = jax.lax.Precision.DEFAULT
+        else:
+            oht = (rel_ref[:] == wt_iota).astype(jnp.float32)
+            table_prec = precision
+        table = jnp.dot(
+            oht, x_win,
+            preferred_element_type=jnp.float32, precision=table_prec,
+        )
+        g = jnp.take_along_axis(table, lidx_ref[:], axis=1)
+        prod = val_ref[:].astype(jnp.float32) * g
+        ns_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+        seg = (ns_iota == sl_ref[:]).astype(jnp.float32)
+        y_ref[:] += jnp.dot(
+            seg, prod,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    return _sell_kernel
+
+
+# Above this many bytes of x tile array the resident-x variant would
+# crowd VMEM (~16 MB/core on v5e, shared with the double-buffered packed
+# planes); larger matrices take the windowed-stack fallback.
+_RESIDENT_X_LIMIT = 6 * 2**20
+
+
 @partial(
     jax.jit,
-    static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret", "precision"),
+    static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret",
+                     "precision", "resident"),
 )
 def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, tile_base, *, n_chunks, chunk,
-    ns, wt, interpret, precision=jax.lax.Precision.HIGHEST,
+    ns, wt, interpret, precision=jax.lax.Precision.HIGHEST, resident=True,
 ):
-    # Per-chunk x windows: a handful of overlapping dynamic slices (XLA
-    # host of the pallas_call; n_chunks is small and static).
+    bf16_values = vals.dtype == jnp.bfloat16
+    if resident:
+        ct = x_tiles.shape[0]
+        return pl.pallas_call(
+            _make_sell_kernel_resident(precision, ns, wt, bf16_values),
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_base
+                pl.BlockSpec((ct, LANES), lambda i: (0, 0)),  # resident x
+                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+                pl.BlockSpec((1, chunk), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            interpret=interpret,
+        )(tile_base, x_tiles, vals, lidx, rel_tile, slice_of)
+
+    # Fallback: per-chunk x windows as a handful of overlapping dynamic
+    # slices (XLA host of the pallas_call; n_chunks is small and static).
     xw = jnp.stack(
         [
             jax.lax.dynamic_slice(x_tiles, (tile_base[i], 0), (wt, LANES))
             for i in range(n_chunks)
         ]
     )
-    bf16_values = vals.dtype == jnp.bfloat16
     return pl.pallas_call(
         _make_sell_kernel(precision, ns, wt, bf16_values),
         grid=(n_chunks,),
@@ -233,6 +298,10 @@ class SellSpMV:
         if x.shape[0] < ncols_pad:
             x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
         x_tiles = x.reshape(plan.n_coltiles, LANES)
+        resident = (
+            plan.n_coltiles * LANES * x_tiles.dtype.itemsize
+            <= _RESIDENT_X_LIMIT
+        )
         y = _sell_spmv_call(
             x_tiles,
             self.vals,
@@ -246,6 +315,7 @@ class SellSpMV:
             wt=plan.window_tiles,
             interpret=self.interpret,
             precision=self.precision,
+            resident=resident,
         )
         return y.reshape(-1)[: self.shape[0]]
 

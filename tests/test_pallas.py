@@ -293,3 +293,28 @@ def test_native_planner_matches_numpy():
     assert (p_nat.n_slices, p_nat.n_coltiles, p_nat.window_tiles,
             p_nat.chunk) == (p_np.n_slices, p_np.n_coltiles,
                              p_np.window_tiles, p_np.chunk)
+
+
+@pytest.mark.parametrize("resident", [True, False])
+def test_resident_and_windowed_variants_agree(resident):
+    """The VMEM-resident-x kernel (SMEM tile_base + in-kernel dynamic
+    window slice) and the windowed-stack fallback compute identical y."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call
+
+    coo = _load("curtis54.mtx")
+    op = SellSpMV.from_coo(coo)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
+    plan = op.plan
+    ncols_pad = plan.n_coltiles * 128
+    xp = jnp.pad(x, (0, ncols_pad - x.shape[0])).reshape(plan.n_coltiles, 128)
+    y = _sell_spmv_call(
+        xp, op.vals, op.lidx, op.rel_tile, op.slice_of, op.tile_base,
+        n_chunks=plan.n_chunks, chunk=plan.chunk, ns=plan.n_slices,
+        wt=plan.window_tiles, interpret=True, resident=resident,
+    )
+    y_ref = coo.to_dense() @ np.asarray(x, dtype=np.float64)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(-1)[: coo.shape[0]], y_ref,
+        rtol=1e-4, atol=1e-5,
+    )
