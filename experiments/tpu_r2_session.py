@@ -1,0 +1,116 @@
+"""Round-2 TPU measurement session: compile, validate, time the SELL
+kernel variants on real hardware.
+
+Stages (each prints incrementally; persistent compile cache makes reruns
+cheap):
+  1. curtis54 — smallest compiled-mode Mosaic validation (cheap canary).
+  2. memplus f32 resident-x — correctness vs f64 oracle + fused timing.
+  3. memplus bf16 value mode — correctness (bf16 tolerance) + timing.
+  4. pwt f32 + bf16.
+  5. windowed fallback variant on memplus (resident=False) for comparison.
+
+Run serially, backgrounded, per CLAUDE.md tunnel discipline:
+  PYTHONPATH=/root/repo:/root/.axon_site nohup python -u \
+      experiments/tpu_r2_session.py > /tmp/tpu_r2.log 2>&1 &
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smvp_toolkit_tpu.bench.harness import bench_spmv_fused
+from smvp_toolkit_tpu.io.mtx import read_mtx
+from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+from smvp_toolkit_tpu.ops import spmv_pallas as sp
+
+REF_MS = {"memplus": 0.387638, "pwt": 0.569281, "curtis54": 0.0009249}
+_COO_CACHE = {}
+
+
+def _coo(name):
+    if name not in _COO_CACHE:
+        _COO_CACHE[name] = read_mtx(
+            f"/root/reference/sample-data/{name}.mtx"
+        ).pad(512)
+    return _COO_CACHE[name]
+
+
+def run(name, *, value_dtype=None, precision=None, resident=None,
+        time_it=True, iterations=200, label=""):
+    t0 = time.time()
+    coo = _coo(name)
+    r, c, v = coo.to_numpy()
+    plan = build_sell_plan(r, c, v, coo.shape)
+    op = sp.SellSpMV(plan, interpret=False, precision=precision,
+                     value_dtype=value_dtype)
+    if resident is not None:
+        # monkey-patch the auto choice for the comparison stage
+        lim = sp._RESIDENT_X_LIMIT
+        sp._RESIDENT_X_LIMIT = 10**12 if resident else -1
+    try:
+        rng = np.random.default_rng(0)
+        xh = rng.standard_normal(coo.shape[1]).astype(np.float32)
+        x = jnp.asarray(xh)
+        y = np.asarray(op(x)).astype(np.float64)
+        vdt = np.float32
+        if value_dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            vdt = ml_dtypes.bfloat16
+        y_ref = np.zeros(coo.shape[0])
+        np.add.at(
+            y_ref, r,
+            v.astype(vdt).astype(np.float64)
+            * xh.astype(vdt)[c].astype(np.float64),
+        )
+        scale = np.abs(y_ref).max() + 1e-30
+        err = np.abs(y - y_ref).max() / scale
+        tag = f"{name}{label} S={plan.n_sublanes} WT={plan.window_tiles}"
+        print(f"{tag}: err={err:.2e}  (compile+run {time.time()-t0:.0f}s)",
+              flush=True)
+        if not time_it:
+            return
+        stats = bench_spmv_fused(lambda m, xx: op(xx), coo, x,
+                                 iterations=iterations, repeats=3)
+        nnzs = coo.nnz / (stats.avg_ms * 1e-3)
+        vs = REF_MS[name] / stats.avg_ms
+        print(f"{tag}: {stats.avg_ms*1e3:8.2f} us/iter  "
+              f"{nnzs/1e9:6.2f} Gnnz/s  vs_ref_csr {vs:6.1f}x", flush=True)
+    finally:
+        if resident is not None:
+            sp._RESIDENT_X_LIMIT = lim
+
+
+def main():
+    t0 = time.time()
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform}) "
+          f"[{time.time()-t0:.0f}s]", flush=True)
+    stages = [
+        ("curtis54", dict(time_it=False, label=" canary")),
+        ("memplus", dict(label=" f32")),
+        ("memplus", dict(value_dtype=jnp.bfloat16, label=" bf16")),
+        ("pwt", dict(label=" f32")),
+        ("pwt", dict(value_dtype=jnp.bfloat16, label=" bf16")),
+        ("memplus", dict(resident=False, label=" f32-windowed")),
+    ]
+    for name, kw in stages:
+        try:
+            run(name, **kw)
+        except Exception as e:
+            print(f"{name} {kw.get('label','')} FAILED: {str(e)[:300]}",
+                  flush=True)
+    print(f"session total {time.time()-t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

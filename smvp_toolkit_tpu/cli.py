@@ -315,14 +315,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     csr_fn, tjds_fn, kernel_kind = _spmv_fns()
 
-    def _run(alg_name, encoded, spmv_fn, bytes_per_iter, force_xla=False):
+    def _run(alg_name, encoded, spmv_fn, bytes_per_iter, force_kernel=None):
         run_kernel = kernel_kind  # the kernel actually benchmarked
-        use_shards = args.shards > 1 and not force_xla
-        if force_xla:
-            if kernel_kind != "xla" or args.shards > 1:
-                log("INFO", f"{alg_name} SpMV runs on the XLA schedule "
-                    "kernel (no sharded/native/pallas variant).")
-            run_kernel = "xla"
+        use_shards = args.shards > 1 and force_kernel is None
+        if force_kernel is not None:
+            if kernel_kind != force_kernel or args.shards > 1:
+                log("INFO", f"{alg_name} SpMV runs on the {force_kernel} "
+                    "kernel (no sharded/native variant).")
+            run_kernel = force_kernel
         elif args.shards > 1 and kernel_kind not in ("xla", "pallas"):
             # The sharded path runs jitted device kernels; the native
             # ctypes backend cannot trace. Report what actually ran.
@@ -338,7 +338,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 alg_name, encoded, x, args.shards, iterations=args.iter,
                 kernel=run_kernel,
             )
-        elif kernel_kind == "native" and not force_xla:
+        elif kernel_kind == "native" and force_kernel is None:
             # Batch iterations inside the C loop (both --fused and
             # per-call modes): a traced fori_loop cannot call ctypes, and
             # batching amortizes the ~2.7 us dispatch floor that would
@@ -462,18 +462,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(text)
         # Compute with the schedule — the capability the reference only
         # gestures at (its CISR path stops at .coe emission,
-        # main-cli.c:542-612): channel-per-lane interleaved SpMV.
+        # main-cli.c:542-612): channel-per-lane interleaved SpMV (XLA), or
+        # the SELL replan fast path when the Pallas kernel is selected.
         from smvp_toolkit_tpu.bench import spmv_bytes_cisr
-        from smvp_toolkit_tpu.ops import spmv_cisr
 
+        if kernel_kind == "pallas":
+            from smvp_toolkit_tpu.ops.spmv_pallas import (
+                spmv_cisr_pallas as cisr_fn,
+            )
+
+            cisr_kernel = "pallas"
+        else:
+            from smvp_toolkit_tpu.ops import spmv_cisr as cisr_fn
+
+            cisr_kernel = "xla"
         _run(
             ALG_CISR,
             cisr,
-            spmv_cisr,
+            cisr_fn,
             spmv_bytes_cisr(
                 cisr.num_groups, cisr.slot_count, coo.shape[0], vbytes
             ),
-            force_xla=True,
+            force_kernel=cisr_kernel,
         )
 
     log("STOP", "smvp-toolkit-tpu run complete.")

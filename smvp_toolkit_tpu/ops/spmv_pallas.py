@@ -31,7 +31,13 @@ from smvp_toolkit_tpu.formats.csr import CSRMatrix
 from smvp_toolkit_tpu.formats.tjds import TJDSMatrix
 from smvp_toolkit_tpu.ops.sell_plan import LANES, SellPlan, build_sell_plan
 
-__all__ = ["SellSpMV", "spmv_csr_pallas", "spmv_tjds_pallas", "spmv_coo_pallas"]
+__all__ = [
+    "SellSpMV",
+    "spmv_csr_pallas",
+    "spmv_tjds_pallas",
+    "spmv_coo_pallas",
+    "spmv_cisr_pallas",
+]
 
 
 def _use_interpret() -> bool:
@@ -404,3 +410,26 @@ def spmv_tjds_pallas(tjds: TJDSMatrix, x: jax.Array) -> jax.Array:
 def spmv_coo_pallas(coo: COOMatrix, x: jax.Array) -> jax.Array:
     """y = A·x from COO via the Pallas SELL-T1 kernel (plan cached)."""
     return _cached_op(coo, _triplets_from_coo_host)(x)
+
+
+def _triplets_from_cisr_host(cisr):
+    """Host CISR schedule → COO triplets (live cells only)."""
+    rows = np.asarray(cisr.row_of)
+    mask = rows >= 0
+    return (
+        rows[mask].astype(np.int64),
+        np.asarray(cisr.col_ind)[mask].astype(np.int64),
+        np.asarray(cisr.vals)[mask],
+        cisr.shape,
+    )
+
+
+def spmv_cisr_pallas(cisr, x: jax.Array) -> jax.Array:
+    """y = A·x from a CISR schedule via the Pallas SELL-T1 kernel.
+
+    The interleaved schedule is replanned into the SELL layout (cached),
+    so CISR inputs get the same TPU performance path as CSR/TJDS; the
+    schedule-faithful lane-per-channel execution lives in
+    ``spmv_cisr.py``.
+    """
+    return _cached_op(cisr, _triplets_from_cisr_host)(x)

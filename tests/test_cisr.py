@@ -240,3 +240,20 @@ def test_cli_cisr_benchmark_report(tmp_path):
 
     body = _re.search(r"\[\n(.*?)\n\]", f.read_text(), _re.S).group(1)
     assert sum(float(t) for t in body.split()) == 291.0
+
+
+def test_cisr_pallas_fast_path():
+    """spmv_cisr_pallas (SELL replan of the schedule) matches the
+    schedule-faithful XLA kernel."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.ops import spmv_cisr
+    from smvp_toolkit_tpu.ops.spmv_pallas import spmv_cisr_pallas
+
+    coo = _load("curtis54.mtx")
+    cisr = cisr_encode(coo, slot_count=16)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(coo.shape[1]).astype(np.float32))
+    y_sched = np.asarray(spmv_cisr(cisr, x))
+    y_sell = np.asarray(spmv_cisr_pallas(cisr, x))
+    np.testing.assert_allclose(y_sell, y_sched, rtol=1e-5, atol=1e-6)
