@@ -45,13 +45,18 @@ def _coo(name):
 
 
 def run(name, *, value_dtype=None, precision=None, resident=None,
-        time_it=True, iterations=200, label=""):
+        time_it=True, iterations=200, label="", lidx32=False):
     t0 = time.time()
     coo = _coo(name)
     r, c, v = coo.to_numpy()
     plan = build_sell_plan(r, c, v, coo.shape)
-    op = sp.SellSpMV(plan, interpret=False, precision=precision,
-                     value_dtype=value_dtype)
+    if lidx32:
+        os.environ["SMVP_SELL_LIDX32"] = "1"
+    try:
+        op = sp.SellSpMV(plan, interpret=False, precision=precision,
+                         value_dtype=value_dtype)
+    finally:
+        os.environ.pop("SMVP_SELL_LIDX32", None)
     if resident is not None:
         # monkey-patch the auto choice for the comparison stage
         lim = sp._RESIDENT_X_LIMIT
@@ -102,6 +107,9 @@ def main():
         ("pwt", dict(label=" f32")),
         ("pwt", dict(value_dtype=jnp.bfloat16, label=" bf16")),
         ("memplus", dict(resident=False, label=" f32-windowed")),
+        ("memplus", dict(lidx32=True, label=" f32-lidx32")),
+        ("memplus", dict(precision=jax.lax.Precision.HIGH,
+                         label=" f32-HIGH")),
     ]
     for name, kw in stages:
         try:

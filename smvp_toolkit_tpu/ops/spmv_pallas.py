@@ -16,6 +16,7 @@ TPU core).
 
 from __future__ import annotations
 
+import os
 import weakref
 from functools import partial
 from typing import Dict, Tuple
@@ -77,8 +78,11 @@ def _make_sell_kernel(precision, ns, wt, bf16_values):
             preferred_element_type=jnp.float32,
             precision=table_prec,
         )
-        # 2. In-tile gather: a single VPU lane shuffle.
-        g = jnp.take_along_axis(table, lidx_ref[:], axis=1)
+        # 2. In-tile gather: a single VPU lane shuffle (indices may be
+        # int8-compressed in HBM; widen in-register).
+        g = jnp.take_along_axis(
+            table, lidx_ref[:].astype(jnp.int32), axis=1
+        )
         # 3. Products (dead slots have val == 0). Arithmetic stays f32;
         # bf16 is a storage format here.
         prod = val_ref[:].astype(jnp.float32) * g
@@ -123,7 +127,9 @@ def _make_sell_kernel_resident(precision, ns, wt, bf16_values):
             oht, x_win,
             preferred_element_type=jnp.float32, precision=table_prec,
         )
-        g = jnp.take_along_axis(table, lidx_ref[:], axis=1)
+        g = jnp.take_along_axis(
+            table, lidx_ref[:].astype(jnp.int32), axis=1
+        )
         prod = val_ref[:].astype(jnp.float32) * g
         ns_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
         seg = (ns_iota == sl_ref[:]).astype(jnp.float32)
@@ -233,7 +239,18 @@ class SellSpMV:
         # and leak through the operator cache.
         with jax.ensure_compile_time_eval():
             self.vals = jnp.asarray(plan.vals, dtype=self.value_dtype)
-            self.lidx = jnp.asarray(plan.lane_idx)
+            # Lane indices are 0..127: int8 storage carries the same
+            # information at 1/4 the HBM traffic (lane_idx is otherwise
+            # as large as the values plane). Mosaic tiles int8 as
+            # (32, 128), so only chunk sizes that stay tile-aligned
+            # compress; SMVP_SELL_LIDX32=1 forces int32 (fallback knob).
+            lidx_dtype = (
+                jnp.int8
+                if plan.chunk % 32 == 0
+                and os.environ.get("SMVP_SELL_LIDX32") != "1"
+                else jnp.int32
+            )
+            self.lidx = jnp.asarray(plan.lane_idx, dtype=lidx_dtype)
             self.rel_tile = jnp.asarray(plan.rel_tile)
             self.slice_of = jnp.asarray(plan.slice_of)
             self.tile_base = jnp.asarray(plan.tile_base)
