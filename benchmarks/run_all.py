@@ -101,6 +101,13 @@ def main() -> int:
     from smvp_toolkit_tpu.formats.csr import csr_decode
     from smvp_toolkit_tpu.formats.tjds import tjds_decode
 
+    def sell_plan_of(fn, enc):
+        """The cached SELL plan behind a pallas wrapper (None if absent)."""
+        from smvp_toolkit_tpu.ops.spmv_pallas import _CACHE
+
+        hit = _CACHE.get(id(enc))
+        return hit[1].plan if hit is not None else None
+
     for name, coo in matrices.items():
         x = jnp.ones((coo.shape[1],), jnp.float32)
         r, c, v = coo.to_numpy()
@@ -246,6 +253,22 @@ def main() -> int:
                         "rel_err": err,
                         "device": device.device_kind,
                     }
+                    if kernel == "pallas":
+                        # Honest roofline for the SELL kernel: padding
+                        # slots move real bytes, so the achieved-GB/s
+                        # against actual plan traffic is what compares to
+                        # the HBM speed of light.
+                        plan = sell_plan_of(fn, enc)
+                        if plan is not None:
+                            actual = plan.traffic_bytes()
+                            agbs = stats.gb_per_s(actual)
+                            rec["sell_occupancy"] = round(
+                                coo.nnz / plan.slots(), 4
+                            )
+                            rec["sell_gb_s"] = round(agbs, 2)
+                            rec["sell_roofline_frac"] = round(
+                                agbs / hbm_bandwidth_gbs(device), 5
+                            )
                     ref_ms = REFERENCE_MS.get((name, alg))
                     if ref_ms:
                         rec["vs_reference"] = round(ref_ms / stats.avg_ms, 2)

@@ -132,6 +132,28 @@ class SellPlan:
     def slots(self) -> int:
         return self.n_sublanes * LANES
 
+    def traffic_bytes(
+        self, value_bytes: int = 4, lidx_bytes: int = 1,
+        x_bytes: int = 4,
+    ) -> int:
+        """HBM bytes one kernel launch actually moves (honest roofline).
+
+        Padding slots cost real bandwidth — the SELL planes are dense
+        (S x 128) regardless of occupancy, which is why ``slots()/nnz``
+        (the padding factor) divides the achievable nnz/s. Per launch:
+        vals + lane_idx planes, the per-sublane/per-chunk one-hot
+        generators, x once (resident mode), y once.
+        """
+        s = self.n_sublanes
+        return int(
+            s * LANES * (value_bytes + lidx_bytes)  # packed planes
+            + s * 4                                 # rel_tile (i32)
+            + s * 4                                 # slice_of (i32)
+            + self.n_chunks * 4                     # tile_base
+            + self.n_coltiles * LANES * x_bytes     # resident x, once
+            + self.n_slices * LANES * 4             # y
+        )
+
     # Dense one-hot views (debug/tests only — the kernel builds these
     # per-chunk on the fly; materializing them is O(S x NS) memory).
     def oht_dense(self) -> np.ndarray:
