@@ -45,11 +45,11 @@ def _coo(name):
 
 
 def run(name, *, value_dtype=None, precision=None, resident=None,
-        time_it=True, iterations=200, label="", lidx32=False):
+        time_it=True, iterations=200, label="", lidx32=False, chunk=1024):
     t0 = time.time()
     coo = _coo(name)
     r, c, v = coo.to_numpy()
-    plan = build_sell_plan(r, c, v, coo.shape)
+    plan = build_sell_plan(r, c, v, coo.shape, chunk=chunk)
     if lidx32:
         os.environ["SMVP_SELL_LIDX32"] = "1"
     try:
@@ -110,6 +110,13 @@ def main():
         ("memplus", dict(lidx32=True, label=" f32-lidx32")),
         ("memplus", dict(precision=jax.lax.Precision.HIGH,
                          label=" f32-HIGH")),
+        # Chunk sweep: reduce MACs are chunk-invariant but the per-chunk
+        # tile window (table MACs) shrinks with the chunk.
+        ("memplus", dict(chunk=512, label=" f32-c512")),
+        ("memplus", dict(chunk=256, label=" f32-c256")),
+        ("pwt", dict(chunk=512, label=" f32-c512")),
+        ("memplus", dict(value_dtype=jnp.bfloat16, chunk=512,
+                         label=" bf16-c512")),
     ]
     for name, kw in stages:
         try:
