@@ -154,6 +154,46 @@ def main() -> int:
                 record({"matrix": name, "alg": alg, "op": "encode",
                         "error": str(e)[:200]})
 
+        # CISR: schedule encode + the schedule-consuming SpMV kernel
+        # (capability the reference never implemented; skip the 10M synth
+        # where the beat-count explodes the schedule).
+        if name != "synth-10M":
+            try:
+                from smvp_toolkit_tpu.formats.cisr import (
+                    cisr_decode,
+                    cisr_encode,
+                )
+                from smvp_toolkit_tpu.ops import spmv_cisr
+
+                t0 = _time.perf_counter()
+                cisr = cisr_encode(coo, slot_count=16)
+                dt = _time.perf_counter() - t0
+                dec = cisr_decode(cisr).canonical_order()
+                dr, dc, dv = dec.to_numpy()
+                cr, cc, cv = coo.canonical_order().to_numpy()
+                exact = bool(
+                    np.array_equal(dr, cr) and np.array_equal(dc, cc)
+                )
+                y = np.asarray(spmv_cisr(cisr, x)).astype(np.float64)
+                err = float(np.abs(y - y_ref).max() / scale)
+                stats = bench_spmv_fused(
+                    spmv_cisr, cisr, x, iterations=iters, repeats=3
+                )
+                record({
+                    "matrix": name, "alg": "CISR", "kernel": "xla",
+                    "nnz": coo.nnz, "encode_ms": round(dt * 1e3, 3),
+                    "decode_index_exact": exact,
+                    "avg_ms": round(stats.avg_ms, 6),
+                    "gnnz_per_s": round(
+                        stats.nnz_per_s(coo.nnz) / 1e9, 3
+                    ),
+                    "rel_err": err,
+                    "device": device.device_kind,
+                })
+            except Exception as e:  # pragma: no cover
+                record({"matrix": name, "alg": "CISR", "op": "bench",
+                        "error": str(e)[:200]})
+
         # SELL plan throughput (the Pallas performance path's encode;
         # BASELINE.json "encode MB/s" applies to it too — the C++ planner
         # pass makes the 10M-nnz config tractable).
