@@ -174,3 +174,35 @@ def test_fused_stats_match_report_semantics():
     )
     assert len(stats.times_ms) == 50
     np.testing.assert_allclose(stats.total_ms, 50 * stats.avg_ms, rtol=1e-6)
+
+
+def test_bench_native_batched_and_per_launch_label(tmp_path):
+    """bench_native_batched batches iterations inside the C loop and marks
+    the stats per-launch; the report labels the extrema accordingly."""
+    import numpy as np
+
+    from smvp_toolkit_tpu.bench import generate_report_text
+    from smvp_toolkit_tpu.bench.harness import bench_native_batched
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops.spmv_native import (
+        NativeCsrSpMV,
+        native_spmv_available,
+    )
+
+    if not native_spmv_available():
+        import pytest
+
+        pytest.skip("libspmv.so not built")
+    coo = read_mtx("/root/reference/sample-data/ibm32.mtx").pad(128)
+    op = NativeCsrSpMV(csr_encode(coo))
+    x = np.ones(coo.shape[1], dtype=np.float32)
+    stats = bench_native_batched(op, x, iterations=64, repeats=4)
+    assert stats.per_launch
+    assert stats.times_ms.shape == (64,)
+    assert stats.avg_ms > 0
+    text = generate_report_text(
+        alg_name="CSR", input_file="x.mtx", nnz=coo.nnz, iterations=64,
+        stats=stats, output_vector=np.zeros(4),
+    )
+    assert "per-launch averages" in text
