@@ -64,6 +64,11 @@ def analyze(coo: COOMatrix) -> Dict:
         "col_tiles": plan.n_coltiles,
         "chunks": plan.n_chunks,
         "chunk": plan.chunk,
+        # HBM bytes one kernel launch moves, f32 and bf16 value modes —
+        # with the occupancy (nnz/slots) these set the kernel's
+        # speed-of-light nnz/s on a given chip.
+        "traffic_f32_bytes": plan.traffic_bytes(4, 1, 4),
+        "traffic_bf16_bytes": plan.traffic_bytes(2, 1, 2),
     }
     # TJDS metrics.
     out["tjds_diags"] = int(cl.max())
@@ -92,5 +97,11 @@ def format_analysis(stats: Dict) -> str:
             f" slots), window {s['window_tiles']}/{s['col_tiles']} tiles, "
             f"{s['chunks']} chunk(s) of {s['chunk']}"
         )
+        if "traffic_f32_bytes" in s:
+            lines.append(
+                f"SELL traffic/launch: f32 {s['traffic_f32_bytes']/1e6:.2f}"
+                f" MB, bf16 {s['traffic_bf16_bytes']/1e6:.2f} MB "
+                f"(occupancy {1.0/s['padding_factor']:.2f})"
+            )
         lines.append(f"TJDS diagonals: {stats['tjds_diags']}")
     return "\n".join(lines)
