@@ -231,10 +231,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     log("FILE", f"Loading matrix: {args.file}")
+    from smvp_toolkit_tpu.io.mtx import MTXUnsupportedType
+
     try:
-        coo = read_mtx(
-            args.file, expand_symmetry=args.expand_symmetry, dtype=dtype
-        )
+        try:
+            coo = read_mtx(
+                args.file, expand_symmetry=args.expand_symmetry, dtype=dtype
+            )
+        except MTXUnsupportedType as e:
+            if "complex" not in str(e):
+                raise
+            # Complex matrix with a real --dtype: promote rather than
+            # refuse (the refusal protects library users from silent
+            # imaginary-part loss; the CLI just picks the right dtype).
+            log("INFO", "complex matrix: using complex64 values.")
+            coo = read_mtx(
+                args.file, expand_symmetry=args.expand_symmetry, dtype=None
+            )
     except FileNotFoundError:
         log("ERROR", f"could not open file: {args.file}")
         return 1
@@ -261,6 +274,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     exit_code = 0
 
     def _spmv_fns():
+        if jnp.issubdtype(coo.dtype, jnp.complexfloating):
+            # The Pallas/native kernels are real-valued; complex SpMV
+            # runs on the XLA kernels (which support complex64 end to
+            # end) rather than silently dropping imaginary parts.
+            if args.kernel not in ("auto", "xla"):
+                log("INFO", "complex matrix: --kernel "
+                    f"{args.kernel} unsupported, using XLA kernels.")
+            return spmv_csr, spmv_tjds, "xla"
         if args.kernel == "native":
             from smvp_toolkit_tpu.ops.spmv_native import (
                 NativeCsrSpMV,
@@ -455,7 +476,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if run_cisr:
         log("INFO", f"Generating CISR schedule with {args.slots} slots.")
         cisr = cisr_encode(coo, slot_count=args.slots)
-        text = write_coe(cisr, args.coe_out)
+        try:
+            text = write_coe(cisr, args.coe_out)
+        except ValueError as e:
+            log("ERROR", f"COE export failed: {e}")
+            return 1
         if args.coe_out:
             log("FILE", f"CISR COE image saved as:\n\t{args.coe_out}")
         else:

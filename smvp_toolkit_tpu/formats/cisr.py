@@ -175,7 +175,9 @@ def cisr_encode(
     if slot_count < 1:
         raise ValueError("slot_count must be >= 1")
     row_ptr, col, val, shape, nnz = _csr_host(matrix)
-    if use_native:
+    # The C++ scheduler is f64-only; complex schedules use the Python
+    # path (which preserves the value dtype).
+    if use_native and not np.iscomplexobj(np.asarray(val)):
         result = _cisr_encode_native(row_ptr, col, val, shape, nnz, slot_count)
         if result is not None:
             return result
@@ -216,7 +218,7 @@ def cisr_encode(
         for s in range(slot_count):
             if active[s]:
                 j = cursor[s]
-                vals_out[s].append(float(val[j]))
+                vals_out[s].append(complex(val[j]) if np.iscomplexobj(val) else float(val[j]))
                 cols_out[s].append(int(col[j]))
                 cursor[s] += 1
                 remaining[s] -= 1
@@ -228,7 +230,10 @@ def cisr_encode(
                 rows_out[s].append(-1)
 
     num_groups = max((len(v) for v in vals_out), default=0)
-    vals_arr = np.zeros((num_groups, slot_count), dtype=np.float64)
+    val_dtype = (
+        np.complex128 if np.iscomplexobj(np.asarray(val)) else np.float64
+    )
+    vals_arr = np.zeros((num_groups, slot_count), dtype=val_dtype)
     cols_arr = np.zeros((num_groups, slot_count), dtype=np.int32)
     rowof_arr = np.full((num_groups, slot_count), -1, dtype=np.int32)
     for s in range(slot_count):
@@ -298,6 +303,11 @@ def write_coe(
     row-length word (two lengths per word) while lengths remain, then an
     end word. Returns the text; optionally writes to ``dest``.
     """
+    if np.iscomplexobj(cisr.vals):
+        raise ValueError(
+            "the COE packed format is real-valued (12-bit integer value "
+            "field, main-cli.c:673-688); cannot pack a complex matrix"
+        )
     lines = [
         ";*********************************************",
         ";* CISR COE File for Vivado Single-Port BRAM *",

@@ -190,6 +190,13 @@ def build_sell_plan(
     nnz = len(rows)
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
+    if np.iscomplexobj(np.asarray(vals)):
+        # Silent imaginary-part truncation is a correctness trap; complex
+        # SpMV runs on the XLA kernels (the CLI routes it there).
+        raise TypeError(
+            "SELL plan values must be real; use the XLA kernels for "
+            "complex matrices"
+        )
     v = np.asarray(vals, dtype=np.float32)
 
     ct_true = max(-(-ncols // LANES), 1)

@@ -49,11 +49,19 @@ class CisrSpMV:
     braces against x-gather garbage at col 0.
     """
 
-    def __init__(self, cisr: CISRMatrix, dtype=jnp.float32):
+    def __init__(self, cisr: CISRMatrix, dtype=None):
         self.shape = cisr.shape
         self.nnz = cisr.nnz
         self.slot_count = cisr.slot_count
         rows = np.asarray(cisr.row_of)
+        if dtype is None:
+            # Keep complex schedules complex (the segment-sum kernel is
+            # dtype-generic); real ones run f32.
+            dtype = (
+                jnp.complex64
+                if np.iscomplexobj(np.asarray(cisr.vals))
+                else jnp.float32
+            )
         self.vals = jnp.asarray(
             np.where(rows >= 0, cisr.vals, 0.0), dtype=dtype
         )

@@ -130,3 +130,41 @@ def test_jit_cache_stable_across_x(name):
     y1 = spmv_csr(csr, np.asarray(x1))
     y2 = spmv_csr(csr, np.asarray(x2))
     np.testing.assert_allclose(np.asarray(y2), 2 * np.asarray(y1), rtol=1e-6)
+
+
+def test_complex_matrix_routed_to_xla(tmp_path):
+    """Complex matrices must keep their imaginary part: the CLI routes
+    them to the XLA kernels even under --kernel pallas/native, the SELL
+    planner refuses complex values, and the CISR schedule kernel stays
+    complex (round-2 fix: f32 casts silently dropped imag)."""
+    import io as _io
+
+    import jax.numpy as jnp
+    import pytest
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+    from smvp_toolkit_tpu.formats.cisr import cisr_encode
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops import spmv_cisr
+    from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+
+    s = ("%%MatrixMarket matrix coordinate complex general\n2 2 2\n"
+         "1 1 1.0 2.0\n2 2 3.0 -1.0\n")
+    coo = read_mtx(_io.StringIO(s)).pad(8)
+
+    r, c, v = coo.to_numpy()
+    with pytest.raises(TypeError):
+        build_sell_plan(r, c, v, coo.shape)
+
+    y = np.asarray(spmv_cisr(cisr_encode(coo), jnp.ones(2, jnp.complex64)))
+    np.testing.assert_allclose(y, np.array([1 + 2j, 3 - 1j]), rtol=1e-6)
+
+    p = tmp_path / "cpx.mtx"
+    p.write_text(s)
+    rc = cli_main(["-c", "-n", "1", "--kernel", "pallas", "--no-report",
+                   str(p)])
+    assert rc == 0
+    # COE packing is real-only: -g on a complex matrix errors cleanly.
+    rc = cli_main(["-g", "-n", "1", "--no-report", str(p)])
+    assert rc == 1
