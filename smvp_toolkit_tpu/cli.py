@@ -163,6 +163,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="print matrix structure statistics and kernel plan metrics",
     )
     p.add_argument(
+        "--x",
+        default="ones",
+        metavar="MODE",
+        help=(
+            "input vector: 'ones' (reference protocol, main-cli.c:368), "
+            "'random' or 'random:SEED' (standard normal) — random x "
+            "exercises the per-position indexing the reference's x=ones "
+            "could never distinguish (SURVEY.md §B4)"
+        ),
+    )
+    p.add_argument(
         "--fused",
         action="store_true",
         help=(
@@ -270,8 +281,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     run_tjds = args.tjds or args.all_algs
     run_cisr = args.cisr_gen or args.all_algs
 
-    # x = ones, like the reference (main-cli.c:761-762, 368).
-    x = jnp.ones((coo.shape[1],), dtype=dtype)
+    # x = ones by default, like the reference (main-cli.c:761-762, 368).
+    x_dtype = (
+        jnp.complex64
+        if jnp.issubdtype(coo.dtype, jnp.complexfloating) else dtype
+    )
+    if args.x == "ones":
+        x = jnp.ones((coo.shape[1],), dtype=x_dtype)
+    elif args.x == "random" or args.x.startswith("random:"):
+        seed = int(args.x.split(":", 1)[1]) if ":" in args.x else 0
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(
+            rng.standard_normal(coo.shape[1]), dtype=x_dtype
+        )
+    else:
+        log("ERROR", f"unknown --x mode: {args.x!r}")
+        return 2
     exit_code = 0
 
     def _spmv_fns():

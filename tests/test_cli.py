@@ -269,3 +269,22 @@ def test_df64_kernel_mode(tmp_path):
     assert "Kernel: df64" in text
     body = re.search(r"\[\n(.*?)\n\]", text, re.S).group(1)
     assert sum(float(t) for t in body.split()) == 126.0
+
+
+def test_x_random_mode_csr_tjds_agree(tmp_path):
+    """--x random: CSR and TJDS must produce the same y for general x
+    (the reference's TJDS could not — SURVEY.md B4)."""
+    rc = main(["-c", "-t", "-n", "2", "--x", "random:7", "-d",
+               str(tmp_path), os.path.join(SAMPLE_DIR, "curtis54.mtx")])
+    assert rc == 0
+    vecs = []
+    for alg in ("CSR", "TJDS"):
+        f = list(tmp_path.glob(f"smvp-toolbox_report_{alg}_*.txt"))[0]
+        body = re.search(r"\[\n(.*?)\n\]", f.read_text(), re.S).group(1)
+        vecs.append([float(t) for t in body.split()])
+    np.testing.assert_allclose(vecs[0], vecs[1], rtol=1e-4, atol=1e-5)
+
+
+def test_x_mode_validation():
+    assert main(["-c", "-n", "1", "--x", "bogus",
+                 os.path.join(SAMPLE_DIR, "ibm32.mtx")]) == 2
