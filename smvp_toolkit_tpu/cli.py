@@ -242,30 +242,48 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    log("FILE", f"Loading matrix: {args.file}")
-    from smvp_toolkit_tpu.io.mtx import MTXUnsupportedType
+    if args.file.startswith("synth:"):
+        # synth:N:NNZ — banded synthetic matrix (BASELINE.json scaling
+        # configs through the official surface; same syntax as smvp-dist).
+        from smvp_toolkit_tpu.utils.synth import synth_banded
 
-    try:
         try:
-            coo = read_mtx(
-                args.file, expand_symmetry=args.expand_symmetry, dtype=dtype
-            )
-        except MTXUnsupportedType as e:
-            if "complex" not in str(e):
-                raise
-            # Complex matrix with a real --dtype: promote rather than
-            # refuse (the refusal protects library users from silent
-            # imaginary-part loss; the CLI just picks the right dtype).
-            log("INFO", "complex matrix: using complex64 values.")
-            coo = read_mtx(
-                args.file, expand_symmetry=args.expand_symmetry, dtype=None
-            )
-    except FileNotFoundError:
-        log("ERROR", f"could not open file: {args.file}")
-        return 1
-    except MTXError as e:
-        log("ERROR", f"MatrixMarket read failed: {e}")
-        return 1
+            _, n_str, nnz_str = args.file.split(":")
+            n_rows, n_nnz = int(n_str), int(nnz_str)
+        except ValueError:
+            log("ERROR", f"bad synth spec (want synth:N:NNZ): {args.file}")
+            return 2
+        log("FILE", f"Generating synthetic banded matrix {args.file}")
+        coo = synth_banded(
+            n_rows, nnz_per_row=max(n_nnz // max(n_rows, 1), 1)
+        )
+    else:
+        log("FILE", f"Loading matrix: {args.file}")
+        from smvp_toolkit_tpu.io.mtx import MTXUnsupportedType
+
+        try:
+            try:
+                coo = read_mtx(
+                    args.file, expand_symmetry=args.expand_symmetry,
+                    dtype=dtype,
+                )
+            except MTXUnsupportedType as e:
+                if "complex" not in str(e):
+                    raise
+                # Complex matrix with a real --dtype: promote rather than
+                # refuse (the refusal protects library users from silent
+                # imaginary-part loss; the CLI just picks the right dtype).
+                log("INFO", "complex matrix: using complex64 values.")
+                coo = read_mtx(
+                    args.file, expand_symmetry=args.expand_symmetry,
+                    dtype=None,
+                )
+        except FileNotFoundError:
+            log("ERROR", f"could not open file: {args.file}")
+            return 1
+        except MTXError as e:
+            log("ERROR", f"MatrixMarket read failed: {e}")
+            return 1
 
     coo = coo.pad(128)
     log(

@@ -288,3 +288,10 @@ def test_x_random_mode_csr_tjds_agree(tmp_path):
 def test_x_mode_validation():
     assert main(["-c", "-n", "1", "--x", "bogus",
                  os.path.join(SAMPLE_DIR, "ibm32.mtx")]) == 2
+
+
+def test_synth_input_spec(tmp_path):
+    """synth:N:NNZ inputs run the full pipeline without a file."""
+    rc = main(["-c", "-n", "2", "--no-report", "synth:1000:5000"])
+    assert rc == 0
+    assert main(["-c", "-n", "1", "synth:bad"]) == 2
