@@ -218,9 +218,6 @@ class SellSpMV:
         self.plan = plan
         self.shape = plan.shape
         self.interpret = _use_interpret() if interpret is None else interpret
-        self.precision = (
-            jax.lax.Precision.HIGHEST if precision is None else precision
-        )
         # bf16 value mode: vals AND the x stream are stored/streamed in
         # bfloat16 (halving the dominant HBM traffic) while all kernel
         # arithmetic accumulates in f32. Exact w.r.t. the bf16-rounded
@@ -229,6 +226,17 @@ class SellSpMV:
             jnp.dtype(value_dtype) if value_dtype is not None
             else jnp.dtype(jnp.float32)
         )
+        if precision is not None:
+            self.precision = precision
+        elif self.value_dtype == jnp.dtype(jnp.bfloat16):
+            # Every product of two bf16 inputs carries <= 16 mantissa
+            # bits, which the 3-pass HIGH decomposition represents
+            # exactly (hi = bf16(p) leaves <= 8 bits for lo) — so the
+            # row-reduce matmul at HIGH is lossless here and HIGHEST's
+            # extra 3 passes would buy nothing.
+            self.precision = jax.lax.Precision.HIGH
+        else:
+            self.precision = jax.lax.Precision.HIGHEST
         if self.value_dtype not in (
             jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
         ):
