@@ -70,8 +70,19 @@ class ShardedSell:
         return self.n_coltiles
 
 
-def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
-    """Split rows into contiguous blocks and build one SELL plan each."""
+def shard_sell(
+    coo: COOMatrix,
+    mesh: Mesh,
+    *,
+    chunk: int = 1024,
+    value_dtype=None,
+) -> ShardedSell:
+    """Split rows into contiguous blocks and build one SELL plan each.
+
+    ``value_dtype=jnp.bfloat16`` enables the bf16 value mode per device
+    (see ops/spmv_pallas.py); lane indices compress to int8 when the
+    chunk is 32-aligned, matching the single-chip operator.
+    """
     n = mesh.devices.size
     nrows, ncols = coo.shape
     rows_blk = _round_up(nrows, n * LANES) // n  # multiple of 128
@@ -131,10 +142,23 @@ def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
         [_pad(p.tile_base.astype(np.int32), (n_chunks,)) for p in plans]
     )
 
+    import os as _os
+
+    vdt = (
+        jnp.bfloat16
+        if value_dtype is not None
+        and jnp.dtype(value_dtype) == jnp.dtype(jnp.bfloat16)
+        else jnp.float32
+    )
+    ldt = (
+        jnp.int8
+        if chunk % 32 == 0 and _os.environ.get("SMVP_SELL_LIDX32") != "1"
+        else jnp.int32
+    )
     blk = NamedSharding(mesh, P(DP_AXIS))
     return ShardedSell(
-        vals=jax.device_put(jnp.asarray(vals), blk),
-        lidx=jax.device_put(jnp.asarray(lidx), blk),
+        vals=jax.device_put(jnp.asarray(vals, dtype=vdt), blk),
+        lidx=jax.device_put(jnp.asarray(lidx, dtype=ldt), blk),
         rel_tile=jax.device_put(jnp.asarray(rel), blk),
         slice_of=jax.device_put(jnp.asarray(slc), blk),
         tile_base=jax.device_put(jnp.asarray(tbase), blk),
@@ -153,7 +177,7 @@ def shard_sell(coo: COOMatrix, mesh: Mesh, *, chunk: int = 1024) -> ShardedSell:
 def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     """y = A·x with each device running the SELL Pallas kernel locally."""
     ncols_pad = sh.CT * LANES
-    x = x.astype(jnp.float32)
+    x = x.astype(sh.vals.dtype)  # bf16 value mode streams x in bf16 too
     if x.shape[0] < ncols_pad:
         x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
     x_tiles = x.reshape(sh.CT, LANES)

@@ -145,3 +145,37 @@ def test_sharded_sell_sample():
     x = np.ones(coo.shape[1], dtype=np.float32)
     y = np.asarray(spmv_sell_sharded(sh, x, mesh))
     assert y.sum() == 291.0
+
+
+def test_sharded_sell_bf16_and_int8():
+    """Sharded SELL path supports bf16 value mode + int8 lane indices,
+    matching the single-chip operator's results within bf16 tolerance."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.parallel.sell_dist import (
+        shard_sell,
+        spmv_sell_sharded,
+    )
+
+    mesh8 = make_mesh(8)
+    rng = np.random.RandomState(13)
+    nrows = 1024
+    nnz = 6000
+    r = rng.randint(0, nrows, nnz).astype(np.int64)
+    c = rng.randint(0, nrows, nnz).astype(np.int64)
+    v = rng.randn(nnz).astype(np.float32)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(nrows, nrows))
+    sh = shard_sell(coo, mesh8, value_dtype=jnp.bfloat16)
+    assert sh.vals.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.randn(nrows).astype(np.float32))
+    y = np.asarray(spmv_sell_sharded(sh, x, mesh8)).astype(np.float64)
+    import ml_dtypes
+
+    y_ref = np.zeros(nrows)
+    np.add.at(
+        y_ref, r,
+        v.astype(ml_dtypes.bfloat16).astype(np.float64)
+        * np.asarray(x).astype(ml_dtypes.bfloat16)[c].astype(np.float64),
+    )
+    scale = np.abs(y_ref).max() + 1e-30
+    assert np.abs(y - y_ref).max() / scale < 2e-2
