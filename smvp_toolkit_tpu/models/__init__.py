@@ -16,6 +16,13 @@ from smvp_toolkit_tpu.models.solvers import (
     lanczos,
     cgls,
 )
+from smvp_toolkit_tpu.models.graph import (
+    gcn_norm,
+    gcn_layer,
+    gcn_forward,
+    gcn_train_step,
+    gcn_init,
+)
 
 __all__ = [
     "power_iteration",
@@ -25,4 +32,9 @@ __all__ = [
     "jacobi",
     "lanczos",
     "cgls",
+    "gcn_norm",
+    "gcn_layer",
+    "gcn_forward",
+    "gcn_train_step",
+    "gcn_init",
 ]

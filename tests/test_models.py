@@ -189,3 +189,76 @@ def test_cgls_rectangular_least_squares():
     x, norms = cgls(A, At, b, num_iters=80)
     x_ref, *_ = np.linalg.lstsq(dense, np.asarray(b, np.float64), rcond=None)
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=5e-2, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# GCN layers (models/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gcn_norm_symmetric_normalization():
+    import numpy as np
+
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.models import gcn_norm
+
+    r = np.array([0, 1, 1, 2], dtype=np.int32)
+    c = np.array([1, 0, 2, 1], dtype=np.int32)
+    v = np.ones(4)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(3, 3))
+    s = gcn_norm(coo)
+    dense = np.zeros((3, 3))
+    rp = np.asarray(s.row_ptr)
+    ci = np.asarray(s.col_ind)[: s.nnz]
+    vv = np.asarray(s.vals)[: s.nnz]
+    rows = np.repeat(np.arange(3), np.diff(rp))
+    dense[rows, ci] = vv
+    # Kipf-Welling normalization of A+I: symmetric, rows of D^-.5(A+I)D^-.5
+    np.testing.assert_allclose(dense, dense.T, rtol=1e-6)
+    a = np.array([[1, 1, 0], [1, 1, 1], [0, 1, 1]], dtype=np.float64)
+    d = a.sum(1)
+    expect = a / np.sqrt(d[:, None] * d[None, :])
+    np.testing.assert_allclose(dense, expect, rtol=1e-6)
+
+
+def test_gcn_training_learns():
+    """A 2-layer GCN trained with gcn_train_step must drive the masked
+    loss down on a separable toy graph (jit + scan, no host loops)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.models import gcn_init, gcn_norm, gcn_train_step
+
+    rng = np.random.RandomState(0)
+    n = 64
+    # two communities with dense intra-links
+    labels = (np.arange(n) >= n // 2).astype(np.int32)
+    rr, cc = [], []
+    for _ in range(400):
+        a, b = rng.randint(0, n // 2, 2)
+        rr += [a, b]; cc += [b, a]
+        a, b = rng.randint(n // 2, n, 2)
+        rr += [a, b]; cc += [b, a]
+    coo = COOMatrix.from_numpy(
+        np.array(rr, np.int32), np.array(cc, np.int32),
+        np.ones(len(rr)), shape=(n, n),
+    )
+    s = gcn_norm(coo)
+    h = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    params = gcn_init(jax.random.PRNGKey(0), [8, 16, 2])
+    mask = jnp.ones((n,), jnp.float32)
+    lab = jnp.asarray(labels)
+
+    @jax.jit
+    def train(params):
+        def body(p, _):
+            p, loss = gcn_train_step(s, p, h, lab, mask, lr=0.1)
+            return p, loss
+
+        return jax.lax.scan(body, params, None, length=60)
+
+    _, losses = train(params)
+    assert float(losses[-1]) < float(losses[0]) * 0.5
+    assert float(losses[-1]) < 0.4
