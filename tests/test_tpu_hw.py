@@ -1,0 +1,83 @@
+"""Hardware-gated compiled-mode tests (SMVP_TESTS_TPU=1 on a real TPU).
+
+The CPU suite exercises the Pallas kernels in interpreter mode only;
+these tests Mosaic-compile them. Run serially against the real chip:
+
+    SMVP_TESTS_TPU=1 PYTHONPATH=/root/repo:/root/.axon_site \
+        python -m pytest tests/test_tpu_hw.py -q
+
+Each test is also covered (with timing) by experiments/tpu_r2_session.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SMVP_TESTS_TPU") != "1",
+    reason="hardware-gated (set SMVP_TESTS_TPU=1 on a TPU host)",
+)
+
+
+@pytest.fixture(scope="module")
+def tpu_device():
+    import jax
+
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        pytest.skip(f"no TPU attached (platform={dev.platform})")
+    return dev
+
+
+def _op(name, **kw):
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV
+
+    coo = read_mtx(f"/root/reference/sample-data/{name}.mtx").pad(512)
+    r, c, v = coo.to_numpy()
+    plan = build_sell_plan(r, c, v, coo.shape)
+    return coo, (r, c, v), SellSpMV(plan, interpret=False, **kw)
+
+
+def _check(coo, trip, op, x, vdt=np.float32, tol=1e-5):
+    import jax.numpy as jnp
+
+    r, c, v = trip
+    y = np.asarray(op(jnp.asarray(x))).astype(np.float64)
+    y_ref = np.zeros(coo.shape[0])
+    np.add.at(
+        y_ref, r,
+        np.asarray(v).astype(vdt).astype(np.float64)
+        * x.astype(vdt)[c].astype(np.float64),
+    )
+    scale = np.abs(y_ref).max() + 1e-30
+    assert np.abs(y - y_ref).max() / scale < tol
+
+
+def test_compiled_f32_curtis54(tpu_device):
+    coo, trip, op = _op("curtis54")
+    x = np.random.default_rng(0).standard_normal(coo.shape[1]).astype(
+        np.float32
+    )
+    _check(coo, trip, op, x)
+
+
+def test_compiled_f32_memplus(tpu_device):
+    coo, trip, op = _op("memplus")
+    x = np.random.default_rng(1).standard_normal(coo.shape[1]).astype(
+        np.float32
+    )
+    _check(coo, trip, op, x)
+
+
+def test_compiled_bf16_memplus(tpu_device):
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    coo, trip, op = _op("memplus", value_dtype=jnp.bfloat16)
+    x = np.random.default_rng(2).standard_normal(coo.shape[1]).astype(
+        np.float32
+    )
+    _check(coo, trip, op, x, vdt=ml_dtypes.bfloat16, tol=1e-6)
