@@ -80,12 +80,17 @@ def spmv_bytes_cisr(
 ) -> float:
     """Bytes touched per CISR-schedule SpMV iteration.
 
-    Every beat×slot cell is read (val + col + x-gather), including the
-    zero padding of idle channels — that traffic is the cost of the
-    interleaved layout; y write per row.
+    Every beat×slot cell is read (val + col + row_of + x-gather),
+    including the zero padding of idle channels — that traffic is the
+    cost of the interleaved layout; y write per row. ``row_of`` is the
+    kernel's reduction key (spmv_cisr.CisrSpMV streams it alongside the
+    values), the analog of CSR's row_ptr read.
     """
     cells = num_groups * slot_count
-    return cells * (value_bytes + _isz() + value_bytes) + nrows * value_bytes
+    return (
+        cells * (value_bytes + 2 * _isz() + value_bytes)
+        + nrows * value_bytes
+    )
 
 
 def roofline_fraction(gbs: float, device=None) -> float:

@@ -245,18 +245,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.file.startswith("synth:"):
         # synth:N:NNZ — banded synthetic matrix (BASELINE.json scaling
         # configs through the official surface; same syntax as smvp-dist).
-        from smvp_toolkit_tpu.utils.synth import synth_banded
+        from smvp_toolkit_tpu.utils.synth import parse_synth_spec
 
-        try:
-            _, n_str, nnz_str = args.file.split(":")
-            n_rows, n_nnz = int(n_str), int(nnz_str)
-        except ValueError:
-            log("ERROR", f"bad synth spec (want synth:N:NNZ): {args.file}")
-            return 2
         log("FILE", f"Generating synthetic banded matrix {args.file}")
-        coo = synth_banded(
-            n_rows, nnz_per_row=max(n_nnz // max(n_rows, 1), 1)
-        )
+        try:
+            coo = parse_synth_spec(args.file)
+        except ValueError as e:
+            log("ERROR", str(e))
+            return 2
     else:
         log("FILE", f"Loading matrix: {args.file}")
         from smvp_toolkit_tpu.io.mtx import MTXUnsupportedType
@@ -307,7 +303,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.x == "ones":
         x = jnp.ones((coo.shape[1],), dtype=x_dtype)
     elif args.x == "random" or args.x.startswith("random:"):
-        seed = int(args.x.split(":", 1)[1]) if ":" in args.x else 0
+        try:
+            seed = int(args.x.split(":", 1)[1]) if ":" in args.x else 0
+        except ValueError:
+            log("ERROR", f"bad --x seed (want random:INT): {args.x!r}")
+            return 2
         rng = np.random.default_rng(seed)
         x = jnp.asarray(
             rng.standard_normal(coo.shape[1]), dtype=x_dtype
@@ -339,6 +339,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 # require row-major prefix structure. TJDS falls back.
                 return spmv_tjds(encoded, xx)
 
+            # The fallback must not be misreported as extended precision.
+            tjds_df64.kernel_label = "xla"
+            log("INFO", "df64 is CSR-only; TJDS runs the plain XLA kernel.")
             return csr_df64, tjds_df64, "df64"
         if args.kernel == "native":
             from smvp_toolkit_tpu.ops.spmv_native import (
@@ -395,7 +398,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     csr_fn, tjds_fn, kernel_kind = _spmv_fns()
 
     def _run(alg_name, encoded, spmv_fn, bytes_per_iter, force_kernel=None):
-        run_kernel = kernel_kind  # the kernel actually benchmarked
+        # The kernel actually benchmarked (a wrapper may override its
+        # label when it falls back, e.g. df64's TJDS path).
+        run_kernel = getattr(spmv_fn, "kernel_label", kernel_kind)
         use_shards = args.shards > 1 and force_kernel is None
         if force_kernel is not None:
             if kernel_kind != force_kernel or args.shards > 1:

@@ -100,14 +100,19 @@ class TJDSMatrix:
         )
 
 
-@jax.jit
-def _max_col_count(coo: COOMatrix) -> jax.Array:
-    """Longest column's entry count (the true jagged-diagonal count)."""
+def _max_col_count(coo: COOMatrix) -> int:
+    """Longest column's entry count (the true jagged-diagonal count).
+
+    Host numpy on the pulled column array: a device reduce here would be
+    one extra remote XLA compile (~2 min through the axon tunnel) per
+    (shape, nnz) signature, for a scalar the host computes in
+    microseconds.
+    """
     ncols = coo.shape[1]
-    valid = jnp.arange(coo.nnz_padded, dtype=jnp.int32) < coo.nnz
-    cols = jnp.where(valid, coo.cols, ncols).astype(jnp.int32)
-    counts = jnp.bincount(cols, length=ncols + 1)[:ncols]
-    return counts.max() if ncols > 0 else jnp.int32(0)
+    if ncols == 0 or coo.nnz == 0:
+        return 0
+    cols = np.asarray(coo.cols)[: coo.nnz]
+    return int(np.bincount(cols, minlength=ncols).max())
 
 
 @partial(jax.jit, static_argnames=("diag_bound",))
@@ -188,7 +193,7 @@ def tjds_encode(coo: COOMatrix) -> TJDSMatrix:
     40 MB prefix array for a format whose point is compression. The bound
     rounds up to a multiple of 8 to bucket recompiles of the encoder.
     """
-    nd = int(_max_col_count(coo))
+    nd = _max_col_count(coo)
     diag_bound = max(-(-nd // 8) * 8, 8)
     return _tjds_encode_impl(coo, diag_bound)
 

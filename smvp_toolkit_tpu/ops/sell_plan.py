@@ -133,7 +133,7 @@ class SellPlan:
         return self.n_sublanes * LANES
 
     def traffic_bytes(
-        self, value_bytes: int = 4, lidx_bytes: int = 1,
+        self, value_bytes: int = 4, lidx_bytes: Optional[int] = None,
         x_bytes: int = 4,
     ) -> int:
         """HBM bytes one kernel launch actually moves (honest roofline).
@@ -142,8 +142,18 @@ class SellPlan:
         (S x 128) regardless of occupancy, which is why ``slots()/nnz``
         (the padding factor) divides the achievable nnz/s. Per launch:
         vals + lane_idx planes, the per-sublane/per-chunk one-hot
-        generators, x once (resident mode), y once.
+        generators, x once (resident mode), y once. ``lidx_bytes``
+        defaults to the width the operator would actually pick for this
+        plan (int8 only when the chunk is 32-tile-aligned —
+        spmv_pallas.SellSpMV).
         """
+        if lidx_bytes is None:
+            lidx_bytes = (
+                1
+                if self.chunk % 32 == 0
+                and os.environ.get("SMVP_SELL_LIDX32") != "1"
+                else 4
+            )
         s = self.n_sublanes
         return int(
             s * LANES * (value_bytes + lidx_bytes)  # packed planes

@@ -54,8 +54,9 @@ def main(argv=None) -> int:
         log("START", f"{jax.process_count()} process(es), {n_dev} device(s)")
 
     if args.file.startswith("synth:"):
-        _, n, nnz = args.file.split(":")
-        coo = synth_banded(int(n), nnz_per_row=max(int(nnz) // int(n), 1))
+        from smvp_toolkit_tpu.utils.synth import parse_synth_spec
+
+        coo = parse_synth_spec(args.file)
     else:
         coo = read_mtx(args.file)
     coo = coo.pad(512)

@@ -178,6 +178,17 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     """y = A·x with each device running the SELL Pallas kernel locally."""
     ncols_pad = sh.CT * LANES
     x = x.astype(sh.vals.dtype)  # bf16 value mode streams x in bf16 too
+    # Same VMEM guard and bf16 precision rule as the single-chip
+    # operator (spmv_pallas.SellSpMV): resident x only while it fits,
+    # lossless 3-pass reduce for bf16 products.
+    from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
+
+    resident = sh.CT * LANES * x.dtype.itemsize <= _RESIDENT_X_LIMIT
+    precision = (
+        jax.lax.Precision.HIGH
+        if sh.vals.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     if x.shape[0] < ncols_pad:
         x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
     x_tiles = x.reshape(sh.CT, LANES)
@@ -197,6 +208,8 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
             ns=sh.NSl,
             wt=sh.WT,
             interpret=interpret,
+            precision=precision,
+            resident=resident,
         )
         return y[None]
 

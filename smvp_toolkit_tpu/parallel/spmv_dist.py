@@ -259,7 +259,15 @@ def shard_and_bench(
             np.asarray(r, dtype=np.int32), np.asarray(c, dtype=np.int32),
             v, shape=shape,
         )
-        sharded = shard_sell(coo, mesh)
+        # A bfloat16-encoded matrix keeps bf16 value mode across shards
+        # (mirrors spmv_pallas._cached_op's single-chip rule).
+        vdt = (
+            jnp.bfloat16
+            if jnp.dtype(getattr(encoded, "dtype", jnp.float32))
+            == jnp.dtype(jnp.bfloat16)
+            else None
+        )
+        sharded = shard_sell(coo, mesh, value_dtype=vdt)
         fn = lambda: spmv_sell_sharded(sharded, x, mesh)  # noqa: E731
     elif alg_name == "CSR":
         sharded = shard_csr(encoded, mesh)

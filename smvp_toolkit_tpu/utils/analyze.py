@@ -52,7 +52,11 @@ def analyze(coo: COOMatrix) -> Dict:
         "p90": int(np.percentile(spread, 90)),
         "max": int(spread.max()),
     }
-    # SELL-T1 planner metrics.
+    # SELL-T1 planner metrics (real-valued matrices only — the planner
+    # refuses complex values; complex SpMV runs the XLA kernels).
+    if np.iscomplexobj(np.asarray(v)):
+        out["tjds_diags"] = int(cl.max())
+        return out
     from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
 
     plan = build_sell_plan(r, c, v, coo.shape)
@@ -67,8 +71,8 @@ def analyze(coo: COOMatrix) -> Dict:
         # HBM bytes one kernel launch moves, f32 and bf16 value modes —
         # with the occupancy (nnz/slots) these set the kernel's
         # speed-of-light nnz/s on a given chip.
-        "traffic_f32_bytes": plan.traffic_bytes(4, 1, 4),
-        "traffic_bf16_bytes": plan.traffic_bytes(2, 1, 2),
+        "traffic_f32_bytes": plan.traffic_bytes(4, None, 4),
+        "traffic_bf16_bytes": plan.traffic_bytes(2, None, 2),
     }
     # TJDS metrics.
     out["tjds_diags"] = int(cl.max())
@@ -91,17 +95,20 @@ def format_analysis(stats: Dict) -> str:
         lines.append(
             f"bandwidth |r-c|: p50 {b['p50']}  p90 {b['p90']}  max {b['max']}"
         )
-        s = stats["sell"]
-        lines.append(
-            f"SELL plan: {s['sublanes']} sublanes ({s['padding_factor']:.1f}x"
-            f" slots), window {s['window_tiles']}/{s['col_tiles']} tiles, "
-            f"{s['chunks']} chunk(s) of {s['chunk']}"
-        )
-        if "traffic_f32_bytes" in s:
+        s = stats.get("sell")  # absent for complex matrices (XLA path)
+        if s is not None:
             lines.append(
-                f"SELL traffic/launch: f32 {s['traffic_f32_bytes']/1e6:.2f}"
-                f" MB, bf16 {s['traffic_bf16_bytes']/1e6:.2f} MB "
-                f"(occupancy {1.0/s['padding_factor']:.2f})"
+                f"SELL plan: {s['sublanes']} sublanes "
+                f"({s['padding_factor']:.1f}x slots), window "
+                f"{s['window_tiles']}/{s['col_tiles']} tiles, "
+                f"{s['chunks']} chunk(s) of {s['chunk']}"
             )
+            if "traffic_f32_bytes" in s:
+                lines.append(
+                    f"SELL traffic/launch: f32 "
+                    f"{s['traffic_f32_bytes']/1e6:.2f} MB, bf16 "
+                    f"{s['traffic_bf16_bytes']/1e6:.2f} MB "
+                    f"(occupancy {1.0/s['padding_factor']:.2f})"
+                )
         lines.append(f"TJDS diagonals: {stats['tjds_diags']}")
     return "\n".join(lines)

@@ -68,3 +68,24 @@ def _dedup(rows, cols, vals, shape: Tuple[int, int], dtype) -> COOMatrix:
         shape=shape,
         dtype=dtype,
     )
+
+
+def parse_synth_spec(spec: str):
+    """Parse ``synth:N:NNZ`` into a banded COO matrix.
+
+    Shared by the CLI and the distributed launch runner so the spec
+    grammar and its error behavior stay in one place. Raises ValueError
+    with a user-readable message on a malformed spec.
+    """
+    parts = spec.split(":")
+    if len(parts) != 3 or parts[0] != "synth":
+        raise ValueError(f"bad synth spec (want synth:N:NNZ): {spec!r}")
+    try:
+        n, nnz = int(parts[1]), int(parts[2])
+    except ValueError:
+        raise ValueError(
+            f"bad synth spec (want synth:N:NNZ): {spec!r}"
+        ) from None
+    if n < 1 or nnz < 0:
+        raise ValueError(f"bad synth spec (non-positive sizes): {spec!r}")
+    return synth_banded(n, nnz_per_row=max(nnz // n, 1))

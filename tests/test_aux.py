@@ -267,3 +267,19 @@ def test_native_tjds_empty_matrix_threaded():
     tj = tjds_encode(coo.pad(8))
     y = NativeTjdsSpMV(tj, threads=4)(np.ones(8, np.float32))
     np.testing.assert_array_equal(y, np.zeros(8))
+
+
+def test_analyze_complex_matrix():
+    """--analyze must not crash on complex matrices (SELL section is
+    skipped — the planner is real-valued)."""
+    import io as _io
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.utils.analyze import analyze, format_analysis
+
+    s = ("%%MatrixMarket matrix coordinate complex general\n2 2 2\n"
+         "1 1 1.0 2.0\n2 2 3.0 -1.0\n")
+    coo = read_mtx(_io.StringIO(s)).pad(8)
+    text = format_analysis(analyze(coo))
+    assert "TJDS diagonals" in text
+    assert "SELL plan" not in text
