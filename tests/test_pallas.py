@@ -344,3 +344,17 @@ def test_int8_lane_index_compression():
     assert op32.lidx.dtype == jnp.int32
     x = jnp.asarray(rng.randn(ncols).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(op8(x)), np.asarray(op32(x)))
+
+
+def test_windowed_fallback_auto_selected(monkeypatch):
+    """Above the VMEM budget the operator picks the windowed-stack path
+    automatically and still computes the same y."""
+    import smvp_toolkit_tpu.ops.spmv_pallas as spp
+
+    coo = _load("ibm32.mtx")
+    op = SellSpMV.from_coo(coo)
+    x = jnp.asarray(np.random.RandomState(2).randn(coo.shape[1]).astype(np.float32))
+    y_resident = np.asarray(op(x))
+    monkeypatch.setattr(spp, "_RESIDENT_X_LIMIT", -1)
+    y_windowed = np.asarray(op(x))
+    np.testing.assert_array_equal(y_resident, y_windowed)
