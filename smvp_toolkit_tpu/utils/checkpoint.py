@@ -25,7 +25,7 @@ from smvp_toolkit_tpu.formats.csr import CSRMatrix
 from smvp_toolkit_tpu.formats.tjds import TJDSMatrix
 from smvp_toolkit_tpu.io.mtx import MMTypeCode
 
-__all__ = ["save_matrix", "load_matrix"]
+__all__ = ["save_matrix", "load_matrix", "save_plan", "load_plan"]
 
 _KINDS = {"COOMatrix": COOMatrix, "CSRMatrix": CSRMatrix, "TJDSMatrix": TJDSMatrix}
 
@@ -102,3 +102,52 @@ def load_matrix(source) -> Union[COOMatrix, CSRMatrix, TJDSMatrix]:
                 nnz=nnz,
             )
     raise ValueError(f"unknown checkpoint kind {kind!r}")
+
+
+def save_plan(dest, plan) -> None:
+    """Serialize a SELL execution plan (ops/sell_plan.SellPlan) to .npz.
+
+    Encode-once deployments reload the kernel-ready planes directly —
+    no re-planning, no triplet storage.
+    """
+    meta = {
+        "kind": "SellPlan",
+        "shape": list(plan.shape),
+        "nnz": int(plan.nnz),
+        "n_slices": int(plan.n_slices),
+        "n_coltiles": int(plan.n_coltiles),
+        "window_tiles": int(plan.window_tiles),
+        "chunk": int(plan.chunk),
+    }
+    np.savez_compressed(
+        dest,
+        vals=plan.vals,
+        lane_idx=plan.lane_idx,
+        rel_tile=plan.rel_tile,
+        slice_of=plan.slice_of,
+        tile_base=plan.tile_base,
+        __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    )
+
+
+def load_plan(source):
+    """Load a SELL plan checkpoint written by :func:`save_plan`."""
+    from smvp_toolkit_tpu.ops.sell_plan import SellPlan
+
+    with np.load(source) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        if meta.get("kind") != "SellPlan":
+            raise ValueError(f"not a SellPlan checkpoint: {meta.get('kind')}")
+        return SellPlan(
+            vals=z["vals"],
+            lane_idx=z["lane_idx"],
+            rel_tile=z["rel_tile"],
+            slice_of=z["slice_of"],
+            tile_base=z["tile_base"],
+            shape=tuple(meta["shape"]),
+            nnz=int(meta["nnz"]),
+            n_slices=int(meta["n_slices"]),
+            n_coltiles=int(meta["n_coltiles"]),
+            window_tiles=int(meta["window_tiles"]),
+            chunk=int(meta["chunk"]),
+        )

@@ -283,3 +283,28 @@ def test_analyze_complex_matrix():
     text = format_analysis(analyze(coo))
     assert "TJDS diagonals" in text
     assert "SELL plan" not in text
+
+
+def test_sell_plan_checkpoint_roundtrip(tmp_path):
+    """SELL plans save/load bit-exactly and the reloaded plan drives the
+    kernel to the same y."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV
+    from smvp_toolkit_tpu.utils.checkpoint import load_plan, save_plan
+
+    coo = read_mtx("/root/reference/sample-data/curtis54.mtx")
+    r, c, v = coo.to_numpy()
+    plan = build_sell_plan(r, c, v, coo.shape)
+    p = tmp_path / "plan.npz"
+    save_plan(p, plan)
+    back = load_plan(p)
+    for f in ("vals", "lane_idx", "rel_tile", "slice_of", "tile_base"):
+        np.testing.assert_array_equal(getattr(plan, f), getattr(back, f))
+    x = jnp.asarray(np.random.RandomState(0).randn(coo.shape[1]).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(SellSpMV(plan)(x)), np.asarray(SellSpMV(back)(x))
+    )
