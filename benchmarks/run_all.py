@@ -95,6 +95,17 @@ def main() -> int:
         matrices["synth-10M"] = synth_banded(
             1_000_000, nnz_per_row=10, bandwidth=256, seed=0
         ).pad(512)
+        # goodwin.mtx (7320^2, 324784 nnz, strongly nonuniform rows) is
+        # stripped from the reference snapshot (.MISSING_LARGE_BLOBS);
+        # a power-law surrogate at its shape stands in for the
+        # BASELINE.json "jagged-diagonal pack with nonuniform row
+        # lengths" config. NOT comparable to the reference's goodwin
+        # timings — no vs_reference is emitted for it.
+        from smvp_toolkit_tpu.utils.synth import synth_powerlaw
+
+        matrices["goodwin-surrogate"] = synth_powerlaw(
+            7320, nnz=324784, alpha=1.2, seed=3
+        ).pad(512)
 
     import time as _time
 
@@ -316,6 +327,36 @@ def main() -> int:
                 except Exception as e:  # pragma: no cover
                     record({"matrix": name, "alg": alg, "kernel": kernel,
                             "error": str(e)[:200]})
+
+        # Data-parallel row (BASELINE.json: "memplus row-block sharded",
+        # "pwt + synth multi-host DP") whenever >1 device is visible
+        # (real chips, or the CPU-simulated mesh in CI).
+        n_dev = len(jax.devices())
+        if n_dev > 1 and name in ("memplus", "pwt", "synth-10M"):
+            try:
+                from smvp_toolkit_tpu.parallel import shard_and_bench
+
+                stats, y = shard_and_bench(
+                    "CSR", encs["CSR"][0], x, n_dev, iterations=iters
+                )
+                err = float(
+                    np.abs(np.asarray(y, dtype=np.float64) - y_ref).max()
+                    / scale
+                )
+                record({
+                    "matrix": name, "alg": "CSR",
+                    "kernel": f"xla-sharded-{n_dev}dev",
+                    "nnz": coo.nnz,
+                    "avg_ms": round(stats.avg_ms, 6),
+                    "gnnz_per_s": round(
+                        stats.nnz_per_s(coo.nnz) / 1e9, 3
+                    ),
+                    "rel_err": err,
+                    "device": device.device_kind,
+                })
+            except Exception as e:  # pragma: no cover
+                record({"matrix": name, "alg": "CSR", "kernel": "sharded",
+                        "error": str(e)[:200]})
     return 0
 
 
