@@ -358,3 +358,40 @@ def test_windowed_fallback_auto_selected(monkeypatch):
     monkeypatch.setattr(spp, "_RESIDENT_X_LIMIT", -1)
     y_windowed = np.asarray(op(x))
     np.testing.assert_array_equal(y_resident, y_windowed)
+
+
+@pytest.mark.parametrize("scale", [1e-30, 1.0, 1e30])
+def test_extreme_value_magnitudes(scale):
+    """The one-hot select/reduce path must not overflow or round away
+    extreme-magnitude values (HIGHEST passes decompose f32 into bf16
+    limbs — exponent range is preserved)."""
+    rng = np.random.RandomState(int(np.log10(scale)) % 7)
+    n, nnz = 300, 900
+    r = rng.randint(0, n, nnz).astype(np.int64)
+    c = rng.randint(0, n, nnz).astype(np.int64)
+    v = (rng.randn(nnz) * scale).astype(np.float32)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), v.astype(np.float64),
+        shape=(n, n),
+    )
+    op = SellSpMV.from_coo(coo)
+    x = rng.randn(n).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x))).astype(np.float64)
+    y_ref = np.zeros(n)
+    np.add.at(y_ref, r, v.astype(np.float64) * x[c].astype(np.float64))
+    sc = np.abs(y_ref).max() + 1e-300
+    assert np.abs(y - y_ref).max() / sc < 1e-4
+
+
+def test_negative_zero_and_inf_free():
+    """Zeros stored as explicit entries stay zero; no NaN/Inf appears
+    from dead-slot arithmetic."""
+    r = np.array([0, 1, 2], dtype=np.int32)
+    c = np.array([0, 1, 2], dtype=np.int32)
+    v = np.array([0.0, -0.0, 5.0])
+    coo = COOMatrix.from_numpy(r, c, v, shape=(3, 3))
+    op = SellSpMV.from_coo(coo)
+    x = jnp.asarray(np.array([1e30, -1e30, 2.0], np.float32))
+    y = np.asarray(op(x))
+    assert np.isfinite(y).all()
+    np.testing.assert_allclose(y, [0.0, 0.0, 10.0])
