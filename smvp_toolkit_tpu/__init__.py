@@ -27,6 +27,12 @@ __version__ = "0.1.0"
 from smvp_toolkit_tpu.formats.coo import COOMatrix
 from smvp_toolkit_tpu.formats.csr import CSRMatrix, csr_encode, csr_decode
 from smvp_toolkit_tpu.formats.tjds import TJDSMatrix, tjds_encode, tjds_decode
+from smvp_toolkit_tpu.formats.cisr import (
+    CISRMatrix,
+    cisr_encode,
+    cisr_decode,
+    write_coe,
+)
 from smvp_toolkit_tpu.io.mtx import read_mtx, write_mtx
 
 __all__ = [
@@ -37,6 +43,10 @@ __all__ = [
     "TJDSMatrix",
     "tjds_encode",
     "tjds_decode",
+    "CISRMatrix",
+    "cisr_encode",
+    "cisr_decode",
+    "write_coe",
     "read_mtx",
     "write_mtx",
     "__version__",
