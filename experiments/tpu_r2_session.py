@@ -32,15 +32,23 @@ from smvp_toolkit_tpu.io.mtx import read_mtx
 from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
 from smvp_toolkit_tpu.ops import spmv_pallas as sp
 
-REF_MS = {"memplus": 0.387638, "pwt": 0.569281, "curtis54": 0.0009249}
+REF_MS = {"memplus": 0.387638, "pwt": 0.569281, "curtis54": 0.0009249,
+          "synth-10M": None}
 _COO_CACHE = {}
 
 
 def _coo(name):
     if name not in _COO_CACHE:
-        _COO_CACHE[name] = read_mtx(
-            f"/root/reference/sample-data/{name}.mtx"
-        ).pad(512)
+        if name == "synth-10M":
+            from smvp_toolkit_tpu.utils.synth import synth_banded
+
+            _COO_CACHE[name] = synth_banded(
+                1_000_000, nnz_per_row=10, bandwidth=256, seed=0
+            ).pad(512)
+        else:
+            _COO_CACHE[name] = read_mtx(
+                f"/root/reference/sample-data/{name}.mtx"
+            ).pad(512)
     return _COO_CACHE[name]
 
 
@@ -87,9 +95,10 @@ def run(name, *, value_dtype=None, precision=None, resident=None,
         stats = bench_spmv_fused(lambda m, xx: op(xx), coo, x,
                                  iterations=iterations, repeats=3)
         nnzs = coo.nnz / (stats.avg_ms * 1e-3)
-        vs = REF_MS[name] / stats.avg_ms
+        ref = REF_MS.get(name)
+        vs = f"vs_ref_csr {ref / stats.avg_ms:6.1f}x" if ref else ""
         print(f"{tag}: {stats.avg_ms*1e3:8.2f} us/iter  "
-              f"{nnzs/1e9:6.2f} Gnnz/s  vs_ref_csr {vs:6.1f}x", flush=True)
+              f"{nnzs/1e9:6.2f} Gnnz/s  {vs}", flush=True)
     finally:
         if resident is not None:
             sp._RESIDENT_X_LIMIT = lim
@@ -117,6 +126,11 @@ def main():
         ("pwt", dict(chunk=512, label=" f32-c512")),
         ("memplus", dict(value_dtype=jnp.bfloat16, chunk=512,
                          label=" bf16-c512")),
+        # Last: the 10M-nnz scaling config (big upload through the tunnel;
+        # ~150 MB of planes — keep it from blocking the smaller stages).
+        ("synth-10M", dict(iterations=50, label=" f32")),
+        ("synth-10M", dict(value_dtype=jnp.bfloat16, iterations=50,
+                           label=" bf16")),
     ]
     for name, kw in stages:
         try:
