@@ -132,12 +132,24 @@ def main():
         ("synth-10M", dict(value_dtype=jnp.bfloat16, iterations=50,
                            label=" bf16")),
     ]
-    for name, kw in stages:
+    for i, (name, kw) in enumerate(stages):
         try:
             run(name, **kw)
         except Exception as e:
             print(f"{name} {kw.get('label','')} FAILED: {str(e)[:300]}",
                   flush=True)
+            if i == 0 and os.environ.get("SMVP_SELL_COMPAT") != "1":
+                # Canary rejected by Mosaic: fall back to the dense
+                # one-hot compatibility kernel (round-1-proven config)
+                # for the rest of the session and retry the canary.
+                print("canary failed — switching to SMVP_SELL_COMPAT=1",
+                      flush=True)
+                os.environ["SMVP_SELL_COMPAT"] = "1"
+                try:
+                    run(name, **kw)
+                except Exception as e2:
+                    print(f"compat canary ALSO FAILED: {str(e2)[:300]}",
+                          flush=True)
     print(f"session total {time.time()-t0:.0f}s", flush=True)
 
 

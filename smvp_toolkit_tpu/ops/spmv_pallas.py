@@ -147,16 +147,90 @@ def _make_sell_kernel_resident(precision, ns, wt, bf16_values):
 _RESIDENT_X_LIMIT = 6 * 2**20
 
 
+def _make_sell_kernel_onehot(precision, ns, wt):
+    """Maximum-compatibility kernel: dense one-hot planes as inputs.
+
+    No iota-compare, no dynamic slices, no sub-word dtypes — the input
+    shapes/ops of the round-1 v1 kernel, the only configuration proven
+    through Mosaic on real hardware before the tunnel outage. Costs
+    S x (WT + NS) x 4 bytes of extra plane traffic per launch; used as
+    the escape hatch (SMVP_SELL_COMPAT=1 or onehot_dense=True) if the
+    compiler rejects the compact generators.
+    """
+
+    def _sell_kernel(x_ref, val_ref, lidx_ref, oht_ref, seg_ref, y_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        table = jnp.dot(
+            oht_ref[0], x_ref[0],
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        g = jnp.take_along_axis(table, lidx_ref[:], axis=1)
+        prod = val_ref[:].astype(jnp.float32) * g
+        y_ref[:] += jnp.dot(
+            seg_ref[0], prod,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    return _sell_kernel
+
+
 @partial(
     jax.jit,
     static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret",
-                     "precision", "resident"),
+                     "precision", "resident", "onehot_dense"),
 )
 def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, tile_base, *, n_chunks, chunk,
     ns, wt, interpret, precision=jax.lax.Precision.HIGHEST, resident=True,
+    onehot_dense=False,
 ):
     bf16_values = vals.dtype == jnp.bfloat16
+    if onehot_dense:
+        # Compatibility mode: build the one-hot planes with XLA outside
+        # the kernel (loop-invariant, so fused benchmark loops hoist
+        # them) and feed f32/int32 only.
+        xw = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    x_tiles.astype(jnp.float32), (tile_base[i], 0),
+                    (wt, LANES),
+                )
+                for i in range(n_chunks)
+            ]
+        )
+        oht = (
+            rel_tile.reshape(n_chunks, chunk, 1)
+            == jnp.arange(wt, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.float32)
+        seg = (
+            jnp.arange(ns, dtype=jnp.int32)[None, :, None]
+            == slice_of.reshape(n_chunks, 1, chunk)
+        ).astype(jnp.float32)
+        return pl.pallas_call(
+            _make_sell_kernel_onehot(precision, ns, wt),
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((1, chunk, wt), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, ns, chunk), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            interpret=interpret,
+        )(
+            xw,
+            vals.astype(jnp.float32),
+            lidx.astype(jnp.int32),
+            oht,
+            seg,
+        )
     if resident:
         ct = x_tiles.shape[0]
         return pl.pallas_call(
@@ -333,6 +407,10 @@ class SellSpMV:
             plan.n_coltiles * LANES * x_tiles.dtype.itemsize
             <= _RESIDENT_X_LIMIT
         )
+        onehot_dense = (
+            getattr(self, "onehot_dense", False)
+            or os.environ.get("SMVP_SELL_COMPAT") == "1"
+        )
         y = _sell_spmv_call(
             x_tiles,
             self.vals,
@@ -347,6 +425,7 @@ class SellSpMV:
             interpret=self.interpret,
             precision=self.precision,
             resident=resident,
+            onehot_dense=onehot_dense,
         )
         return y.reshape(-1)[: self.shape[0]]
 

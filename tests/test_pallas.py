@@ -395,3 +395,17 @@ def test_negative_zero_and_inf_free():
     y = np.asarray(op(x))
     assert np.isfinite(y).all()
     np.testing.assert_allclose(y, [0.0, 0.0, 10.0])
+
+
+def test_onehot_compat_mode_agrees(monkeypatch):
+    """SMVP_SELL_COMPAT=1 (dense one-hot planes, the round-1-proven
+    Mosaic configuration) must compute identical y."""
+    coo = _load("curtis54.mtx")
+    op = SellSpMV.from_coo(coo)
+    x = jnp.asarray(
+        np.random.RandomState(4).randn(coo.shape[1]).astype(np.float32)
+    )
+    y_default = np.asarray(op(x))
+    monkeypatch.setenv("SMVP_SELL_COMPAT", "1")
+    y_compat = np.asarray(op(x))
+    np.testing.assert_allclose(y_compat, y_default, rtol=1e-6, atol=1e-7)
