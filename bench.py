@@ -104,17 +104,24 @@ def main() -> int:
     spmv_fn = spmv_csr
     kernel = "xla"
     if device.platform != "cpu":
-        try:
-            from smvp_toolkit_tpu.ops import spmv_pallas
+        from smvp_toolkit_tpu.ops import spmv_pallas
 
-            # Validate before trusting.
-            y_p = np.asarray(spmv_pallas.spmv_csr_pallas(csr, x))
-            y_x = np.asarray(spmv_csr(csr, x))
-            if np.allclose(y_p, y_x, rtol=1e-3, atol=1e-4):
-                spmv_fn = spmv_pallas.spmv_csr_pallas
-                kernel = "pallas"
-        except Exception:
-            pass
+        y_x = np.asarray(spmv_csr(csr, x))
+        for mode, env in (("pallas", None), ("pallas-compat", "1")):
+            try:
+                if env is not None:
+                    os.environ["SMVP_SELL_COMPAT"] = env
+                # Validate before trusting.
+                y_p = np.asarray(spmv_pallas.spmv_csr_pallas(csr, x))
+                if np.allclose(y_p, y_x, rtol=1e-3, atol=1e-4):
+                    spmv_fn = spmv_pallas.spmv_csr_pallas
+                    kernel = mode
+                    break
+            except Exception:
+                continue
+            finally:
+                if env is not None and kernel != mode:
+                    os.environ.pop("SMVP_SELL_COMPAT", None)
 
     # Correctness gate before publishing a number.
     y = np.asarray(spmv_fn(csr, x)).astype(np.float64)
