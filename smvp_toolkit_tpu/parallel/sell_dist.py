@@ -184,6 +184,9 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
 
     resident = sh.CT * LANES * x.dtype.itemsize <= _RESIDENT_X_LIMIT
+    import os as _os
+
+    compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
     precision = (
         jax.lax.Precision.HIGH
         if sh.vals.dtype == jnp.bfloat16
@@ -210,6 +213,7 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
             interpret=interpret,
             precision=precision,
             resident=resident,
+            onehot_dense=compat,
         )
         return y[None]
 
