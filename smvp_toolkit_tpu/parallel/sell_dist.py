@@ -173,9 +173,23 @@ def shard_sell(
     )
 
 
-@partial(jax.jit, static_argnames=("mesh",))
 def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
-    """y = A·x with each device running the SELL Pallas kernel locally."""
+    """y = A·x with each device running the SELL Pallas kernel locally.
+
+    The compat-kernel switch is read here (outside jit) so toggling
+    ``SMVP_SELL_COMPAT`` between calls retraces instead of silently
+    reusing the first compilation.
+    """
+    import os as _os
+
+    compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
+    return _spmv_sell_sharded(sh, x, mesh, compat)
+
+
+@partial(jax.jit, static_argnames=("mesh", "compat"))
+def _spmv_sell_sharded(
+    sh: ShardedSell, x: jax.Array, mesh: Mesh, compat: bool
+) -> jax.Array:
     ncols_pad = sh.CT * LANES
     x = x.astype(sh.vals.dtype)  # bf16 value mode streams x in bf16 too
     # Same VMEM guard and bf16 precision rule as the single-chip
@@ -184,9 +198,6 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
 
     resident = sh.CT * LANES * x.dtype.itemsize <= _RESIDENT_X_LIMIT
-    import os as _os
-
-    compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
     precision = (
         jax.lax.Precision.HIGH
         if sh.vals.dtype == jnp.bfloat16
