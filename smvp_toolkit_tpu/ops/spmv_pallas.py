@@ -488,9 +488,13 @@ def _cached_op(matrix, triplets_fn) -> SellSpMV:
         if jnp.dtype(getattr(matrix, "dtype", jnp.float32)) == jnp.bfloat16
         else jnp.float32
     )
-    op = SellSpMV(
-        build_sell_plan(r, c, v, shape), value_dtype=vdt, _triplets=(r, c, v)
-    )
+    if os.environ.get("SMVP_SELL_AUTOTUNE") == "1":
+        from smvp_toolkit_tpu.ops.autotune import pick_plan
+
+        plan, _ = pick_plan(r, c, v, shape, bf16=vdt == jnp.bfloat16)
+    else:
+        plan = build_sell_plan(r, c, v, shape)
+    op = SellSpMV(plan, value_dtype=vdt, _triplets=(r, c, v))
     try:
         ref = weakref.ref(matrix, lambda _r, _k=key: _CACHE.pop(_k, None))
     except TypeError:  # non-weakrefable input

@@ -409,3 +409,27 @@ def test_onehot_compat_mode_agrees(monkeypatch):
     monkeypatch.setenv("SMVP_SELL_COMPAT", "1")
     y_compat = np.asarray(op(x))
     np.testing.assert_allclose(y_compat, y_default, rtol=1e-6, atol=1e-7)
+
+
+def test_autotune_pick_plan():
+    """pick_plan returns a valid plan whose kernel matches the default
+    plan's results; the cost model must monotonically credit a smaller
+    tile window at equal traffic."""
+    from smvp_toolkit_tpu.ops.autotune import pick_plan, plan_cost_us
+    from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+
+    coo = _load("curtis54.mtx")
+    r, c, v = coo.to_numpy()
+    plan, cost = pick_plan(r, c, v, coo.shape)
+    assert cost > 0
+    op = SellSpMV(plan)
+    x = jnp.asarray(
+        np.random.RandomState(6).randn(coo.shape[1]).astype(np.float32)
+    )
+    y_ref = np.asarray(SellSpMV(build_sell_plan(r, c, v, coo.shape))(x))
+    np.testing.assert_allclose(np.asarray(op(x)), y_ref, rtol=1e-5,
+                               atol=1e-6)
+    # bf16 must model cheaper than f32 for the same plan.
+    p = build_sell_plan(r, c, v, coo.shape)
+    assert plan_cost_us(p, 2, table_passes=1, reduce_passes=3) < \
+        plan_cost_us(p, 4, table_passes=6, reduce_passes=6)
