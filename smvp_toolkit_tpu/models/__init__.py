@@ -15,6 +15,7 @@ from smvp_toolkit_tpu.models.solvers import (
     jacobi,
     lanczos,
     cgls,
+    gmres,
 )
 from smvp_toolkit_tpu.models.graph import (
     gcn_norm,
@@ -32,6 +33,7 @@ __all__ = [
     "jacobi",
     "lanczos",
     "cgls",
+    "gmres",
     "gcn_norm",
     "gcn_layer",
     "gcn_forward",

@@ -25,6 +25,7 @@ __all__ = [
     "jacobi",
     "lanczos",
     "cgls",
+    "gmres",
 ]
 
 
@@ -244,3 +245,63 @@ def jacobi(
 
     x_final, _ = jax.lax.scan(step, x, None, length=num_iters)
     return x_final
+
+
+def gmres(
+    matrix,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    restart: int = 20,
+    num_restarts: int = 5,
+    spmv: Callable = spmv_csr,
+):
+    """Solve A x = b for general (nonsymmetric) A by restarted GMRES(m).
+
+    Arnoldi with modified Gram-Schmidt under ``lax.scan`` (static m =
+    ``restart``); the small (m+1, m) least-squares solve runs as a dense
+    QR on device. Returns (x, residual_norm_per_restart).
+
+    TPU structure notes: the Krylov basis is a static (m+1, n) array
+    updated with ``dynamic_update_slice`` — no Python-level growth; all
+    inner products are fused VPU reductions.
+    """
+    n = b.shape[0]
+    m = restart
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    def arnoldi_cycle(x, _):
+        r = b - spmv(matrix, x)
+        beta = jnp.linalg.norm(r)
+        v0 = r / jnp.maximum(beta, 1e-30)
+        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(v0)
+        H = jnp.zeros((m + 1, m), b.dtype)
+
+        def arnoldi_step(carry, j):
+            V, H = carry
+            w = spmv(matrix, V[j])
+
+            # Modified Gram-Schmidt against all m+1 rows; rows > j are
+            # zero so the masked projections are no-ops (static shapes).
+            def mgs(w, i):
+                h = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                return w - h * V[i], h
+
+            w, hcol = jax.lax.scan(mgs, w, jnp.arange(m + 1))
+            hnorm = jnp.linalg.norm(w)
+            hcol = hcol.at[j + 1].set(hnorm)
+            V = V.at[j + 1].set(w / jnp.maximum(hnorm, 1e-30))
+            H = H.at[:, j].set(hcol)
+            return (V, H), None
+
+        (V, H), _ = jax.lax.scan(
+            arnoldi_step, (V, H), jnp.arange(m)
+        )
+        # Least squares min ||beta e1 - H y|| via dense QR (m is small).
+        e1 = jnp.zeros((m + 1,), b.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1, rcond=None)
+        x = x + V[:m].T @ y
+        res = jnp.linalg.norm(b - spmv(matrix, x))
+        return x, res
+
+    x, res_norms = jax.lax.scan(arnoldi_cycle, x, None, length=num_restarts)
+    return x, res_norms

@@ -262,3 +262,32 @@ def test_gcn_training_learns():
     _, losses = train(params)
     assert float(losses[-1]) < float(losses[0]) * 0.5
     assert float(losses[-1]) < 0.4
+
+
+def test_gmres_nonsymmetric_system():
+    """Restarted GMRES converges on a nonsymmetric diagonally-dominant
+    system where CG's SPD assumption fails."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.models import gmres
+
+    rng = np.random.RandomState(5)
+    n = 80
+    dense = np.eye(n) * 10.0
+    for _ in range(400):
+        i, j = rng.randint(0, n, 2)
+        if i != j:
+            dense[i, j] += rng.randn() * 0.5  # nonsymmetric off-diagonals
+    r, c = np.nonzero(dense)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), dense[r, c], shape=(n, n)
+    )
+    csr = csr_encode(coo)
+    x_true = rng.randn(n).astype(np.float32)
+    b = jnp.asarray(dense.astype(np.float32) @ x_true)
+    x, res = gmres(csr, b, restart=20, num_restarts=4)
+    assert float(res[-1]) < 1e-3 * float(jnp.linalg.norm(b))
+    np.testing.assert_allclose(np.asarray(x), x_true, rtol=2e-3, atol=2e-3)
