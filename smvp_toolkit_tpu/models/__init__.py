@@ -16,6 +16,7 @@ from smvp_toolkit_tpu.models.solvers import (
     lanczos,
     cgls,
     gmres,
+    pcg,
 )
 from smvp_toolkit_tpu.models.graph import (
     gcn_norm,
@@ -34,6 +35,7 @@ __all__ = [
     "lanczos",
     "cgls",
     "gmres",
+    "pcg",
     "gcn_norm",
     "gcn_layer",
     "gcn_forward",

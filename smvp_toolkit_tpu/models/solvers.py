@@ -26,6 +26,7 @@ __all__ = [
     "lanczos",
     "cgls",
     "gmres",
+    "pcg",
 ]
 
 
@@ -305,3 +306,41 @@ def gmres(
 
     x, res_norms = jax.lax.scan(arnoldi_cycle, x, None, length=num_restarts)
     return x, res_norms
+
+
+def pcg(
+    matrix,
+    b: jax.Array,
+    diag: jax.Array,
+    x0: Optional[jax.Array] = None,
+    num_iters: int = 50,
+    spmv: Callable = spmv_csr,
+):
+    """Jacobi-preconditioned CG: M = diag(A) (SPD systems).
+
+    The cheapest preconditioner that still collapses condition numbers
+    of diagonally-dominant systems; the preconditioner apply is one VPU
+    multiply per step. Returns (x, residual_norms).
+    """
+    inv_d = 1.0 / jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - spmv(matrix, x)
+    z = inv_d * r
+    p = z
+    rz = jnp.vdot(r, z)
+
+    def step(carry, _):
+        x, r, z, p, rz = carry
+        ap = spmv(matrix, p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = inv_d * r
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, z, p, rz_new), jnp.linalg.norm(r)
+
+    (x, *_), res = jax.lax.scan(step, (x, r, z, p, rz), None,
+                                length=num_iters)
+    return x, res
