@@ -91,6 +91,42 @@ class COOMatrix:
             typecode=typecode or MMTypeCode(),
         )
 
+    @staticmethod
+    def from_scipy(
+        mat,
+        *,
+        typecode: Optional[MMTypeCode] = None,
+        dtype=None,
+        pad_to: Optional[int] = None,
+    ) -> "COOMatrix":
+        """Build from any ``scipy.sparse`` matrix/array (interop bridge).
+
+        Users migrating from the reference toolkit typically hold their
+        matrices as scipy objects; any format with ``.tocoo()`` works.
+        Duplicate entries are preserved (both libraries sum them on
+        materialization). Complex inputs promote to complex64 unless
+        ``dtype`` says otherwise.
+        """
+        coo = mat.tocoo()
+        if dtype is None and np.iscomplexobj(coo.data):
+            dtype = jnp.complex64
+        return COOMatrix.from_numpy(
+            coo.row,
+            coo.col,
+            coo.data,
+            shape=coo.shape,
+            typecode=typecode,
+            dtype=dtype,
+            pad_to=pad_to,
+        )
+
+    def to_scipy(self):
+        """True (unpadded) triplets as a ``scipy.sparse.coo_matrix``."""
+        import scipy.sparse
+
+        r, c, v = self.to_numpy()
+        return scipy.sparse.coo_matrix((v, (r, c)), shape=self.shape)
+
     # ------------------------------------------------------------------
     # Properties
     # ------------------------------------------------------------------

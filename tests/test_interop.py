@@ -1,0 +1,71 @@
+"""scipy.sparse interop bridge (COOMatrix.from_scipy / to_scipy)."""
+
+import numpy as np
+import pytest
+
+scipy_sparse = pytest.importorskip("scipy.sparse")
+
+import jax.numpy as jnp
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.formats.csr import csr_encode
+from smvp_toolkit_tpu.ops.spmv_xla import spmv_csr
+
+
+def _random_scipy(m=37, n=23, density=0.15, seed=0, dtype=np.float64):
+    rng = np.random.RandomState(seed)
+    mat = scipy_sparse.random(
+        m, n, density=density, random_state=rng, dtype=np.float64
+    )
+    return mat.astype(dtype)
+
+
+@pytest.mark.parametrize("fmt", ["coo", "csr", "csc"])
+def test_round_trip_dense_equal(fmt):
+    sp = _random_scipy()
+    sp_fmt = getattr(sp, "to" + fmt)()
+    coo = COOMatrix.from_scipy(sp_fmt)
+    np.testing.assert_allclose(
+        coo.to_dense(), sp.toarray(), rtol=1e-6, atol=1e-6
+    )
+    back = coo.to_scipy()
+    np.testing.assert_allclose(
+        back.toarray(), sp.toarray(), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_spmv_matches_scipy():
+    sp = _random_scipy(m=64, n=64, density=0.1, seed=1)
+    coo = COOMatrix.from_scipy(sp, pad_to=128)
+    csr = csr_encode(coo)
+    x = np.random.RandomState(2).randn(64)
+    y = np.asarray(spmv_csr(csr, jnp.asarray(x, dtype=jnp.float32)))
+    np.testing.assert_allclose(y, sp @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_duplicates_are_preserved_and_summed():
+    r = np.array([0, 0, 1])
+    c = np.array([1, 1, 2])
+    v = np.array([2.0, 3.0, 4.0])
+    sp = scipy_sparse.coo_matrix((v, (r, c)), shape=(3, 4))
+    coo = COOMatrix.from_scipy(sp)
+    assert coo.nnz == 3  # duplicates kept as entries
+    assert coo.to_dense()[0, 1] == 5.0  # summed on materialization
+    assert coo.to_scipy().toarray()[0, 1] == 5.0
+
+
+def test_complex_promotes():
+    sp = _random_scipy(dtype=np.complex128)
+    sp = sp + 1j * _random_scipy(seed=3, dtype=np.float64)
+    coo = COOMatrix.from_scipy(sp.tocoo())
+    assert coo.dtype == jnp.complex64
+    np.testing.assert_allclose(
+        coo.to_dense(dtype=np.complex128), sp.toarray(), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pad_to_respected():
+    sp = _random_scipy()
+    coo = COOMatrix.from_scipy(sp, pad_to=256)
+    assert coo.nnz_padded % 256 == 0
+    assert coo.nnz == sp.nnz
