@@ -17,6 +17,9 @@ from smvp_toolkit_tpu.models.solvers import (
     cgls,
     gmres,
     pcg,
+    chebyshev,
+    minres,
+    lanczos_eigsh,
 )
 from smvp_toolkit_tpu.models.graph import (
     gcn_norm,
@@ -36,6 +39,9 @@ __all__ = [
     "cgls",
     "gmres",
     "pcg",
+    "chebyshev",
+    "minres",
+    "lanczos_eigsh",
     "gcn_norm",
     "gcn_layer",
     "gcn_forward",

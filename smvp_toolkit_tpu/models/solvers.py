@@ -27,6 +27,9 @@ __all__ = [
     "cgls",
     "gmres",
     "pcg",
+    "chebyshev",
+    "minres",
+    "lanczos_eigsh",
 ]
 
 
@@ -246,6 +249,135 @@ def jacobi(
 
     x_final, _ = jax.lax.scan(step, x, None, length=num_iters)
     return x_final
+
+
+@partial(jax.jit, static_argnames=("num_iters", "spmv"))
+def chebyshev(
+    matrix,
+    b: jax.Array,
+    lambda_min: float,
+    lambda_max: float,
+    x0: Optional[jax.Array] = None,
+    num_iters: int = 50,
+    spmv: Callable = spmv_csr,
+):
+    """Chebyshev iteration for SPD A with spectrum in [lambda_min, lambda_max].
+
+    The *inner-product-free* Krylov method: each step is one SpMV plus
+    AXPYs — no global reductions at all, which makes it the
+    communication-optimal choice on a sharded mesh (CG needs two
+    all-reduce dot products per step; Chebyshev needs zero). Spectrum
+    bounds can come from :func:`lanczos_eigsh` (a few iterations give
+    tight-enough estimates). Returns (x, residual_norms) — the norms are
+    computed for observability but do not steer the iteration.
+    """
+    theta = (lambda_max + lambda_min) / 2.0
+    delta = (lambda_max - lambda_min) / 2.0
+    sigma1 = theta / delta
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - spmv(matrix, x)
+    d = r / theta
+    rho = 1.0 / sigma1
+
+    def step(carry, _):
+        x, r, d, rho = carry
+        x = x + d
+        r = r - spmv(matrix, d)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+        return (x, r, d, rho_new), jnp.linalg.norm(r)
+
+    (x, r, d, rho), res_norms = jax.lax.scan(
+        step, (x, r, d, rho), None, length=num_iters
+    )
+    return x, res_norms
+
+
+@partial(jax.jit, static_argnames=("num_iters", "spmv"))
+def minres(
+    matrix,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    num_iters: int = 50,
+    spmv: Callable = spmv_csr,
+):
+    """MINRES for symmetric (possibly *indefinite*) A (Paige & Saunders).
+
+    Fills the gap between CG (needs positive-definite) and GMRES (needs
+    the full Krylov basis in memory): a three-term Lanczos recurrence
+    with on-the-fly Givens QR — O(1) vectors of state, safe for saddle
+    systems. Returns (x, residual_norms); ``|eta|`` tracks the true
+    residual norm of the minimum-residual iterate.
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - spmv(matrix, x)
+    beta1 = jnp.linalg.norm(r0)
+    v = r0 / jnp.maximum(beta1, 1e-30)
+    zero = jnp.zeros_like(b)
+
+    def step(carry, _):
+        (x, v_prev, v, beta, eta, g0, g1, s0, s1, w2, w1) = carry
+        # Lanczos step.
+        av = spmv(matrix, v)
+        w = av - beta * v_prev
+        alpha = jnp.vdot(v, w)
+        w = w - alpha * v
+        beta_new = jnp.linalg.norm(w)
+        v_next = w / jnp.maximum(beta_new, 1e-30)
+        # Two previous Givens rotations applied to the new column.
+        delta = g1 * alpha - g0 * s1 * beta
+        rho1 = jnp.sqrt(delta * delta + beta_new * beta_new)
+        rho2 = s1 * alpha + g0 * g1 * beta
+        rho3 = s0 * beta
+        # New rotation annihilating beta_new.
+        g_new = delta / jnp.maximum(rho1, 1e-30)
+        s_new = beta_new / jnp.maximum(rho1, 1e-30)
+        w_new = (v - rho3 * w2 - rho2 * w1) / jnp.maximum(rho1, 1e-30)
+        x = x + g_new * eta * w_new
+        eta_new = -s_new * eta
+        carry = (
+            x, v, v_next, beta_new, eta_new,
+            g1, g_new, s1, s_new, w1, w_new,
+        )
+        return carry, jnp.abs(eta_new)
+
+    one = jnp.asarray(1.0, b.dtype)
+    snil = jnp.asarray(0.0, b.dtype)
+    carry0 = (x, zero, v, snil, beta1, one, one, snil, snil, zero, zero)
+    (x, *_), res_norms = jax.lax.scan(step, carry0, None, length=num_iters)
+    return x, res_norms
+
+
+def lanczos_eigsh(
+    matrix,
+    v0: jax.Array,
+    num_iters: int = 30,
+    k: int = 4,
+    spmv: Callable = spmv_csr,
+):
+    """Extremal eigenvalues of symmetric A via Lanczos + tridiagonal solve.
+
+    Runs :func:`lanczos` on device, then solves the small (num_iters,
+    num_iters) tridiagonal eigenproblem host-side. Returns (lows, highs):
+    the ``k`` smallest and ``k`` largest Ritz values — e.g. spectrum
+    bounds for :func:`chebyshev` (pad by a few percent for safety).
+    Single-pass Lanczos without reorthogonalization: extremal Ritz values
+    converge first and are the trustworthy ones.
+    """
+    import numpy as np
+
+    alphas, betas, _ = lanczos(matrix, v0, num_iters=num_iters, spmv=spmv)
+    a = np.asarray(alphas, dtype=np.float64)
+    bt = np.asarray(betas, dtype=np.float64)[:-1]
+    try:
+        from scipy.linalg import eigh_tridiagonal
+
+        ritz = eigh_tridiagonal(a, bt, eigvals_only=True)
+    except ImportError:  # pragma: no cover — scipy is normally present
+        t = np.diag(a) + np.diag(bt, 1) + np.diag(bt, -1)
+        ritz = np.linalg.eigvalsh(t)
+    k = min(k, len(ritz))
+    return ritz[:k], ritz[-k:]
 
 
 def gmres(

@@ -323,3 +323,72 @@ def test_pcg_beats_cg_on_illconditioned_diagonal():
     x_pcg, res_pcg = pcg(csr, b, diag, num_iters=30)
     assert float(res_pcg[-1]) < float(res_cg[-1])
     assert float(res_pcg[-1]) < 1e-3 * float(jnp.linalg.norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev / MINRES / lanczos_eigsh (round 2 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_chebyshev_solves_with_lanczos_bounds():
+    from smvp_toolkit_tpu.models import chebyshev, lanczos_eigsh
+
+    coo, a = _spd_coo(seed=11)
+    csr = csr_encode(coo)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(12)
+    v0 = jnp.asarray(rng.randn(a.shape[0]), jnp.float32)
+    lows, highs = lanczos_eigsh(csr, v0, num_iters=25, k=1)
+    # Pad the Ritz bounds: interior eigenvalues may lie slightly outside.
+    lmin = float(lows[0]) * 0.9
+    lmax = float(highs[0]) * 1.1
+    b = jnp.asarray(rng.randn(a.shape[0]), jnp.float32)
+    x, res = chebyshev(csr, b, lmin, lmax, num_iters=150)
+    x_ref = np.linalg.solve(a, np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-3, atol=1e-4)
+    assert float(res[-1]) < float(res[0])
+
+
+def test_minres_symmetric_indefinite():
+    from smvp_toolkit_tpu.models import minres
+
+    coo, a = _spd_coo(seed=13)
+    # Shift to make the system indefinite but nonsingular (CG would fail).
+    eig = np.linalg.eigvalsh(a)
+    shift = (eig[0] + eig[1]) / 2.0 + 0.3 * (eig[1] - eig[0])
+    a_ind = a - shift * np.eye(a.shape[0])
+    assert np.linalg.eigvalsh(a_ind)[0] < 0 < np.linalg.eigvalsh(a_ind)[-1]
+    r, c = np.nonzero(a_ind)
+    coo_i = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), a_ind[r, c],
+        shape=a.shape, pad_to=64,
+    )
+    csr = csr_encode(coo_i)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(14)
+    b = jnp.asarray(rng.randn(a.shape[0]), jnp.float32)
+    x, res = minres(csr, b, num_iters=120)
+    x_ref = np.linalg.solve(a_ind, np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-3, atol=2e-3)
+    # |eta| tracks the true residual norm.
+    true_res = np.linalg.norm(a_ind @ np.asarray(x, np.float64)
+                              - np.asarray(b, np.float64))
+    np.testing.assert_allclose(float(res[-1]), true_res, rtol=0.3, atol=1e-3)
+
+
+def test_lanczos_eigsh_extremal_bounds():
+    from smvp_toolkit_tpu.models import lanczos_eigsh
+
+    coo, a = _spd_coo(seed=15)
+    csr = csr_encode(coo)
+    import jax.numpy as jnp
+
+    v0 = jnp.asarray(np.random.RandomState(16).randn(a.shape[0]),
+                     jnp.float32)
+    lows, highs = lanczos_eigsh(csr, v0, num_iters=25, k=2)
+    true = np.linalg.eigvalsh(a)
+    np.testing.assert_allclose(highs[-1], true[-1], rtol=1e-3)
+    np.testing.assert_allclose(lows[0], true[0], rtol=0.1, atol=0.05)
+    assert len(lows) == 2 and len(highs) == 2
