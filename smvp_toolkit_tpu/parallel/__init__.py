@@ -19,6 +19,7 @@ from smvp_toolkit_tpu.parallel.spmv_dist import (
     shard_csr,
     shard_tjds,
     spmv_csr_sharded,
+    spmm_csr_sharded,
     spmv_tjds_sharded,
     shard_and_bench,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "shard_csr",
     "shard_tjds",
     "spmv_csr_sharded",
+    "spmm_csr_sharded",
     "spmv_tjds_sharded",
     "shard_and_bench",
     "ShardedSell",

@@ -40,6 +40,7 @@ __all__ = [
     "shard_csr",
     "shard_tjds",
     "spmv_csr_sharded",
+    "spmm_csr_sharded",
     "spmv_tjds_sharded",
     "shard_and_bench",
 ]
@@ -196,6 +197,43 @@ def spmv_csr_sharded(
         # identically-ordered y) but the varying-mesh-axes checker cannot
         # infer that through collectives.
         check_vma=not gather,
+    )(sharded.vals, sharded.col_ind, sharded.local_rows, x)
+    if gather:
+        return y_blocks[: sharded.shape[0]]
+    return y_blocks
+
+
+@partial(jax.jit, static_argnames=("mesh", "gather"))
+def spmm_csr_sharded(
+    sharded: ShardedCSR, x: jax.Array, mesh: Mesh, gather: bool = True
+) -> jax.Array:
+    """Y = A·X for a dense block X (ncols, k) with row-block DP.
+
+    The multi-vector companion to :func:`spmv_csr_sharded` — the hot op
+    of data-parallel graph learning (GCN aggregation S·H across chips).
+    X is replicated (every device needs arbitrary columns of its block's
+    rows); each device segment-sums its row block's (nnz_blk, k)
+    products; ``gather=True`` all-gathers the ordered row blocks into a
+    replicated (nrows, k), else the result stays sharded as
+    (n, rows_per_shard, k).
+    """
+    rows_blk = sharded.rows_per_shard
+
+    def local_spmm(vals, cols, lrows, xl):
+        prod = vals[0][:, None] * xl[cols[0], :]
+        yblk = jax.ops.segment_sum(
+            prod, lrows[0], num_segments=rows_blk, indices_are_sorted=True
+        )
+        if gather:
+            return jax.lax.all_gather(yblk, DP_AXIS, tiled=True)
+        return yblk[None]
+
+    y_blocks = jax.shard_map(
+        local_spmm,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS, None), P(DP_AXIS, None), P(DP_AXIS, None), P()),
+        out_specs=P() if gather else P(DP_AXIS, None, None),
+        check_vma=not gather,  # see spmv_csr_sharded
     )(sharded.vals, sharded.col_ind, sharded.local_rows, x)
     if gather:
         return y_blocks[: sharded.shape[0]]

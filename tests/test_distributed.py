@@ -179,3 +179,65 @@ def test_sharded_sell_bf16_and_int8():
     )
     scale = np.abs(y_ref).max() + 1e-30
     assert np.abs(y - y_ref).max() / scale < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# Sharded SpMM (row-block DP for dense multi-vector blocks)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_spmm_rowblock_sharding(n_shards):
+    from smvp_toolkit_tpu.parallel import spmm_csr_sharded
+
+    coo = _coo(seed=21, nrows=97, ncols=83, nnz=500)  # uneven rows
+    csr = csr_encode(coo)
+    mesh = make_mesh(n_shards)
+    sharded = shard_csr(csr, mesh)
+    rng = np.random.RandomState(22)
+    X = np.asarray(rng.randn(coo.shape[1], 16), dtype=np.float32)
+    Y = np.asarray(spmm_csr_sharded(sharded, X, mesh))
+    Y_ref = coo.to_dense() @ X.astype(np.float64)
+    assert Y.shape == (coo.shape[0], 16)
+    np.testing.assert_allclose(Y, Y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_sharded_ungathered_blocks():
+    from smvp_toolkit_tpu.parallel import spmm_csr_sharded
+
+    coo = _coo(seed=23)
+    csr = csr_encode(coo)
+    mesh = make_mesh(4)
+    sharded = shard_csr(csr, mesh)
+    X = np.ones((coo.shape[1], 8), dtype=np.float32)
+    Yb = np.asarray(spmm_csr_sharded(sharded, X, mesh, gather=False))
+    assert Yb.shape == (4, sharded.rows_per_shard, 8)
+    Y_ref = coo.to_dense() @ np.ones((coo.shape[1], 8))
+    flat = Yb.reshape(-1, 8)[: coo.shape[0]]
+    np.testing.assert_allclose(flat, Y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_distributed_gcn_layer_matches_single_device():
+    """GCN aggregation over the sharded SpMM == single-device layer."""
+    from smvp_toolkit_tpu.models.graph import gcn_layer, gcn_norm
+    from smvp_toolkit_tpu.parallel import spmm_csr_sharded
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(24)
+    n = 60
+    r, c, v = random_coo(rng, n, n, 300)
+    adj = COOMatrix.from_numpy(r, c, np.abs(v), shape=(n, n), pad_to=64)
+    s = gcn_norm(adj)
+    mesh = make_mesh(4)
+    s_sh = shard_csr(s, mesh)
+
+    h = jnp.asarray(rng.randn(n, 12), jnp.float32)
+    w = jnp.asarray(rng.randn(12, 8), jnp.float32)
+    b = jnp.asarray(rng.randn(8), jnp.float32)
+
+    y_single = np.asarray(gcn_layer(s, h, w, b))
+    y_dist = np.asarray(
+        jax.nn.relu(spmm_csr_sharded(s_sh, h @ w, mesh) + b)
+    )
+    np.testing.assert_allclose(y_dist, y_single, rtol=1e-4, atol=1e-5)
