@@ -53,7 +53,8 @@ def _coo(name):
 
 
 def run(name, *, value_dtype=None, precision=None, resident=None,
-        time_it=True, iterations=200, label="", lidx32=False, chunk=1024):
+        time_it=True, iterations=200, label="", lidx32=False, chunk=1024,
+        reduce2=False):
     t0 = time.time()
     coo = _coo(name)
     r, c, v = coo.to_numpy()
@@ -65,6 +66,8 @@ def run(name, *, value_dtype=None, precision=None, resident=None,
                          value_dtype=value_dtype)
     finally:
         os.environ.pop("SMVP_SELL_LIDX32", None)
+    if reduce2:
+        os.environ["SMVP_SELL_REDUCE2"] = "1"
     if resident is not None:
         # monkey-patch the auto choice for the comparison stage
         lim = sp._RESIDENT_X_LIMIT
@@ -102,6 +105,8 @@ def run(name, *, value_dtype=None, precision=None, resident=None,
     finally:
         if resident is not None:
             sp._RESIDENT_X_LIMIT = lim
+        if reduce2:
+            os.environ.pop("SMVP_SELL_REDUCE2", None)
 
 
 def main():
@@ -119,6 +124,11 @@ def main():
         ("memplus", dict(lidx32=True, label=" f32-lidx32")),
         ("memplus", dict(precision=jax.lax.Precision.HIGH,
                          label=" f32-HIGH")),
+        # Double-bf16 ladder: 2 single-pass reduce matmuls (lossless for
+        # bf16-mode products; ~1e-5 rel for f32 — check err output).
+        ("memplus", dict(value_dtype=jnp.bfloat16, reduce2=True,
+                         label=" bf16-reduce2")),
+        ("memplus", dict(reduce2=True, label=" f32-reduce2")),
         # Chunk sweep: reduce MACs are chunk-invariant but the per-chunk
         # tile window (table MACs) shrinks with the chunk.
         ("memplus", dict(chunk=512, label=" f32-c512")),

@@ -45,7 +45,31 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
-def _make_sell_kernel(precision, ns, wt, bf16_values):
+def _seg_reduce(prod, sl_ref, ns, precision, reduce2):
+    """Row reduce: sum sublanes into their slice (one-hot MXU matmul).
+
+    ``reduce2`` runs the double-bf16 ladder instead of a ``precision``
+    matmul: the one-hot matrix is exact in bf16 and ``prod`` splits as
+    ``hi + lo`` with two bf16 components, so two DEFAULT (single-pass)
+    matmuls replace HIGH's 3 or HIGHEST's 6 passes. Lossless whenever
+    products carry <= 16 mantissa bits (always true in bf16 value mode);
+    ~1e-5 relative for arbitrary f32 products.
+    """
+    ns_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+    if reduce2:
+        seg = (ns_iota == sl_ref[:]).astype(jnp.bfloat16)
+        hi = prod.astype(jnp.bfloat16)
+        lo = (prod - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.dot(
+            seg, hi, preferred_element_type=jnp.float32
+        ) + jnp.dot(seg, lo, preferred_element_type=jnp.float32)
+    seg = (ns_iota == sl_ref[:]).astype(jnp.float32)
+    return jnp.dot(
+        seg, prod, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+def _make_sell_kernel(precision, ns, wt, bf16_values, reduce2=False):
     def _sell_kernel(x_ref, val_ref, lidx_ref, rel_ref, sl_ref, y_ref):
         step = pl.program_id(0)
 
@@ -86,20 +110,13 @@ def _make_sell_kernel(precision, ns, wt, bf16_values):
         # 3. Products (dead slots have val == 0). Arithmetic stays f32;
         # bf16 is a storage format here.
         prod = val_ref[:].astype(jnp.float32) * g
-        # 4. Row reduce: sum sublanes into their slice (one-hot MXU).
-        ns_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
-        seg = (ns_iota == sl_ref[:]).astype(jnp.float32)  # (ns, chunk)
-        y_ref[:] += jnp.dot(
-            seg,
-            prod,
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        # 4. Row reduce (see _seg_reduce for the precision ladder).
+        y_ref[:] += _seg_reduce(prod, sl_ref, ns, precision, reduce2)
 
     return _sell_kernel
 
 
-def _make_sell_kernel_resident(precision, ns, wt, bf16_values):
+def _make_sell_kernel_resident(precision, ns, wt, bf16_values, reduce2=False):
     """Kernel variant with the full x tile array resident in VMEM.
 
     The per-chunk (wt, 128) x window is a dynamic sublane slice of the
@@ -131,12 +148,7 @@ def _make_sell_kernel_resident(precision, ns, wt, bf16_values):
             table, lidx_ref[:].astype(jnp.int32), axis=1
         )
         prod = val_ref[:].astype(jnp.float32) * g
-        ns_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
-        seg = (ns_iota == sl_ref[:]).astype(jnp.float32)
-        y_ref[:] += jnp.dot(
-            seg, prod,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        y_ref[:] += _seg_reduce(prod, sl_ref, ns, precision, reduce2)
 
     return _sell_kernel
 
@@ -182,12 +194,12 @@ def _make_sell_kernel_onehot(precision, ns, wt):
 @partial(
     jax.jit,
     static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret",
-                     "precision", "resident", "onehot_dense"),
+                     "precision", "resident", "onehot_dense", "reduce2"),
 )
 def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, tile_base, *, n_chunks, chunk,
     ns, wt, interpret, precision=jax.lax.Precision.HIGHEST, resident=True,
-    onehot_dense=False,
+    onehot_dense=False, reduce2=False,
 ):
     bf16_values = vals.dtype == jnp.bfloat16
     if onehot_dense:
@@ -234,7 +246,9 @@ def _sell_spmv_call(
     if resident:
         ct = x_tiles.shape[0]
         return pl.pallas_call(
-            _make_sell_kernel_resident(precision, ns, wt, bf16_values),
+            _make_sell_kernel_resident(
+                precision, ns, wt, bf16_values, reduce2
+            ),
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_base
@@ -258,7 +272,7 @@ def _sell_spmv_call(
         ]
     )
     return pl.pallas_call(
-        _make_sell_kernel(precision, ns, wt, bf16_values),
+        _make_sell_kernel(precision, ns, wt, bf16_values, reduce2),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
@@ -411,6 +425,11 @@ class SellSpMV:
             getattr(self, "onehot_dense", False)
             or os.environ.get("SMVP_SELL_COMPAT") == "1"
         )
+        # Opt-in double-bf16 row reduce (SMVP_SELL_REDUCE2=1): two
+        # single-pass matmuls instead of HIGH's 3 / HIGHEST's 6 —
+        # lossless in bf16 value mode, ~1e-5 relative for f32 values.
+        # Read here (outside jit) so toggling retraces.
+        reduce2 = os.environ.get("SMVP_SELL_REDUCE2") == "1"
         y = _sell_spmv_call(
             x_tiles,
             self.vals,
@@ -426,6 +445,7 @@ class SellSpMV:
             precision=self.precision,
             resident=resident,
             onehot_dense=onehot_dense,
+            reduce2=reduce2,
         )
         return y.reshape(-1)[: self.shape[0]]
 

@@ -183,12 +183,14 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     import os as _os
 
     compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
-    return _spmv_sell_sharded(sh, x, mesh, compat)
+    reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
+    return _spmv_sell_sharded(sh, x, mesh, compat, reduce2)
 
 
-@partial(jax.jit, static_argnames=("mesh", "compat"))
+@partial(jax.jit, static_argnames=("mesh", "compat", "reduce2"))
 def _spmv_sell_sharded(
-    sh: ShardedSell, x: jax.Array, mesh: Mesh, compat: bool
+    sh: ShardedSell, x: jax.Array, mesh: Mesh, compat: bool,
+    reduce2: bool = False,
 ) -> jax.Array:
     ncols_pad = sh.CT * LANES
     x = x.astype(sh.vals.dtype)  # bf16 value mode streams x in bf16 too
@@ -225,6 +227,7 @@ def _spmv_sell_sharded(
             precision=precision,
             resident=resident,
             onehot_dense=compat,
+            reduce2=reduce2,
         )
         return y[None]
 

@@ -433,3 +433,33 @@ def test_autotune_pick_plan():
     p = build_sell_plan(r, c, v, coo.shape)
     assert plan_cost_us(p, 2, table_passes=1, reduce_passes=3) < \
         plan_cost_us(p, 4, table_passes=6, reduce_passes=6)
+
+
+def test_reduce2_bf16_mode_bit_identical(monkeypatch):
+    """SMVP_SELL_REDUCE2=1 (double-bf16 2-pass reduce) is lossless in
+    bf16 value mode: every product of two bf16 inputs carries <= 16
+    mantissa bits, and the hi/lo bf16 split represents that exactly."""
+    coo = _load("curtis54.mtx")
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.RandomState(5).randn(coo.shape[1]).astype(np.float32)
+    )
+    y_default = np.asarray(op(x))
+    monkeypatch.setenv("SMVP_SELL_REDUCE2", "1")
+    y_r2 = np.asarray(op(x))
+    np.testing.assert_array_equal(y_r2, y_default)
+
+
+def test_reduce2_f32_mode_near_exact(monkeypatch):
+    """For f32 values the 2-pass ladder keeps ~16 mantissa bits per
+    product: relative error vs the exact reduce stays ~1e-4."""
+    rng = np.random.RandomState(6)
+    r, c, v = random_coo(rng, 90, 80, 600)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(90, 80), pad_to=128)
+    op = SellSpMV.from_coo(coo)
+    x = jnp.asarray(rng.randn(80).astype(np.float32))
+    y_exact = np.asarray(op(x), dtype=np.float64)
+    monkeypatch.setenv("SMVP_SELL_REDUCE2", "1")
+    y_r2 = np.asarray(op(x), dtype=np.float64)
+    scale = np.abs(y_exact).max() + 1e-30
+    assert np.abs(y_r2 - y_exact).max() / scale < 5e-4
