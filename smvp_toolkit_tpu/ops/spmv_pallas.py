@@ -45,6 +45,32 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
+def _table_select(rel_ref, x_win, wt, precision, bf16_values, reduce2):
+    """One-hot select of each sublane's 128-wide x tile (MXU matmul).
+
+    bf16 value mode: x is already bf16, a single DEFAULT pass selects it
+    exactly. f32 mode: ``precision`` (HIGHEST = 6-pass by default), or
+    with ``reduce2`` the double-bf16 ladder — the one-hot operand is
+    exact in bf16 and x splits hi/lo, so two single-pass matmuls select
+    x to ~16 mantissa bits (~1e-5 relative on the gathered values).
+    """
+    wt_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wt), 1)
+    if bf16_values:
+        oht = (rel_ref[:] == wt_iota).astype(jnp.bfloat16)
+        return jnp.dot(oht, x_win, preferred_element_type=jnp.float32)
+    if reduce2:
+        oht = (rel_ref[:] == wt_iota).astype(jnp.bfloat16)
+        hi = x_win.astype(jnp.bfloat16)
+        lo = (x_win - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.dot(
+            oht, hi, preferred_element_type=jnp.float32
+        ) + jnp.dot(oht, lo, preferred_element_type=jnp.float32)
+    oht = (rel_ref[:] == wt_iota).astype(jnp.float32)
+    return jnp.dot(
+        oht, x_win, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
 def _seg_reduce(prod, sl_ref, ns, precision, reduce2):
     """Row reduce: sum sublanes into their slice (one-hot MXU matmul).
 
@@ -80,27 +106,17 @@ def _make_sell_kernel(precision, ns, wt, bf16_values, reduce2=False):
         # One-hot matrices are rebuilt per chunk from one int32 per
         # sublane (storing them dense would be O(S x NS) bytes — 7 GB at
         # 10M nnz). An iota compare is a few hundred ns on the VPU.
-        wt_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wt), 1)
-
-        # 1. Materialize each sublane's 128-wide x tile (one-hot MXU select
-        # from this chunk's WT-tile x window). Precision matters: when x is
-        # f32, the MXU's single-pass bf16 default would round the selected
-        # x values to ~3 decimal digits (observed 1e-2 error) — HIGHEST
-        # (6-pass) is f32-exact. In bf16 value mode x is *already* bf16, so
-        # a single MXU pass selects it exactly: the one-hot entries are
-        # exact in bf16 and f32 accumulation of one product is lossless —
-        # the 6x precision tax disappears along with half the HBM traffic.
-        if bf16_values:
-            oht = (rel_ref[:] == wt_iota).astype(jnp.bfloat16)
-            table_prec = jax.lax.Precision.DEFAULT
-        else:
-            oht = (rel_ref[:] == wt_iota).astype(jnp.float32)
-            table_prec = precision
-        table = jnp.dot(
-            oht,
-            x_ref[0],
-            preferred_element_type=jnp.float32,
-            precision=table_prec,
+        #
+        # 1. Materialize each sublane's 128-wide x tile (one-hot MXU
+        # select from this chunk's WT-tile x window). Precision matters:
+        # when x is f32, the MXU's single-pass bf16 default would round
+        # the selected x values to ~3 decimal digits (observed 1e-2
+        # error) — HIGHEST (6-pass) is f32-exact, and the reduce2 ladder
+        # trades 2 passes for ~1e-5. In bf16 value mode x is *already*
+        # bf16, so a single MXU pass selects it exactly — the precision
+        # tax disappears along with half the HBM traffic.
+        table = _table_select(
+            rel_ref, x_ref[0], wt, precision, bf16_values, reduce2
         )
         # 2. In-tile gather: a single VPU lane shuffle (indices may be
         # int8-compressed in HBM; widen in-register).
@@ -133,16 +149,8 @@ def _make_sell_kernel_resident(precision, ns, wt, bf16_values, reduce2=False):
             y_ref[:] = jnp.zeros_like(y_ref)
 
         x_win = x_ref[pl.ds(tb_ref[step], wt), :]  # (wt, LANES)
-        wt_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wt), 1)
-        if bf16_values:
-            oht = (rel_ref[:] == wt_iota).astype(jnp.bfloat16)
-            table_prec = jax.lax.Precision.DEFAULT
-        else:
-            oht = (rel_ref[:] == wt_iota).astype(jnp.float32)
-            table_prec = precision
-        table = jnp.dot(
-            oht, x_win,
-            preferred_element_type=jnp.float32, precision=table_prec,
+        table = _table_select(
+            rel_ref, x_win, wt, precision, bf16_values, reduce2
         )
         g = jnp.take_along_axis(
             table, lidx_ref[:].astype(jnp.int32), axis=1
