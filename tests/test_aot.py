@@ -1,0 +1,123 @@
+"""AOT export/serve tests (utils/aot.py, jax.export round trips)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.formats.csr import csr_encode
+from smvp_toolkit_tpu.formats.tjds import tjds_encode
+from smvp_toolkit_tpu.io.mtx import read_mtx
+from smvp_toolkit_tpu.utils.aot import (
+    export_program,
+    export_spmv,
+    import_program,
+    load_program,
+    save_program,
+)
+
+from conftest import SAMPLE_DIR
+
+
+def _coo():
+    return read_mtx(os.path.join(SAMPLE_DIR, "curtis54.mtx")).pad(128)
+
+
+def test_export_spmv_csr_round_trip():
+    coo = _coo()
+    csr = csr_encode(coo)
+    blob = export_spmv(csr)
+    call = import_program(blob)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(coo.shape[1]), jnp.float32)
+    y = np.asarray(call(x))
+    y_ref = coo.to_dense() @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_export_spmv_tjds_round_trip():
+    coo = _coo()
+    tj = tjds_encode(coo)
+    blob = export_spmv(tj)
+    x = jnp.ones((coo.shape[1],), jnp.float32)
+    y = np.asarray(import_program(blob)(x))
+    np.testing.assert_allclose(
+        y, coo.to_dense().sum(axis=1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_export_solver_program(tmp_path):
+    """A whole CG solve exports as one program (solver loop included)."""
+    from smvp_toolkit_tpu.models import conjugate_gradient
+
+    rng = np.random.RandomState(1)
+    n = 24
+    a = np.zeros((n, n))
+    for _ in range(3 * n):
+        i, j = rng.randint(0, n, 2)
+        w = rng.rand()
+        a[i, j] += w
+        a[j, i] += w
+    a += np.diag(np.abs(a).sum(axis=1) + 1.0)
+    r, c = np.nonzero(a)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), a[r, c], shape=(n, n),
+        pad_to=64,
+    )
+    csr = csr_encode(coo)
+
+    path = str(tmp_path / "cg.jaxexport")
+    save_program(
+        path,
+        lambda b: conjugate_gradient(csr, b, num_iters=60)[0],
+        jnp.zeros((n,), jnp.float32),
+    )
+    call = load_program(path)
+    b = jnp.asarray(rng.randn(n), jnp.float32)
+    x = np.asarray(call(b))
+    np.testing.assert_allclose(
+        x, np.linalg.solve(a, np.asarray(b, np.float64)),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
+def test_shape_mismatch_rejected():
+    coo = _coo()
+    blob = export_spmv(csr_encode(coo))
+    call = import_program(blob)
+    with pytest.raises(Exception):
+        call(jnp.ones((coo.shape[1] + 1,), jnp.float32))
+
+
+def test_serving_process_needs_only_jax(tmp_path):
+    """The artifact runs in a process that never imports the framework."""
+    coo = _coo()
+    blob = export_spmv(csr_encode(coo))
+    path = tmp_path / "spmv.jaxexport"
+    path.write_bytes(blob)
+    y_here = np.asarray(
+        import_program(blob)(jnp.ones((coo.shape[1],), jnp.float32))
+    )
+    script = (
+        "import sys, numpy as np\n"
+        "import jax, jax.numpy as jnp\n"
+        "from jax import export\n"
+        f"blob = open({str(path)!r}, 'rb').read()\n"
+        "call = export.deserialize(blob).call\n"
+        f"y = np.asarray(call(jnp.ones(({coo.shape[1]},), jnp.float32)))\n"
+        "np.save(sys.argv[1], y)\n"
+    )
+    out = tmp_path / "y.npy"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+    subprocess.run(
+        [sys.executable, "-c", script, str(out)],
+        check=True,
+        env=env,
+        timeout=120,
+    )
+    np.testing.assert_allclose(np.load(out), y_here, rtol=1e-6, atol=1e-7)
