@@ -152,6 +152,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint encoded matrices to PREFIX_{csr,tjds}.npz",
     )
     p.add_argument(
+        "--export-aot",
+        default=None,
+        metavar="PREFIX",
+        help=(
+            "AOT-export the compiled SpMV program (matrix baked in) to "
+            "PREFIX_{csr,tjds}.jaxexport — a serving process deserializes "
+            "with jax.export and calls, no framework import needed"
+        ),
+    )
+    p.add_argument(
         "--profile",
         default=None,
         metavar="DIR",
@@ -206,6 +216,8 @@ def _validate(args) -> Optional[str]:
         return "--lut-out requires the TJDS algorithm (-t or -a)"
     if args.save_encoded and not (run_csr or run_tjds):
         return "--save-encoded requires -c, -t or -a"
+    if args.export_aot and not (run_csr or run_tjds):
+        return "--export-aot requires -c, -t or -a"
     if args.decode_check and not (run_csr or run_tjds):
         return "--decode-check requires -c, -t or -a"
     return None
@@ -509,6 +521,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             save_matrix(f"{args.save_encoded}_csr.npz", csr)
             log("FILE", f"CSR checkpoint: {args.save_encoded}_csr.npz")
+        if args.export_aot:
+            from smvp_toolkit_tpu.utils.aot import export_spmv
+
+            path = f"{args.export_aot}_csr.jaxexport"
+            with open(path, "wb") as f:
+                f.write(export_spmv(csr))
+            log("FILE", f"CSR AOT program: {path}")
         _run(ALG_CSR, csr, csr_fn, spmv_bytes_csr(coo.nnz, coo.shape[0], vbytes))
 
     if run_tjds:
@@ -524,6 +543,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             save_matrix(f"{args.save_encoded}_tjds.npz", tj)
             log("FILE", f"TJDS checkpoint: {args.save_encoded}_tjds.npz")
+        if args.export_aot:
+            from smvp_toolkit_tpu.utils.aot import export_spmv
+
+            path = f"{args.export_aot}_tjds.jaxexport"
+            with open(path, "wb") as f:
+                f.write(export_spmv(tj))
+            log("FILE", f"TJDS AOT program: {path}")
         if args.lut_out:
             from smvp_toolkit_tpu.formats.vivado import write_tjds_lut
 

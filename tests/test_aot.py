@@ -121,3 +121,34 @@ def test_serving_process_needs_only_jax(tmp_path):
         timeout=120,
     )
     np.testing.assert_allclose(np.load(out), y_here, rtol=1e-6, atol=1e-7)
+
+
+def test_cli_export_aot_flag(tmp_path):
+    """--export-aot writes a servable artifact per encoded format."""
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    prefix = str(tmp_path / "prog")
+    rc = cli_main(
+        [
+            "-c", "-t", "-n", "1", "--no-report",
+            "--export-aot", prefix,
+            os.path.join(SAMPLE_DIR, "curtis54.mtx"),
+        ]
+    )
+    assert rc == 0
+    coo = _coo()
+    x = jnp.ones((coo.shape[1],), jnp.float32)
+    y_ref = coo.to_dense().sum(axis=1)
+    for fmt in ("csr", "tjds"):
+        y = np.asarray(load_program(f"{prefix}_{fmt}.jaxexport")(x))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_cli_export_aot_requires_alg():
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    rc = cli_main(
+        ["-g", "--export-aot", "/tmp/x",
+         os.path.join(SAMPLE_DIR, "curtis54.mtx")]
+    )
+    assert rc == 2
