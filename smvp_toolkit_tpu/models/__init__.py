@@ -20,6 +20,7 @@ from smvp_toolkit_tpu.models.solvers import (
     chebyshev,
     minres,
     lanczos_eigsh,
+    block_cg,
 )
 from smvp_toolkit_tpu.models.graph import (
     gcn_norm,
@@ -42,6 +43,7 @@ __all__ = [
     "chebyshev",
     "minres",
     "lanczos_eigsh",
+    "block_cg",
     "gcn_norm",
     "gcn_layer",
     "gcn_forward",
