@@ -127,6 +127,51 @@ class COOMatrix:
         r, c, v = self.to_numpy()
         return scipy.sparse.coo_matrix((v, (r, c)), shape=self.shape)
 
+    @staticmethod
+    def from_torch(
+        tensor,
+        *,
+        typecode: Optional[MMTypeCode] = None,
+        dtype=None,
+        pad_to: Optional[int] = None,
+    ) -> "COOMatrix":
+        """Build from a ``torch`` tensor (sparse COO/CSR/CSC or dense).
+
+        Sparse inputs are coalesced first (torch sums duplicates there,
+        matching materialization semantics); dense inputs keep explicit
+        zeros out. CPU copies only — the device hop happens in
+        :meth:`from_numpy`.
+        """
+        import torch
+
+        t = tensor.detach().cpu()
+        if t.layout != torch.sparse_coo:
+            t = t.to_sparse_coo()
+        t = t.coalesce()
+        idx = t.indices().numpy()
+        vals = t.values().numpy()
+        if dtype is None and np.iscomplexobj(vals):
+            dtype = jnp.complex64
+        return COOMatrix.from_numpy(
+            idx[0],
+            idx[1],
+            vals,
+            shape=tuple(t.shape),
+            typecode=typecode,
+            dtype=dtype,
+            pad_to=pad_to,
+        )
+
+    def to_torch(self):
+        """True (unpadded) triplets as a coalesced torch sparse tensor."""
+        import torch
+
+        r, c, v = self.to_numpy()
+        return torch.sparse_coo_tensor(
+            np.stack([r, c]).astype(np.int64), np.asarray(v),
+            size=self.shape,
+        ).coalesce()
+
     # ------------------------------------------------------------------
     # Properties
     # ------------------------------------------------------------------

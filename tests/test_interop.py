@@ -69,3 +69,45 @@ def test_pad_to_respected():
     coo = COOMatrix.from_scipy(sp, pad_to=256)
     assert coo.nnz_padded % 256 == 0
     assert coo.nnz == sp.nnz
+
+
+# ---------------------------------------------------------------------------
+# torch interop
+# ---------------------------------------------------------------------------
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.mark.parametrize("layout", ["coo", "csr", "dense"])
+def test_torch_round_trip(layout):
+    rng = np.random.RandomState(40)
+    dense = rng.randn(21, 17) * (rng.rand(21, 17) < 0.2)
+    t = torch.tensor(dense)
+    if layout == "coo":
+        t = t.to_sparse_coo()
+    elif layout == "csr":
+        t = t.to_sparse_csr()
+    coo = COOMatrix.from_torch(t)
+    np.testing.assert_allclose(coo.to_dense(), dense, rtol=1e-6, atol=1e-9)
+    back = coo.to_torch().to_dense().numpy()
+    np.testing.assert_allclose(back, dense, rtol=1e-6, atol=1e-9)
+
+
+def test_torch_spmv_matches():
+    rng = np.random.RandomState(41)
+    dense = rng.randn(33, 33) * (rng.rand(33, 33) < 0.15)
+    coo = COOMatrix.from_torch(torch.tensor(dense).to_sparse_coo(),
+                               pad_to=64)
+    csr = csr_encode(coo)
+    x = rng.randn(33).astype(np.float32)
+    y = np.asarray(spmv_csr(csr, jnp.asarray(x)))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_torch_duplicates_coalesced():
+    idx = torch.tensor([[0, 0, 1], [1, 1, 2]])
+    vals = torch.tensor([2.0, 3.0, 4.0])
+    t = torch.sparse_coo_tensor(idx, vals, size=(3, 4))
+    coo = COOMatrix.from_torch(t)
+    assert coo.nnz == 2  # torch coalesce sums duplicates on entry
+    assert coo.to_dense()[0, 1] == 5.0
