@@ -81,3 +81,45 @@ def test_compiled_bf16_memplus(tpu_device):
         np.float32
     )
     _check(coo, trip, op, x, vdt=ml_dtypes.bfloat16, tol=1e-6)
+
+
+def test_compiled_reduce2_bf16_memplus(tpu_device, monkeypatch):
+    """Double-bf16 2-pass reduce must stay lossless on the real MXU."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    coo, trip, op = _op("memplus", value_dtype=jnp.bfloat16)
+    x = np.random.default_rng(3).standard_normal(coo.shape[1]).astype(
+        np.float32
+    )
+    monkeypatch.setenv("SMVP_SELL_REDUCE2", "1")
+    _check(coo, trip, op, x, vdt=ml_dtypes.bfloat16, tol=1e-6)
+
+
+def test_compiled_reduce2_f32_memplus(tpu_device, monkeypatch):
+    """f32 + 2-pass ladder: ~16 mantissa bits per product (~1e-4 rel)."""
+    coo, trip, op = _op("memplus")
+    x = np.random.default_rng(4).standard_normal(coo.shape[1]).astype(
+        np.float32
+    )
+    monkeypatch.setenv("SMVP_SELL_REDUCE2", "1")
+    _check(coo, trip, op, x, tol=5e-4)
+
+
+def test_compiled_spmm_xla_memplus(tpu_device):
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops.spmv_xla import spmm_csr
+
+    coo = read_mtx("/root/reference/sample-data/memplus.mtx").pad(512)
+    csr = csr_encode(coo)
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((coo.shape[1], 16)).astype(np.float32)
+    Y = np.asarray(spmm_csr(csr, jnp.asarray(X))).astype(np.float64)
+    r, c, v = coo.to_numpy()
+    Y_ref = np.zeros((coo.shape[0], 16))
+    np.add.at(Y_ref, r, v[:, None].astype(np.float64) * X[c].astype(np.float64))
+    scale = np.abs(Y_ref).max() + 1e-30
+    assert np.abs(Y - Y_ref).max() / scale < 1e-5
