@@ -180,7 +180,13 @@ class MMTypeCode:
 def _open_text(source: Union[str, os.PathLike, TextIO]):
     if hasattr(source, "read"):
         return source, False
-    return open(source, "r"), True
+    path = os.fspath(source)
+    if path.endswith(".gz"):
+        # SuiteSparse ships .mtx.gz; stream-decompress transparently.
+        import gzip
+
+        return gzip.open(path, "rt"), True
+    return open(path, "r"), True
 
 
 def read_banner(source: Union[str, os.PathLike, TextIO]) -> MMTypeCode:
@@ -392,7 +398,11 @@ def read_mtx(
     from smvp_toolkit_tpu.formats.coo import COOMatrix
 
     result = None
-    if use_native and isinstance(source, (str, os.PathLike)):
+    if (
+        use_native
+        and isinstance(source, (str, os.PathLike))
+        and not os.fspath(source).endswith(".gz")  # native reads raw bytes
+    ):
         try:
             from smvp_toolkit_tpu.io import native as _native
 

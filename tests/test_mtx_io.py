@@ -358,3 +358,18 @@ def test_symmetric_must_be_square(tmp_path):
     )
     with pytest.raises(MTXError):
         read_mtx(str(p2))
+
+
+def test_gzipped_mtx_loads(tmp_path, sample_dir):
+    """SuiteSparse-style .mtx.gz files stream-decompress transparently."""
+    import gzip
+    import shutil
+
+    src = os.path.join(sample_dir, "curtis54.mtx")
+    gz = tmp_path / "curtis54.mtx.gz"
+    with open(src, "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    plain = read_mtx(src)
+    packed = read_mtx(str(gz))
+    assert packed.nnz == plain.nnz
+    np.testing.assert_array_equal(packed.to_dense(), plain.to_dense())
