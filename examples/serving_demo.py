@@ -36,3 +36,18 @@ lam, vec = power_iteration(
     None, x0, num_iters=50, spmv=lambda _m, x: op(x)
 )
 print(f"dominant |eigenvalue| estimate: {float(lam):.6g}")
+
+# --- alternative serving artifact: AOT-exported compiled program ---
+# The XLA program itself (matrix baked in) becomes the artifact; the
+# serving process needs only jax — no planner, no framework import.
+from smvp_toolkit_tpu.formats.csr import csr_encode
+from smvp_toolkit_tpu.utils.aot import export_spmv, import_program
+
+blob = export_spmv(csr_encode(coo))
+aot_path = os.path.join(tempfile.gettempdir(), "memplus_spmv.jaxexport")
+with open(aot_path, "wb") as f:
+    f.write(blob)
+print(f"AOT artifact: {aot_path} ({len(blob)/1e6:.1f} MB)")
+call = import_program(blob)
+y = np.asarray(call(jnp.ones((coo.shape[1],), jnp.float32)))
+print(f"served y checksum: {y.sum():.6g}")

@@ -152,6 +152,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint encoded matrices to PREFIX_{csr,tjds}.npz",
     )
     p.add_argument(
+        "--json-out",
+        default=None,
+        metavar="FILE",
+        help=(
+            "append one JSON line per benchmarked algorithm (machine-"
+            "readable metrics sink alongside the text reports)"
+        ),
+    )
+    p.add_argument(
         "--export-aot",
         default=None,
         metavar="PREFIX",
@@ -472,6 +481,29 @@ def main(argv: Optional[List[str]] = None) -> int:
             f"({nnzs/1e9:.3f} Gnnz/s, {gbs:.1f} GB/s eff, "
             f"{100*frac:.1f}% of roofline)",
         )
+        if args.json_out:
+            import json
+
+            rec = {
+                "alg": alg_name,
+                "file": args.file,
+                "nnz": coo.nnz,
+                "iterations": args.iter,
+                "kernel": run_kernel,
+                "device": f"{device.device_kind} ({device.platform})",
+                "avg_ms": stats.avg_ms,
+                "min_ms": float(stats.min_ms),
+                "max_ms": float(stats.max_ms),
+                "stdev_ms": float(stats.stdev_ms),
+                "per_launch_stats": bool(getattr(stats, "per_launch",
+                                                 False)),
+                "nnz_per_s": nnzs,
+                "eff_gb_s": gbs,
+                "roofline_frac": frac,
+            }
+            with open(args.json_out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            log("FILE", f"JSON record appended: {args.json_out}")
         if not args.no_report:
             path = write_report(
                 args.dir,

@@ -295,3 +295,22 @@ def test_synth_input_spec(tmp_path):
     rc = main(["-c", "-n", "2", "--no-report", "synth:1000:5000"])
     assert rc == 0
     assert main(["-c", "-n", "1", "synth:bad"]) == 2
+
+
+def test_json_out_records(tmp_path):
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    out = tmp_path / "metrics.jsonl"
+    rc = cli_main(
+        ["-c", "-t", "-n", "2", "--no-report", "--json-out", str(out),
+         os.path.join(SAMPLE_DIR, "curtis54.mtx")]
+    )
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["alg"] for r in recs] == ["CSR", "TJDS"]
+    for r in recs:
+        assert r["nnz"] == 291 and r["iterations"] == 2
+        assert r["avg_ms"] > 0 and r["nnz_per_s"] > 0
+        assert "kernel" in r and "device" in r
