@@ -14,6 +14,14 @@ from smvp_toolkit_tpu.ops.spmv_xla import (
     spmm_tjds,
 )
 from smvp_toolkit_tpu.ops.spmv_cisr import spmv_cisr, CisrSpMV
+from smvp_toolkit_tpu.ops.algebra import (
+    transpose,
+    diagonal,
+    row_sums,
+    col_sums,
+    scale,
+    add,
+)
 
 __all__ = [
     "spmv_coo",
@@ -24,4 +32,10 @@ __all__ = [
     "CisrSpMV",
     "spmm_csr",
     "spmm_tjds",
+    "transpose",
+    "diagonal",
+    "row_sums",
+    "col_sums",
+    "scale",
+    "add",
 ]

@@ -1,0 +1,110 @@
+"""Sparse algebra utilities (ops/algebra.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.ops.algebra import (
+    add,
+    col_sums,
+    diagonal,
+    row_sums,
+    scale,
+    transpose,
+)
+
+from conftest import random_coo
+
+
+def _coo(seed=0, m=23, n=19, nnz=120, pad=64):
+    rng = np.random.RandomState(seed)
+    r, c, v = random_coo(rng, m, n, nnz)
+    return COOMatrix.from_numpy(r, c, v, shape=(m, n), pad_to=pad)
+
+
+def test_diagonal():
+    coo = _coo()
+    d = np.asarray(diagonal(coo))
+    dense = coo.to_dense()
+    np.testing.assert_allclose(d, np.diag(dense)[: len(d)], rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_diagonal_duplicates_summed():
+    coo = COOMatrix.from_numpy(
+        np.array([1, 1, 0], np.int32), np.array([1, 1, 1], np.int32),
+        np.array([2.0, 3.0, 9.0]), shape=(3, 3), pad_to=8,
+    )
+    np.testing.assert_allclose(np.asarray(diagonal(coo)), [0.0, 5.0, 0.0])
+
+
+def test_row_col_sums():
+    coo = _coo(seed=1)
+    dense = coo.to_dense()
+    np.testing.assert_allclose(np.asarray(row_sums(coo)),
+                               dense.sum(axis=1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(col_sums(coo)),
+                               dense.sum(axis=0), rtol=1e-5, atol=1e-6)
+
+
+def test_transpose_dense_equal_and_padding_last():
+    coo = _coo(seed=2)
+    t = transpose(coo)
+    assert t.shape == (coo.shape[1], coo.shape[0])
+    np.testing.assert_allclose(t.to_dense(), coo.to_dense().T, rtol=1e-6,
+                               atol=1e-7)
+    # Padding entries sort last (sentinel row), true entries row-major.
+    r = np.asarray(t.rows)
+    assert np.all(r[t.nnz:] == t.shape[0])
+    assert np.all(np.diff(r[: t.nnz]) >= 0)
+
+
+def test_transpose_drops_symmetry_claim():
+    from smvp_toolkit_tpu.io.mtx import MMTypeCode
+
+    coo = COOMatrix.from_numpy(
+        np.array([1], np.int32), np.array([0], np.int32),
+        np.array([2.0]), shape=(2, 2),
+        typecode=MMTypeCode(symmetry="symmetric"),
+    )
+    assert transpose(coo).typecode.symmetry == "general"
+
+
+def test_scale_and_add():
+    a = _coo(seed=3)
+    b = _coo(seed=4)
+    np.testing.assert_allclose(scale(a, 2.5).to_dense(),
+                               2.5 * a.to_dense(), rtol=1e-6)
+    s = add(a, b, beta=-0.5)
+    assert s.nnz == a.nnz + b.nnz
+    np.testing.assert_allclose(
+        s.to_dense(), a.to_dense() - 0.5 * b.to_dense(), rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_add_shape_mismatch():
+    with pytest.raises(ValueError):
+        add(_coo(), _coo(m=5, n=5, nnz=10))
+
+
+def test_diagonal_feeds_pcg():
+    """End-to-end: diagonal() output drives the Jacobi preconditioner."""
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.models import pcg
+
+    rng = np.random.RandomState(5)
+    n = 20
+    a = np.diag(np.abs(rng.randn(n)) + 2.0)
+    a[0, 1] = a[1, 0] = 0.3
+    r, c = np.nonzero(a)
+    coo = COOMatrix.from_numpy(r.astype(np.int32), c.astype(np.int32),
+                               a[r, c], shape=(n, n), pad_to=64)
+    csr = csr_encode(coo)
+    b = jnp.asarray(rng.randn(n), jnp.float32)
+    x, _ = pcg(csr, b, diagonal(coo), num_iters=40)
+    np.testing.assert_allclose(np.asarray(x),
+                               np.linalg.solve(a, np.asarray(b, np.float64)),
+                               rtol=1e-3, atol=1e-4)
