@@ -152,6 +152,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint encoded matrices to PREFIX_{csr,tjds}.npz",
     )
     p.add_argument(
+        "--solve",
+        default=None,
+        metavar="METHOD[:ITERS]",
+        help=(
+            "after benchmarking, solve A x = b with an iterative method "
+            "(cg, pcg, bicgstab, gmres, minres, chebyshev; default 100 "
+            "iterations) using the --x vector as b; logs the relative "
+            "residual and writes the solution into a SOLVE report"
+        ),
+    )
+    p.add_argument(
         "--json-out",
         default=None,
         metavar="FILE",
@@ -227,6 +238,23 @@ def _validate(args) -> Optional[str]:
         return "--save-encoded requires -c, -t or -a"
     if args.export_aot and not (run_csr or run_tjds):
         return "--export-aot requires -c, -t or -a"
+    if args.solve:
+        if not run_csr:
+            return "--solve requires the CSR encoding (-c or -a)"
+        method = args.solve.split(":", 1)[0].lower()
+        if method not in (
+            "cg", "pcg", "bicgstab", "gmres", "minres", "chebyshev"
+        ):
+            return (
+                "--solve method must be one of cg, pcg, bicgstab, gmres, "
+                f"minres, chebyshev (got {method!r})"
+            )
+        if ":" in args.solve:
+            try:
+                if int(args.solve.split(":", 1)[1]) < 1:
+                    return "--solve iteration count must be >= 1"
+            except ValueError:
+                return f"bad --solve iteration count: {args.solve!r}"
     if args.decode_check and not (run_csr or run_tjds):
         return "--decode-check requires -c, -t or -a"
     return None
@@ -561,6 +589,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                 f.write(export_spmv(csr))
             log("FILE", f"CSR AOT program: {path}")
         _run(ALG_CSR, csr, csr_fn, spmv_bytes_csr(coo.nnz, coo.shape[0], vbytes))
+        if args.solve:
+            rc = _run_solve(
+                args, coo, csr, x, device, log,
+                spmv=csr_fn if kernel_kind in ("xla", "pallas") else None,
+            )
+            if rc:
+                return rc
 
     if run_tjds:
         tj = tjds_encode(coo)
@@ -634,6 +669,122 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     log("STOP", "smvp-toolkit-tpu run complete.")
     return exit_code
+
+
+def _run_solve(args, coo, csr, x, device, log, spmv=None):
+    """``--solve METHOD[:ITERS]``: iterative solve A x = b, b = --x vector.
+
+    Runs on the benchmarked CSR encoding with the selected jittable
+    kernel (XLA/Pallas; the native ctypes kernel cannot run inside the
+    solvers' scanned loops). Logs wall time and relative residual;
+    writes a SOLVE report with the solution vector.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.models import (
+        bicgstab,
+        chebyshev,
+        conjugate_gradient,
+        gmres,
+        lanczos_eigsh,
+        minres,
+        pcg,
+    )
+    from smvp_toolkit_tpu.ops import spmv_csr
+    from smvp_toolkit_tpu.ops.algebra import diagonal
+
+    if coo.shape[0] != coo.shape[1]:
+        log("ERROR", "--solve needs a square system")
+        return 2
+    if spmv is None:
+        spmv = spmv_csr
+    spec = args.solve.split(":", 1)
+    method = spec[0].lower()
+    iters = int(spec[1]) if len(spec) > 1 else 100
+    b = x[: coo.shape[0]].astype(jnp.float32)
+
+    t0 = _time.perf_counter()
+    if method == "cg":
+        xs, _ = conjugate_gradient(csr, b, num_iters=iters, spmv=spmv)
+    elif method == "pcg":
+        xs, _ = pcg(csr, b, diagonal(coo), num_iters=iters, spmv=spmv)
+    elif method == "bicgstab":
+        xs, _ = bicgstab(csr, b, num_iters=iters, spmv=spmv)
+    elif method == "minres":
+        xs, _ = minres(csr, b, num_iters=iters, spmv=spmv)
+    elif method == "gmres":
+        restart = min(20, iters)
+        xs, _ = gmres(
+            csr, b, restart=restart,
+            num_restarts=max(1, -(-iters // restart)), spmv=spmv,
+        )
+    else:  # chebyshev — SPD systems; spectrum bounds from Lanczos
+        lows, highs = lanczos_eigsh(
+            csr, jnp.ones_like(b), num_iters=min(30, coo.shape[0]), k=1,
+            spmv=spmv,
+        )
+        xs, _ = chebyshev(
+            csr, b, float(lows[0]) * 0.9, float(highs[0]) * 1.1,
+            num_iters=iters, spmv=spmv,
+        )
+    xs.block_until_ready()
+    ms = (_time.perf_counter() - t0) * 1e3
+
+    r = np.asarray(b, np.float64) - np.asarray(
+        spmv_csr(csr, xs), np.float64
+    )
+    relres = float(
+        np.linalg.norm(r) / max(np.linalg.norm(np.asarray(b)), 1e-30)
+    )
+    log(
+        "DATA",
+        f"SOLVE {method}: {iters} iterations in {ms:.2f} ms, "
+        f"relative residual {relres:.3e}",
+    )
+    if not np.isfinite(relres) or relres > 1.0:
+        log(
+            "INFO",
+            f"solve did not converge — {method} assumes "
+            + ("an SPD system" if method in ("cg", "pcg", "chebyshev")
+               else "a symmetric system" if method == "minres"
+               else "a well-conditioned system")
+            + "; try bicgstab or gmres for general matrices",
+        )
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "a") as f:
+            f.write(json.dumps({
+                "alg": f"SOLVE-{method.upper()}",
+                "file": args.file,
+                "iterations": iters,
+                "wall_ms": ms,
+                "relative_residual": relres,
+                "device": f"{device.device_kind} ({device.platform})",
+            }) + "\n")
+    if not args.no_report:
+        from smvp_toolkit_tpu.bench.harness import TimingStats
+        from smvp_toolkit_tpu.bench.report import write_report
+
+        path = write_report(
+            args.dir,
+            alg_name=f"SOLVE-{method.upper()}",
+            input_file=args.file,
+            nnz=coo.nnz,
+            iterations=iters,
+            stats=TimingStats(
+                times_ms=np.asarray([ms]), iterations=1, per_launch=True
+            ),
+            output_vector=np.asarray(xs),
+            extra_metrics={
+                "Device": f"{device.device_kind} ({device.platform})",
+                "Relative residual": f"{relres:.6g}",
+            },
+        )
+        log("FILE", f"Solve report saved as:\n\t{path}")
+    return 0
 
 
 def _decode_check(alg, decoded, coo, log):

@@ -314,3 +314,40 @@ def test_json_out_records(tmp_path):
         assert r["nnz"] == 291 and r["iterations"] == 2
         assert r["avg_ms"] > 0 and r["nnz_per_s"] > 0
         assert "kernel" in r and "device" in r
+
+
+@pytest.mark.parametrize("method", ["cg", "pcg", "bicgstab", "gmres",
+                                    "minres", "chebyshev"])
+def test_solve_mode_runs(method, tmp_path):
+    """--solve reports a finite residual and writes a SOLVE report.
+
+    pdp08-pg4 is tiny and square; Krylov methods may not converge on a
+    nonsymmetric system in few iters — the contract here is the plumbing
+    (flag parse, solve, residual log, report), convergence is covered by
+    tests/test_models.py.
+    """
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    out = tmp_path / "m.jsonl"
+    rc = cli_main(
+        ["-c", "-n", "1", "-d", str(tmp_path),
+         "--solve", f"{method}:12", "--json-out", str(out),
+         os.path.join(SAMPLE_DIR, "pdp08-pg4.mtx")]
+    )
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    solve = [r for r in recs if r["alg"].startswith("SOLVE-")]
+    assert len(solve) == 1 and np.isfinite(solve[0]["relative_residual"])
+    reports = list(tmp_path.glob("*SOLVE*"))
+    assert len(reports) == 1
+
+
+def test_solve_validation():
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    f = os.path.join(SAMPLE_DIR, "pdp08-pg4.mtx")
+    assert cli_main(["-t", "--solve", "cg", f]) == 2  # needs CSR
+    assert cli_main(["-c", "--solve", "sor", f]) == 2  # unknown method
+    assert cli_main(["-c", "--solve", "cg:x", f]) == 2  # bad iters
