@@ -101,7 +101,8 @@ class SellPlan:
     """Host-side arrays + static metadata for the SELL-T1 SpMV kernel.
 
     S = padded sublane count (multiple of ``chunk``), CT = column tiles
-    (padded), NS = row slices (padded to 8), WT = window tiles per chunk.
+    (padded), NS = row slices (padded to 16 — native bf16 sublane tile),
+    WT = window tiles per chunk (padded to 16 for the same reason).
 
     Sublanes are sorted by column tile so each chunk's tiles fall inside
     a narrow window ``[tile_base[chunk], tile_base[chunk] + WT)`` — the
@@ -212,9 +213,11 @@ def build_sell_plan(
     ct_true = max(-(-ncols // LANES), 1)
     ns_true = max(-(-nrows // LANES), 1)
     # CT is a matmul contraction/lane dimension — pad to a full 128-lane
-    # tile so Mosaic needs no relayout; NS is a sublane dim (mult of 8).
+    # tile so Mosaic needs no relayout; NS is a sublane dim, padded to 16
+    # (not 8) so the bf16 one-hot operands of the value-mode and reduce2
+    # ladders land on native (16, 128) bf16 tiles too.
     CT = _round_up(ct_true, LANES)
-    NS = _round_up(ns_true, 8)
+    NS = _round_up(ns_true, 16)
 
     if nnz == 0:
         if allow_small_chunk:
@@ -230,7 +233,7 @@ def build_sell_plan(
             nnz=0,
             n_slices=NS,
             n_coltiles=CT,
-            window_tiles=8,
+            window_tiles=16,
             chunk=chunk,
         )
 
@@ -326,7 +329,8 @@ def _finish_plan(
     tiles_2d = u_tile.reshape(n_chunks, chunk)
     t_lo = tiles_2d.min(axis=1)
     t_hi = tiles_2d.max(axis=1)
-    WT = _round_up(max(int((t_hi - t_lo).max()) + 1, min_window_tiles), 8)
+    # WT rounds to 16 for the same bf16-tile alignment reason as NS.
+    WT = _round_up(max(int((t_hi - t_lo).max()) + 1, min_window_tiles), 16)
     WT = min(WT, CT)
     # Clamp windows to stay inside the padded tile range.
     tile_base = np.minimum(t_lo, max(CT - WT, 0)).astype(np.int32)
