@@ -124,6 +124,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="data-parallel shards (row blocks) across devices",
     )
     p.add_argument(
+        "--shard-balance",
+        choices=("rows", "nnz"),
+        default="rows",
+        help=(
+            "row-block boundaries: equal rows (default) or equal-nnz "
+            "quantiles (balances skewed matrices; CSR shards only)"
+        ),
+    )
+    p.add_argument(
         "--no-report",
         action="store_true",
         help="skip writing the report file",
@@ -469,7 +478,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             stats, y = shard_and_bench(
                 alg_name, encoded, x, args.shards, iterations=args.iter,
-                kernel=run_kernel,
+                kernel=run_kernel, balance=args.shard_balance,
             )
         elif kernel_kind == "native" and force_kernel is None:
             # Batch iterations inside the C loop (both --fused and

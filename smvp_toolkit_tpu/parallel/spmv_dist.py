@@ -53,7 +53,13 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedCSR:
-    """CSR split into per-device row blocks (leading dim = shard)."""
+    """CSR split into per-device contiguous row blocks (leading dim = shard).
+
+    ``row_starts`` holds each block's first global row (static host
+    metadata — block boundaries are encode-time decisions); blocks may
+    be uneven when nnz-balanced, padded to ``rows_per_shard`` rows and a
+    common nnz width.
+    """
 
     vals: jax.Array  # dtype[n, nnz_blk]
     col_ind: jax.Array  # int32[n, nnz_blk]
@@ -62,6 +68,18 @@ class ShardedCSR:
     nnz: int = dataclasses.field(metadata=dict(static=True))
     rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
+    row_starts: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
+    def block_rows(self) -> Tuple[int, ...]:
+        """True (unpadded) row count of each block."""
+        starts = self.row_starts or tuple(
+            min(k * self.rows_per_shard, self.shape[0])
+            for k in range(self.n_shards)
+        )
+        ends = starts[1:] + (self.shape[0],)
+        return tuple(e - s for s, e in zip(starts, ends))
 
 
 @jax.tree_util.register_dataclass
@@ -83,19 +101,42 @@ class ShardedTJDS:
 # ---------------------------------------------------------------------------
 
 
-def shard_csr(csr: CSRMatrix, mesh: Mesh) -> ShardedCSR:
-    """Repack a CSR into per-device row blocks, padded to equal nnz."""
+def shard_csr(
+    csr: CSRMatrix, mesh: Mesh, *, balance: str = "rows"
+) -> ShardedCSR:
+    """Repack a CSR into per-device contiguous row blocks.
+
+    ``balance="rows"`` splits rows evenly (the simple default);
+    ``balance="nnz"`` places block boundaries at equal-nnz quantiles of
+    ``row_ptr`` so skewed matrices (power-law row lengths) load devices
+    evenly — with even-rows splitting, one hub-heavy block otherwise
+    carries most of the work and sets the step time. Blocks stay
+    contiguous in row order either way, so the gathered y needs no
+    permutation.
+    """
     n = mesh.devices.size
     nrows = csr.shape[0]
-    rows_blk = _round_up(max(nrows, 1), n) // n
-
     row_ptr = np.asarray(csr.row_ptr)
+
+    if balance == "nnz":
+        targets = (np.arange(1, n) * csr.nnz) // n
+        cuts = np.searchsorted(row_ptr, targets, side="left")
+        row_starts = np.concatenate([[0], cuts, [nrows]]).astype(np.int64)
+        np.maximum.accumulate(row_starts, out=row_starts)  # nondecreasing
+    elif balance == "rows":
+        blk = _round_up(max(nrows, 1), n) // n
+        row_starts = np.minimum(np.arange(n + 1) * blk, nrows)
+    else:
+        raise ValueError(f"balance must be 'rows' or 'nnz', got {balance!r}")
+
+    rows_blk = max(int(np.diff(row_starts).max()), 1)
+
     col = np.asarray(csr.col_ind)[: csr.nnz]
     val = np.asarray(csr.vals)[: csr.nnz]
 
     # Entry counts per block → common padded width.
-    starts = row_ptr[np.minimum(np.arange(n) * rows_blk, nrows)]
-    ends = row_ptr[np.minimum((np.arange(n) + 1) * rows_blk, nrows)]
+    starts = row_ptr[row_starts[:-1]]
+    ends = row_ptr[row_starts[1:]]
     widths = ends - starts
     nnz_blk = max(_round_up(int(widths.max()) if n else 1, 8), 8)
 
@@ -114,7 +155,7 @@ def shard_csr(csr: CSRMatrix, mesh: Mesh) -> ShardedCSR:
         w = e - s
         vals_b[k, :w] = val[s:e]
         cols_b[k, :w] = col[s:e]
-        lrows_b[k, :w] = grow[s:e] - k * rows_blk
+        lrows_b[k, :w] = grow[s:e] - int(row_starts[k])
 
     spec_blk = NamedSharding(mesh, P(DP_AXIS, None))
     return ShardedCSR(
@@ -125,6 +166,7 @@ def shard_csr(csr: CSRMatrix, mesh: Mesh) -> ShardedCSR:
         nnz=csr.nnz,
         rows_per_shard=rows_blk,
         n_shards=n,
+        row_starts=tuple(int(s) for s in row_starts[:-1]),
     )
 
 
@@ -199,7 +241,13 @@ def spmv_csr_sharded(
         check_vma=not gather,
     )(sharded.vals, sharded.col_ind, sharded.local_rows, x)
     if gather:
-        return y_blocks[: sharded.shape[0]]
+        # Strip per-block row padding (blocks may be uneven when
+        # nnz-balanced); block row counts are static, so this is a
+        # static concatenation of slices.
+        yb = y_blocks.reshape(sharded.n_shards, rows_blk)
+        return jnp.concatenate(
+            [yb[i, :r] for i, r in enumerate(sharded.block_rows())]
+        )
     return y_blocks
 
 
@@ -236,7 +284,10 @@ def spmm_csr_sharded(
         check_vma=not gather,  # see spmv_csr_sharded
     )(sharded.vals, sharded.col_ind, sharded.local_rows, x)
     if gather:
-        return y_blocks[: sharded.shape[0]]
+        yb = y_blocks.reshape(sharded.n_shards, rows_blk, x.shape[1])
+        return jnp.concatenate(
+            [yb[i, :r] for i, r in enumerate(sharded.block_rows())]
+        )
     return y_blocks
 
 
@@ -265,7 +316,8 @@ def spmv_tjds_sharded(sharded: ShardedTJDS, x: jax.Array, mesh: Mesh) -> jax.Arr
 
 
 def shard_and_bench(
-    alg_name, encoded, x, n_shards, *, iterations=1000, kernel="xla"
+    alg_name, encoded, x, n_shards, *, iterations=1000, kernel="xla",
+    balance="rows",
 ):
     """Shard an encoded matrix over n devices and benchmark sharded SpMV.
 
@@ -308,7 +360,7 @@ def shard_and_bench(
         sharded = shard_sell(coo, mesh, value_dtype=vdt)
         fn = lambda: spmv_sell_sharded(sharded, x, mesh)  # noqa: E731
     elif alg_name == "CSR":
-        sharded = shard_csr(encoded, mesh)
+        sharded = shard_csr(encoded, mesh, balance=balance)
         fn = lambda: spmv_csr_sharded(sharded, x, mesh)  # noqa: E731
     elif alg_name == "TJDS":
         sharded = shard_tjds(encoded, mesh)

@@ -279,3 +279,61 @@ def test_cg_over_sharded_spmv():
     )
     x_ref = np.linalg.solve(a, np.asarray(b, np.float64))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_nnz_balanced_sharding_powerlaw():
+    """balance='nnz' splits a skewed matrix evenly and stays correct."""
+    from smvp_toolkit_tpu.utils.synth import synth_powerlaw
+
+    coo = synth_powerlaw(400, 6000, alpha=1.2, seed=7).pad(128)
+    # Skew the ROW lengths (powerlaw skews columns): transpose the
+    # pattern host-side.
+    from smvp_toolkit_tpu.ops.algebra import transpose
+
+    coo = transpose(coo)
+    csr = csr_encode(coo)
+    mesh = make_mesh(8)
+    even = shard_csr(csr, mesh)
+    bal = shard_csr(csr, mesh, balance="nnz")
+
+    # Load balance: max block width shrinks vs the even-rows split.
+    def widths(s):
+        lr = np.asarray(s.local_rows)
+        return (lr < s.rows_per_shard).sum(axis=1)
+
+    assert widths(bal).max() <= widths(even).max()
+    assert widths(bal).max() <= int(1.5 * csr.nnz / 8) + 8
+
+    x = np.random.RandomState(8).randn(coo.shape[1]).astype(np.float32)
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    for sh in (even, bal):
+        y = np.asarray(spmv_csr_sharded(sh, x, mesh))
+        assert y.shape == (coo.shape[0],)
+        np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_nnz_balanced_spmm_and_empty_blocks():
+    """nnz balancing with empty shards (few dense rows) stays ordered."""
+    from smvp_toolkit_tpu.parallel import spmm_csr_sharded
+
+    rng = np.random.RandomState(9)
+    # 3 very dense rows + sparse tail -> some blocks get zero rows.
+    r = np.concatenate([
+        np.repeat(np.arange(3), 200),
+        rng.randint(3, 64, size=100),
+    ]).astype(np.int64)
+    c = rng.randint(0, 64, size=len(r)).astype(np.int64)
+    v = rng.randn(len(r))
+    order = np.lexsort((c, r))
+    coo = COOMatrix.from_numpy(
+        r[order].astype(np.int32), c[order].astype(np.int32), v[order],
+        shape=(64, 64), pad_to=64,
+    )
+    csr = csr_encode(coo)
+    mesh = make_mesh(8)
+    bal = shard_csr(csr, mesh, balance="nnz")
+    X = rng.randn(64, 4).astype(np.float32)
+    Y = np.asarray(spmm_csr_sharded(bal, X, mesh))
+    np.testing.assert_allclose(
+        Y, coo.to_dense() @ X.astype(np.float64), rtol=1e-4, atol=1e-4
+    )
