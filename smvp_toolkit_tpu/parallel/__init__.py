@@ -23,6 +23,12 @@ from smvp_toolkit_tpu.parallel.spmv_dist import (
     spmv_tjds_sharded,
     shard_and_bench,
 )
+from smvp_toolkit_tpu.parallel.spmv_2d import (
+    ShardedCSR2D,
+    make_mesh_2d,
+    shard_csr_2d,
+    spmv_csr_2d,
+)
 from smvp_toolkit_tpu.parallel.sell_dist import (
     ShardedSell,
     shard_sell,
@@ -41,6 +47,10 @@ __all__ = [
     "spmm_csr_sharded",
     "spmv_tjds_sharded",
     "shard_and_bench",
+    "ShardedCSR2D",
+    "make_mesh_2d",
+    "shard_csr_2d",
+    "spmv_csr_2d",
     "ShardedSell",
     "shard_sell",
     "spmv_sell_sharded",

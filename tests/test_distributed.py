@@ -337,3 +337,49 @@ def test_nnz_balanced_spmm_and_empty_blocks():
     np.testing.assert_allclose(
         Y, coo.to_dense() @ X.astype(np.float64), rtol=1e-4, atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D (row x column) sharding — the TP structural cousin (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("grid", [(2, 4), (4, 2), (1, 8), (8, 1), (2, 2)])
+def test_spmv_2d_sharding(grid):
+    from smvp_toolkit_tpu.parallel import make_mesh_2d, shard_csr_2d, spmv_csr_2d
+
+    coo = _coo(seed=31, nrows=101, ncols=87, nnz=900)  # uneven both ways
+    csr = csr_encode(coo)
+    mesh = make_mesh_2d(*grid)
+    sharded = shard_csr_2d(csr, mesh)
+    rng = np.random.RandomState(32)
+    x = np.asarray(rng.randn(coo.shape[1]), dtype=np.float32)
+    y = np.asarray(spmv_csr_2d(sharded, x, mesh))
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    assert y.shape == (coo.shape[0],)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spmv_2d_matches_1d_rowblock():
+    """C=1 must agree with the 1-D row-block path bit-for-bit-ish."""
+    from smvp_toolkit_tpu.parallel import make_mesh_2d, shard_csr_2d, spmv_csr_2d
+
+    coo = _coo(seed=33)
+    csr = csr_encode(coo)
+    mesh1 = make_mesh(4)
+    mesh2 = make_mesh_2d(4, 1)
+    x = np.ones(coo.shape[1], dtype=np.float32)
+    y1 = np.asarray(spmv_csr_sharded(shard_csr(csr, mesh1), x, mesh1))
+    y2 = np.asarray(spmv_csr_2d(shard_csr_2d(csr, mesh2), x, mesh2))
+    np.testing.assert_allclose(y2, y1, rtol=1e-6, atol=1e-6)
+
+
+def test_spmv_2d_sample_matrix():
+    from smvp_toolkit_tpu.parallel import make_mesh_2d, shard_csr_2d, spmv_csr_2d
+
+    coo = read_mtx(os.path.join(SAMPLE_DIR, "curtis54.mtx")).pad(128)
+    csr = csr_encode(coo)
+    mesh = make_mesh_2d(2, 4)
+    y = np.asarray(spmv_csr_2d(shard_csr_2d(csr, mesh),
+                               np.ones(54, dtype=np.float32), mesh))
+    np.testing.assert_allclose(y.sum(), 291.0, rtol=1e-6)
