@@ -28,6 +28,7 @@ from smvp_toolkit_tpu.parallel.spmv_2d import (
     make_mesh_2d,
     shard_csr_2d,
     spmv_csr_2d,
+    spmm_csr_2d,
 )
 from smvp_toolkit_tpu.parallel.sell_dist import (
     ShardedSell,
@@ -51,6 +52,7 @@ __all__ = [
     "make_mesh_2d",
     "shard_csr_2d",
     "spmv_csr_2d",
+    "spmm_csr_2d",
     "ShardedSell",
     "shard_sell",
     "spmv_sell_sharded",

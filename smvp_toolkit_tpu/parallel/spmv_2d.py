@@ -33,7 +33,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smvp_toolkit_tpu.formats.csr import CSRMatrix
 
-__all__ = ["ShardedCSR2D", "make_mesh_2d", "shard_csr_2d", "spmv_csr_2d"]
+__all__ = [
+    "ShardedCSR2D",
+    "make_mesh_2d",
+    "shard_csr_2d",
+    "spmv_csr_2d",
+    "spmm_csr_2d",
+]
 
 DPR_AXIS = "dpr"
 DPC_AXIS = "dpc"
@@ -158,5 +164,46 @@ def spmv_csr_2d(sharded: ShardedCSR2D, x: jax.Array, mesh: Mesh) -> jax.Array:
         ),
         out_specs=P(),
         check_vma=False,  # collectives produce the replicated result
+    )(sharded.vals, sharded.local_cols, sharded.local_rows, x_blocks)
+    return y[: sharded.shape[0]]
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def spmm_csr_2d(sharded: ShardedCSR2D, x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Y = A·X on the 2-D sharding; X row-sharded by column block.
+
+    The distributed-GCN hot op at 2-D scale: each device holds only its
+    (1/C of X rows, k) feature slab — together with the column-sharded
+    x-vector path this lifts the feature-matrix footprint cap of 1-D
+    DP. Same collective pattern as :func:`spmv_csr_2d`.
+    """
+    R, C = sharded.grid
+    rows_blk = sharded.rows_blk
+    k = x.shape[1]
+    npad = C * sharded.cols_blk
+    if x.shape[0] < npad:
+        x = jnp.pad(x, ((0, npad - x.shape[0]), (0, 0)))
+    x_blocks = x.reshape(C, sharded.cols_blk, k)
+
+    def local(vals, lcols, lrows, xb):
+        prod = vals[0, 0][:, None] * xb[0][lcols[0, 0], :]
+        y_part = jax.ops.segment_sum(
+            prod, lrows[0, 0], num_segments=rows_blk,
+            indices_are_sorted=True,
+        )
+        y_blk = jax.lax.psum(y_part, DPC_AXIS)
+        return jax.lax.all_gather(y_blk, DPR_AXIS, tiled=True)
+
+    y = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(DPR_AXIS, DPC_AXIS, None),
+            P(DPR_AXIS, DPC_AXIS, None),
+            P(DPR_AXIS, DPC_AXIS, None),
+            P(DPC_AXIS, None, None),
+        ),
+        out_specs=P(),
+        check_vma=False,
     )(sharded.vals, sharded.local_cols, sharded.local_rows, x_blocks)
     return y[: sharded.shape[0]]

@@ -383,3 +383,19 @@ def test_spmv_2d_sample_matrix():
     y = np.asarray(spmv_csr_2d(shard_csr_2d(csr, mesh),
                                np.ones(54, dtype=np.float32), mesh))
     np.testing.assert_allclose(y.sum(), 291.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("grid", [(2, 4), (4, 2)])
+def test_spmm_2d_sharding(grid):
+    from smvp_toolkit_tpu.parallel import make_mesh_2d, shard_csr_2d, spmm_csr_2d
+
+    coo = _coo(seed=34, nrows=77, ncols=65, nnz=600)
+    csr = csr_encode(coo)
+    mesh = make_mesh_2d(*grid)
+    sharded = shard_csr_2d(csr, mesh)
+    rng = np.random.RandomState(35)
+    X = np.asarray(rng.randn(coo.shape[1], 8), dtype=np.float32)
+    Y = np.asarray(spmm_csr_2d(sharded, X, mesh))
+    Y_ref = coo.to_dense() @ X.astype(np.float64)
+    assert Y.shape == (coo.shape[0], 8)
+    np.testing.assert_allclose(Y, Y_ref, rtol=1e-4, atol=1e-4)
