@@ -120,7 +120,7 @@ def main():
         ("memplus", dict(value_dtype=jnp.bfloat16, label=" bf16")),
         ("pwt", dict(label=" f32")),
         ("pwt", dict(value_dtype=jnp.bfloat16, label=" bf16")),
-        ("memplus", dict(resident=False, label=" f32-windowed")),
+        ("memplus", dict(resident=False, label=" f32-prefetchwin")),
         ("memplus", dict(lidx32=True, label=" f32-lidx32")),
         ("memplus", dict(precision=jax.lax.Precision.HIGH,
                          label=" f32-HIGH")),

@@ -324,15 +324,19 @@ def _finish_plan(
     CT, NS, shape, nnz, min_window_tiles,
 ):
     """Window + compact one-hot metadata (shared numpy/native tail)."""
-    # Per-chunk tile windows.
+    # Per-chunk tile windows. Window bases align down to 16 tiles so
+    # every x-window start (resident pl.ds slice or scalar-prefetch
+    # Element offset) sits on a native sublane-tile boundary for f32
+    # AND bf16; WT absorbs the alignment shift (<= 15 extra tiles).
     n_chunks = S // chunk
     tiles_2d = u_tile.reshape(n_chunks, chunk)
-    t_lo = tiles_2d.min(axis=1)
+    t_lo = (tiles_2d.min(axis=1) // 16) * 16
     t_hi = tiles_2d.max(axis=1)
     # WT rounds to 16 for the same bf16-tile alignment reason as NS.
     WT = _round_up(max(int((t_hi - t_lo).max()) + 1, min_window_tiles), 16)
     WT = min(WT, CT)
-    # Clamp windows to stay inside the padded tile range.
+    # Clamp windows to stay inside the padded tile range (CT and WT are
+    # both 16-multiples, so the clamp preserves alignment).
     tile_base = np.minimum(t_lo, max(CT - WT, 0)).astype(np.int32)
 
     # Compact one-hot generators: the kernel rebuilds the (chunk, WT) and

@@ -161,9 +161,43 @@ def _make_sell_kernel_resident(precision, ns, wt, bf16_values, reduce2=False):
     return _sell_kernel
 
 
+def _make_sell_kernel_prefetch(precision, ns, wt, bf16_values, reduce2):
+    """Kernel variant fed per-chunk x windows by scalar-prefetch DMA.
+
+    ``tile_base`` rides as a scalar-prefetch argument so the x-window
+    BlockSpec's index map can start each chunk's (wt, LANES) window at
+    ``tile_base[chunk]`` (``pl.Element`` offset, 16-aligned by the
+    planner) — x stays in HBM and each window is DMA'd once per chunk.
+    This replaces the host-side windowed stack (which duplicates x
+    ~WT-fold in HBM) for matrices whose x tile array exceeds the VMEM
+    residency budget.
+    """
+
+    def _sell_kernel(tb_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
+                     y_ref):
+        del tb_ref  # consumed by the index maps
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        table = _table_select(
+            rel_ref, x_ref[:], wt, precision, bf16_values, reduce2
+        )
+        g = jnp.take_along_axis(
+            table, lidx_ref[:].astype(jnp.int32), axis=1
+        )
+        prod = val_ref[:].astype(jnp.float32) * g
+        y_ref[:] += _seg_reduce(prod, sl_ref, ns, precision, reduce2)
+
+    return _sell_kernel
+
+
 # Above this many bytes of x tile array the resident-x variant would
 # crowd VMEM (~16 MB/core on v5e, shared with the double-buffered packed
-# planes); larger matrices take the windowed-stack fallback.
+# planes); larger matrices take the scalar-prefetch windowed variant
+# (SMVP_SELL_PREFETCH=0 reverts to the host-side window stack).
 _RESIDENT_X_LIMIT = 6 * 2**20
 
 
@@ -202,12 +236,13 @@ def _make_sell_kernel_onehot(precision, ns, wt):
 @partial(
     jax.jit,
     static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret",
-                     "precision", "resident", "onehot_dense", "reduce2"),
+                     "precision", "resident", "onehot_dense", "reduce2",
+                     "prefetch"),
 )
 def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, tile_base, *, n_chunks, chunk,
     ns, wt, interpret, precision=jax.lax.Precision.HIGHEST, resident=True,
-    onehot_dense=False, reduce2=False,
+    onehot_dense=False, reduce2=False, prefetch=True,
 ):
     bf16_values = vals.dtype == jnp.bfloat16
     if onehot_dense:
@@ -267,6 +302,31 @@ def _sell_spmv_call(
                 pl.BlockSpec((1, chunk), lambda i: (i, 0)),
             ],
             out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            interpret=interpret,
+        )(tile_base, x_tiles, vals, lidx, rel_tile, slice_of)
+
+    if prefetch:
+        # x stays in HBM; each chunk's (wt, LANES) window is DMA'd by
+        # the pipeline at the 16-aligned Element offset tile_base[i].
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (pl.Element(wt), LANES), lambda i, tb: (tb[i], 0)
+                ),
+                pl.BlockSpec((chunk, LANES), lambda i, tb: (i, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i, tb: (i, 0)),
+                pl.BlockSpec((chunk, 1), lambda i, tb: (i, 0)),
+                pl.BlockSpec((1, chunk), lambda i, tb: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((ns, LANES), lambda i, tb: (0, 0)),
+        )
+        return pl.pallas_call(
+            _make_sell_kernel_prefetch(precision, ns, wt, bf16_values,
+                                       reduce2),
+            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
         )(tile_base, x_tiles, vals, lidx, rel_tile, slice_of)
@@ -438,6 +498,12 @@ class SellSpMV:
         # lossless in bf16 value mode, ~1e-5 relative for f32 values.
         # Read here (outside jit) so toggling retraces.
         reduce2 = os.environ.get("SMVP_SELL_REDUCE2") == "1"
+        # Non-resident x: scalar-prefetch windows by default (x crosses
+        # HBM ~once), host-side window stack as the escape hatch.
+        prefetch = (
+            not resident
+            and os.environ.get("SMVP_SELL_PREFETCH") != "0"
+        )
         y = _sell_spmv_call(
             x_tiles,
             self.vals,
@@ -454,6 +520,7 @@ class SellSpMV:
             resident=resident,
             onehot_dense=onehot_dense,
             reduce2=reduce2,
+            prefetch=prefetch,
         )
         return y.reshape(-1)[: self.shape[0]]
 

@@ -184,13 +184,14 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
 
     compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
     reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
-    return _spmv_sell_sharded(sh, x, mesh, compat, reduce2)
+    prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
+    return _spmv_sell_sharded(sh, x, mesh, compat, reduce2, prefetch)
 
 
-@partial(jax.jit, static_argnames=("mesh", "compat", "reduce2"))
+@partial(jax.jit, static_argnames=("mesh", "compat", "reduce2", "prefetch"))
 def _spmv_sell_sharded(
     sh: ShardedSell, x: jax.Array, mesh: Mesh, compat: bool,
-    reduce2: bool = False,
+    reduce2: bool = False, prefetch: bool = True,
 ) -> jax.Array:
     ncols_pad = sh.CT * LANES
     x = x.astype(sh.vals.dtype)  # bf16 value mode streams x in bf16 too
@@ -228,6 +229,7 @@ def _spmv_sell_sharded(
             resident=resident,
             onehot_dense=compat,
             reduce2=reduce2,
+            prefetch=prefetch,
         )
         return y[None]
 

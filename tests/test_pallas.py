@@ -463,3 +463,21 @@ def test_reduce2_f32_mode_near_exact(monkeypatch):
     y_r2 = np.asarray(op(x), dtype=np.float64)
     scale = np.abs(y_exact).max() + 1e-30
     assert np.abs(y_r2 - y_exact).max() / scale < 5e-4
+
+
+def test_prefetch_window_variant_agrees(monkeypatch):
+    """Scalar-prefetch x windows (non-resident default) == resident."""
+    import smvp_toolkit_tpu.ops.spmv_pallas as spp
+
+    coo = _load("curtis54.mtx")
+    op = SellSpMV.from_coo(coo)
+    x = jnp.asarray(
+        np.random.RandomState(7).randn(coo.shape[1]).astype(np.float32)
+    )
+    y_resident = np.asarray(op(x))
+    monkeypatch.setattr(spp, "_RESIDENT_X_LIMIT", -1)  # force non-resident
+    y_prefetch = np.asarray(op(x))
+    monkeypatch.setenv("SMVP_SELL_PREFETCH", "0")  # host window stack
+    y_stack = np.asarray(op(x))
+    np.testing.assert_allclose(y_prefetch, y_resident, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(y_stack, y_resident, rtol=1e-6, atol=1e-7)
