@@ -591,11 +591,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             save_matrix(f"{args.save_encoded}_csr.npz", csr)
             log("FILE", f"CSR checkpoint: {args.save_encoded}_csr.npz")
         if args.export_aot:
-            from smvp_toolkit_tpu.utils.aot import export_spmv
+            from smvp_toolkit_tpu.utils.aot import export_spmv, write_blob
 
             path = f"{args.export_aot}_csr.jaxexport"
-            with open(path, "wb") as f:
-                f.write(export_spmv(csr))
+            write_blob(path, export_spmv(csr))
             log("FILE", f"CSR AOT program: {path}")
         _run(ALG_CSR, csr, csr_fn, spmv_bytes_csr(coo.nnz, coo.shape[0], vbytes))
         if args.solve:
@@ -620,11 +619,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             save_matrix(f"{args.save_encoded}_tjds.npz", tj)
             log("FILE", f"TJDS checkpoint: {args.save_encoded}_tjds.npz")
         if args.export_aot:
-            from smvp_toolkit_tpu.utils.aot import export_spmv
+            from smvp_toolkit_tpu.utils.aot import export_spmv, write_blob
 
             path = f"{args.export_aot}_tjds.jaxexport"
-            with open(path, "wb") as f:
-                f.write(export_spmv(tj))
+            write_blob(path, export_spmv(tj))
             log("FILE", f"TJDS AOT program: {path}")
         if args.lut_out:
             from smvp_toolkit_tpu.formats.vivado import write_tjds_lut
@@ -712,7 +710,14 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
     spec = args.solve.split(":", 1)
     method = spec[0].lower()
     iters = int(spec[1]) if len(spec) > 1 else 100
-    b = x[: coo.shape[0]].astype(jnp.float32)
+    # Solve in the matrix's compute dtype: a complex system must carry
+    # a complex b (the solver scan carries would otherwise mismatch).
+    is_complex = jnp.issubdtype(csr.vals.dtype, jnp.complexfloating)
+    if is_complex and method == "chebyshev":
+        log("ERROR", "--solve chebyshev needs a real SPD system")
+        return 2
+    b_dtype = csr.vals.dtype if is_complex else jnp.float32
+    b = x[: coo.shape[0]].astype(b_dtype)
 
     t0 = _time.perf_counter()
     if method == "cg":
@@ -725,9 +730,10 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
         xs, _ = minres(csr, b, num_iters=iters, spmv=spmv)
     elif method == "gmres":
         restart = min(20, iters)
+        num_restarts = max(1, -(-iters // restart))
+        iters = restart * num_restarts  # report the true Arnoldi count
         xs, _ = gmres(
-            csr, b, restart=restart,
-            num_restarts=max(1, -(-iters // restart)), spmv=spmv,
+            csr, b, restart=restart, num_restarts=num_restarts, spmv=spmv,
         )
     else:  # chebyshev — SPD systems; spectrum bounds from Lanczos
         lows, highs = lanczos_eigsh(
@@ -741,8 +747,9 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
     xs.block_until_ready()
     ms = (_time.perf_counter() - t0) * 1e3
 
-    r = np.asarray(b, np.float64) - np.asarray(
-        spmv_csr(csr, xs), np.float64
+    res_dtype = np.complex128 if is_complex else np.float64
+    r = np.asarray(b, res_dtype) - np.asarray(
+        spmv_csr(csr, xs), res_dtype
     )
     relres = float(
         np.linalg.norm(r) / max(np.linalg.norm(np.asarray(b)), 1e-30)

@@ -120,11 +120,35 @@ class COOMatrix:
             pad_to=pad_to,
         )
 
+    def _export_triplets(self):
+        """Triplets prepared for ecosystems without symmetry metadata.
+
+        Non-general typecodes store only one triangle; scipy/torch have
+        no banner to carry that, so export must expand to the full
+        matrix or it silently hands over a wrong operator. Values in
+        dtypes numpy's ecosystem peers reject (bfloat16 etc.) upcast to
+        float32.
+        """
+        r, c, v = self.to_numpy()
+        if not self.typecode.is_general:
+            from smvp_toolkit_tpu.io.mtx import expand_symmetric
+
+            r, c, v = expand_symmetric(self.typecode, r, c, v)
+        v = np.asarray(v)
+        if v.dtype.kind not in "fciu":  # ml_dtypes (bfloat16, ...)
+            v = v.astype(np.float32)
+        return r, c, v
+
     def to_scipy(self):
-        """True (unpadded) triplets as a ``scipy.sparse.coo_matrix``."""
+        """True (unpadded) entries as a ``scipy.sparse.coo_matrix``.
+
+        Symmetric/skew/hermitian storage is expanded to the full matrix
+        (scipy carries no symmetry metadata); bfloat16 values upcast to
+        float32.
+        """
         import scipy.sparse
 
-        r, c, v = self.to_numpy()
+        r, c, v = self._export_triplets()
         return scipy.sparse.coo_matrix((v, (r, c)), shape=self.shape)
 
     @staticmethod
@@ -163,13 +187,16 @@ class COOMatrix:
         )
 
     def to_torch(self):
-        """True (unpadded) triplets as a coalesced torch sparse tensor."""
+        """True (unpadded) entries as a coalesced torch sparse tensor.
+
+        Same export rules as :meth:`to_scipy`: symmetry expanded,
+        bfloat16 upcast to float32.
+        """
         import torch
 
-        r, c, v = self.to_numpy()
+        r, c, v = self._export_triplets()
         return torch.sparse_coo_tensor(
-            np.stack([r, c]).astype(np.int64), np.asarray(v),
-            size=self.shape,
+            np.stack([r, c]).astype(np.int64), v, size=self.shape
         ).coalesce()
 
     # ------------------------------------------------------------------

@@ -189,6 +189,17 @@ def _open_text(source: Union[str, os.PathLike, TextIO]):
     return open(path, "r"), True
 
 
+def _open_text_write(dest: Union[str, os.PathLike]):
+    """Writer counterpart of ``_open_text``: .gz paths gzip-compress so
+    ``write_mtx`` output round-trips through ``read_mtx``."""
+    path = os.fspath(dest)
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "wt")
+    return open(path, "w")
+
+
 def read_banner(source: Union[str, os.PathLike, TextIO]) -> MMTypeCode:
     """Read only the banner line of a ``.mtx`` file (mm_read_banner, mmio.c:96)."""
     f, close = _open_text(source)
@@ -490,7 +501,7 @@ def write_mtx(
     if hasattr(dest, "write"):
         dest.write(text)
     else:
-        with open(dest, "w") as f:
+        with _open_text_write(dest) as f:
             f.write(text)
 
 
@@ -526,5 +537,5 @@ def write_mtx_array(
     if hasattr(dest, "write"):
         dest.write(text)
     else:
-        with open(dest, "w") as f:
+        with _open_text_write(dest) as f:
             f.write(text)

@@ -32,6 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smvp_toolkit_tpu.formats.csr import CSRMatrix
+from smvp_toolkit_tpu.parallel.spmv_dist import _csr_entry_rows, _round_up
 
 __all__ = [
     "ShardedCSR2D",
@@ -78,10 +79,6 @@ class ShardedCSR2D:
     grid: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-max(int(x), 1) // m) * m
-
-
 def shard_csr_2d(csr: CSRMatrix, mesh: Mesh) -> ShardedCSR2D:
     """Repack a CSR into (row-block, col-block) cells for a 2-D mesh."""
     R, C = mesh.devices.shape
@@ -92,10 +89,7 @@ def shard_csr_2d(csr: CSRMatrix, mesh: Mesh) -> ShardedCSR2D:
     row_ptr = np.asarray(csr.row_ptr)
     col = np.asarray(csr.col_ind)[: csr.nnz].astype(np.int64)
     val = np.asarray(csr.vals)[: csr.nnz]
-    if csr.row_ids is not None:
-        row = np.asarray(csr.row_ids)[: csr.nnz].astype(np.int64)
-    else:
-        row = np.searchsorted(row_ptr, np.arange(csr.nnz), side="right") - 1
+    row = _csr_entry_rows(csr, row_ptr)
 
     bi = row // rows_blk
     bj = col // cols_blk

@@ -50,6 +50,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _csr_entry_rows(csr: CSRMatrix, row_ptr: np.ndarray) -> np.ndarray:
+    """Global row id per true entry (shared by all CSR sharders).
+
+    Reuses the encoder's cached device ``row_ids`` when present; falls
+    back to the row_ptr prefix search.
+    """
+    if csr.row_ids is not None:
+        return np.asarray(csr.row_ids)[: csr.nnz].astype(np.int64)
+    return np.searchsorted(row_ptr, np.arange(csr.nnz), side="right") - 1
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedCSR:
@@ -144,12 +155,7 @@ def shard_csr(
     cols_b = np.zeros((n, nnz_blk), dtype=np.int32)
     lrows_b = np.full((n, nnz_blk), rows_blk, dtype=np.int32)  # pad sentinel
 
-    # Local row ids per entry (reuse the cached device row_ids when the
-    # encoder materialized them; fall back to the row_ptr prefix search).
-    if csr.row_ids is not None:
-        grow = np.asarray(csr.row_ids)[: csr.nnz].astype(np.int64)
-    else:
-        grow = np.searchsorted(row_ptr, np.arange(csr.nnz), side="right") - 1
+    grow = _csr_entry_rows(csr, row_ptr)
     for k in range(n):
         s, e = int(starts[k]), int(ends[k])
         w = e - s

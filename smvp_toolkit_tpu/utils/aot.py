@@ -34,6 +34,7 @@ __all__ = [
     "export_spmv",
     "save_program",
     "load_program",
+    "write_blob",
 ]
 
 
@@ -85,9 +86,11 @@ def export_spmv(matrix, kernel=None, x_dtype=None) -> bytes:
             COOMatrix: spmv_coo,
         }[type(matrix)]
     if x_dtype is None:
+        # inexact covers complex64 too — a complex matrix must bake a
+        # complex input signature or the program can never be served.
         x_dtype = (
             matrix.vals.dtype
-            if jnp.issubdtype(matrix.vals.dtype, jnp.floating)
+            if jnp.issubdtype(matrix.vals.dtype, jnp.inexact)
             else jnp.float32
         )
     n = matrix.shape[1]
@@ -96,13 +99,18 @@ def export_spmv(matrix, kernel=None, x_dtype=None) -> bytes:
     )
 
 
-def save_program(path: str, fn: Callable, *example_args) -> None:
-    """Export and write to ``path`` (atomic rename)."""
-    blob = export_program(fn, *example_args)
+def write_blob(path: str, blob: bytes) -> None:
+    """Write an artifact atomically (tmp file + rename) — a crash
+    mid-write must not leave a truncated, undeserializable file."""
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
+
+
+def save_program(path: str, fn: Callable, *example_args) -> None:
+    """Export and write to ``path`` (atomic rename)."""
+    write_blob(path, export_program(fn, *example_args))
 
 
 def load_program(path: str) -> Callable:

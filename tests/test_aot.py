@@ -152,3 +152,24 @@ def test_cli_export_aot_requires_alg():
          os.path.join(SAMPLE_DIR, "curtis54.mtx")]
     )
     assert rc == 2
+
+
+def test_export_spmv_complex_signature():
+    """Complex matrices bake a complex input signature (servable)."""
+    import io as _io
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx as _read
+
+    text = (
+        "%%MatrixMarket matrix coordinate complex general\n"
+        "2 2 2\n1 1 1.0 2.0\n2 2 3.0 -1.0\n"
+    )
+    coo = _read(_io.StringIO(text)).pad(8)
+    blob = export_spmv(csr_encode(coo))
+    call = import_program(blob)
+    x = jnp.asarray([1 + 1j, 2 - 1j], jnp.complex64)
+    y = np.asarray(call(x))
+    np.testing.assert_allclose(
+        y, coo.to_dense(dtype=np.complex128) @ np.asarray(x),
+        rtol=1e-5, atol=1e-6,
+    )

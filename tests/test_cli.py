@@ -351,3 +351,21 @@ def test_solve_validation():
     assert cli_main(["-t", "--solve", "cg", f]) == 2  # needs CSR
     assert cli_main(["-c", "--solve", "sor", f]) == 2  # unknown method
     assert cli_main(["-c", "--solve", "cg:x", f]) == 2  # bad iters
+
+
+def test_solve_complex_system(tmp_path):
+    """--solve on a complex matrix solves in complex64 (no dtype crash)."""
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    mtx = tmp_path / "c.mtx"
+    mtx.write_text(
+        "%%MatrixMarket matrix coordinate complex general\n"
+        "2 2 3\n1 1 4.0 0.0\n2 2 5.0 1.0\n1 2 1.0 0.5\n"
+    )
+    rc = cli_main(["-c", "-n", "1", "--no-report", "--solve", "gmres:8",
+                   str(mtx)])
+    assert rc == 0
+    # chebyshev needs a real SPD system -> clean validation error
+    rc = cli_main(["-c", "-n", "1", "--no-report", "--solve",
+                   "chebyshev:8", str(mtx)])
+    assert rc == 2

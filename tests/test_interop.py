@@ -111,3 +111,36 @@ def test_torch_duplicates_coalesced():
     coo = COOMatrix.from_torch(t)
     assert coo.nnz == 2  # torch coalesce sums duplicates on entry
     assert coo.to_dense()[0, 1] == 5.0
+
+
+def test_to_scipy_expands_symmetric_storage():
+    """Stored-triangle typecodes must export the full matrix (scipy has
+    no symmetry metadata)."""
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    import io as _io
+
+    text = (
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 3\n1 1 2.0\n3 1 5.0\n2 2 3.0\n"
+    )
+    coo = read_mtx(_io.StringIO(text))
+    dense = coo.to_scipy().toarray()
+    expected = np.array([[2, 0, 5], [0, 3, 0], [5, 0, 0.0]])
+    np.testing.assert_allclose(dense, expected)
+    np.testing.assert_allclose(
+        coo.to_torch().to_dense().numpy(), expected
+    )
+
+
+def test_to_scipy_torch_bf16_upcasts():
+    import jax.numpy as jnp_
+
+    sp = _random_scipy()
+    coo = COOMatrix.from_scipy(sp, dtype=jnp_.bfloat16)
+    out = coo.to_scipy()
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out.toarray(), sp.toarray(), rtol=1e-2,
+                               atol=1e-2)
+    t = coo.to_torch()
+    np.testing.assert_allclose(t.to_dense().numpy(), sp.toarray(),
+                               rtol=1e-2, atol=1e-2)

@@ -373,3 +373,21 @@ def test_gzipped_mtx_loads(tmp_path, sample_dir):
     packed = read_mtx(str(gz))
     assert packed.nnz == plain.nnz
     np.testing.assert_array_equal(packed.to_dense(), plain.to_dense())
+
+
+def test_write_mtx_gz_round_trip(tmp_path):
+    rng = np.random.RandomState(50)
+    r = rng.randint(0, 9, 30).astype(np.int64)
+    c = rng.randint(0, 7, 30).astype(np.int64)
+    v = rng.randn(30)
+    path = str(tmp_path / "rt.mtx.gz")
+    write_mtx(path, r, c, v, (9, 7))
+    import gzip
+
+    with open(path, "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"  # actually gzip-compressed
+    back = read_mtx(path)
+    dense = np.zeros((9, 7))
+    np.add.at(dense, (r, c), v)
+    np.testing.assert_allclose(back.to_dense(), dense, rtol=1e-6,
+                               atol=1e-9)
