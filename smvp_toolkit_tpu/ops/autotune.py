@@ -27,10 +27,16 @@ from smvp_toolkit_tpu.ops.sell_plan import LANES, SellPlan, build_sell_plan
 
 __all__ = ["RATES", "plan_cost_us", "pick_plan"]
 
-# v5e defaults (measured round 1; recalibrate from tpu_r2_session output).
+# v5e defaults — recalibrate from tpu_r2_session output. The MXU rate
+# is a *throughput* figure (pipelined in-kernel matmuls): the round-1
+# standalone micro (28 MMAC/us for one small matmul) was latency-bound
+# and under-predicts the in-kernel rate by ~3 orders (the v1 kernel's
+# measured 241 us on memplus implies >= 7e6 MAC/us at 6 passes; v5e
+# peak is ~98e6 MAC/us bf16 — assume ~40% sustained for skinny one-hot
+# shapes until a hardware session calibrates it).
 RATES = {
     "hbm_gb_s": 819.0,          # HBM speed of light
-    "mxu_gmac_us": 40.0,        # sustained one-hot matmul rate, DEFAULT
+    "mxu_mac_us": 4.0e7,        # sustained MXU MAC/us per DEFAULT pass
     "shuffle_gel_s": 150.0,     # take_along_axis lane shuffle
     "grid_step_us": 0.5,        # per-grid-step overhead
 }
@@ -56,12 +62,10 @@ def plan_cost_us(
     )
     t_hbm = traffic / (r["hbm_gb_s"] * 1e3)  # bytes / (GB/s) -> us
     t_table = (
-        s * plan.window_tiles * LANES * table_passes
-        / (r["mxu_gmac_us"] * 1e3)
+        s * plan.window_tiles * LANES * table_passes / r["mxu_mac_us"]
     )
     t_reduce = (
-        plan.n_slices * s * LANES * reduce_passes
-        / (r["mxu_gmac_us"] * 1e3)
+        plan.n_slices * s * LANES * reduce_passes / r["mxu_mac_us"]
     )
     t_shuffle = s * LANES / (r["shuffle_gel_s"] * 1e3)
     t_grid = plan.n_chunks * r["grid_step_us"]
