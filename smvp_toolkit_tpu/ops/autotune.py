@@ -64,8 +64,9 @@ def plan_cost_us(
     t_table = (
         s * plan.window_tiles * LANES * table_passes / r["mxu_mac_us"]
     )
-    t_reduce = (
-        plan.n_slices * s * LANES * reduce_passes / r["mxu_mac_us"]
+    t_reduce = (  # windowed reduce contracts NSW, not NS (v6)
+        plan.reduce_window()[1] * s * LANES * reduce_passes
+        / r["mxu_mac_us"]
     )
     t_shuffle = s * LANES / (r["shuffle_gel_s"] * 1e3)
     t_grid = plan.n_chunks * r["grid_step_us"]

@@ -121,6 +121,21 @@ class SellPlan:
     n_coltiles: int  # CT (padded)
     window_tiles: int  # WT
     chunk: int  # sublane chunk size per kernel grid step
+    # Windowed row reduce (v6): per-chunk slice-window start + static
+    # window size NSW — the reduce contracts (NSW, chunk) instead of
+    # (NS, chunk) and accumulates at a dynamic y offset. Defaults
+    # (None/0, e.g. plans from old checkpoints) mean "full reduce".
+    slice_base: Optional[np.ndarray] = None  # i32 (n_chunks,)
+    slice_window: int = 0
+
+    def reduce_window(self) -> Tuple[np.ndarray, int]:
+        """(slice_base, NSW) with the full-reduce fallback applied."""
+        if self.slice_base is None or self.slice_window <= 0:
+            return (
+                np.zeros(self.n_chunks, dtype=np.int32),
+                self.n_slices,
+            )
+        return self.slice_base, self.slice_window
 
     @property
     def n_sublanes(self) -> int:
@@ -235,6 +250,8 @@ def build_sell_plan(
             n_coltiles=CT,
             window_tiles=16,
             chunk=chunk,
+            slice_base=np.zeros((1,), dtype=np.int32),
+            slice_window=min(16, NS),
         )
 
     # Native planner fast path: one threaded C++ sort + linear passes
@@ -349,11 +366,28 @@ def _finish_plan(
     slice_compact = np.full(S, -1, dtype=np.int32)
     slice_compact[:S_true] = u_slice[:S_true]
 
+    # Per-chunk slice windows (the windowed row reduce): the full
+    # (NS, chunk) one-hot reduce costs NS x S x 128 MACs — quadratic-ish
+    # in matrix size (NS grows with rows) and 98% of modelled kernel
+    # time at 1M rows. In natural (tile-major) order, banded matrices
+    # confine each chunk's slices to a narrow range, so the kernel can
+    # reduce into a (NSW, chunk) window accumulated at a dynamic y
+    # offset instead. NSW == NS (sb == 0) degrades to the full reduce.
+    sl_2d = slice_compact.reshape(n_chunks, chunk)
+    live = sl_2d >= 0
+    sl_min = np.where(live, sl_2d, np.iinfo(np.int32).max).min(axis=1)
+    sl_max = np.where(live, sl_2d, -1).max(axis=1)
+    sl_min = np.where(sl_min > sl_max, 0, sl_min)  # all-dead chunk
+    s_lo = (sl_min // 16) * 16
+    NSW = _round_up(max(int((sl_max - s_lo).max()) + 1, 8), 16)
+    NSW = min(NSW, NS)
+    slice_base = np.minimum(s_lo, max(NS - NSW, 0)).astype(np.int32)
+
     return SellPlan(
         vals=vals_a,
         lane_idx=lidx_a,
         rel_tile=rel.reshape(S, 1),
-        slice_of=slice_compact.reshape(n_chunks, chunk),
+        slice_of=sl_2d,
         tile_base=tile_base,
         shape=shape,
         nnz=nnz,
@@ -361,6 +395,8 @@ def _finish_plan(
         n_coltiles=CT,
         window_tiles=WT,
         chunk=chunk,
+        slice_base=slice_base,
+        slice_window=NSW,
     )
 
 

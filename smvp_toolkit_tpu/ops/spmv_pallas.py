@@ -71,8 +71,14 @@ def _table_select(rel_ref, x_win, wt, precision, bf16_values, reduce2):
     )
 
 
-def _seg_reduce(prod, sl_ref, ns, precision, reduce2):
+def _seg_reduce(prod, sl_ref, sb, nsw, precision, reduce2):
     """Row reduce: sum sublanes into their slice (one-hot MXU matmul).
+
+    Windowed (v6): the one-hot contracts only the chunk's NSW-slice
+    window starting at ``sb`` (the full (NS, chunk) reduce is O(NS x S)
+    MACs — NS grows with matrix rows, 98% of modelled time at 1M rows).
+    Dead sublanes (``sl_ref == -1``) fall outside any window. The
+    caller accumulates the (nsw, LANES) result at y offset ``sb``.
 
     ``reduce2`` runs the double-bf16 ladder instead of a ``precision``
     matmul: the one-hot matrix is exact in bf16 and ``prod`` splits as
@@ -81,22 +87,24 @@ def _seg_reduce(prod, sl_ref, ns, precision, reduce2):
     products carry <= 16 mantissa bits (always true in bf16 value mode);
     ~1e-5 relative for arbitrary f32 products.
     """
-    ns_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+    rel = sl_ref[:] - sb  # (1, chunk); dead (-1 - sb) stays negative
+    nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
     if reduce2:
-        seg = (ns_iota == sl_ref[:]).astype(jnp.bfloat16)
+        seg = (nsw_iota == rel).astype(jnp.bfloat16)
         hi = prod.astype(jnp.bfloat16)
         lo = (prod - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return jnp.dot(
             seg, hi, preferred_element_type=jnp.float32
         ) + jnp.dot(seg, lo, preferred_element_type=jnp.float32)
-    seg = (ns_iota == sl_ref[:]).astype(jnp.float32)
+    seg = (nsw_iota == rel).astype(jnp.float32)
     return jnp.dot(
         seg, prod, preferred_element_type=jnp.float32, precision=precision
     )
 
 
-def _make_sell_kernel(precision, ns, wt, bf16_values, reduce2=False):
-    def _sell_kernel(x_ref, val_ref, lidx_ref, rel_ref, sl_ref, y_ref):
+def _make_sell_kernel(precision, nsw, wt, bf16_values, reduce2=False):
+    def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
+                     y_ref):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -126,21 +134,26 @@ def _make_sell_kernel(precision, ns, wt, bf16_values, reduce2=False):
         # 3. Products (dead slots have val == 0). Arithmetic stays f32;
         # bf16 is a storage format here.
         prod = val_ref[:].astype(jnp.float32) * g
-        # 4. Row reduce (see _seg_reduce for the precision ladder).
-        y_ref[:] += _seg_reduce(prod, sl_ref, ns, precision, reduce2)
+        # 4. Windowed row reduce, accumulated at the chunk's y offset.
+        sb = bases_ref[1, step]
+        y_ref[pl.ds(sb, nsw), :] += _seg_reduce(
+            prod, sl_ref, sb, nsw, precision, reduce2
+        )
 
     return _sell_kernel
 
 
-def _make_sell_kernel_resident(precision, ns, wt, bf16_values, reduce2=False):
+def _make_sell_kernel_resident(precision, nsw, wt, bf16_values,
+                               reduce2=False):
     """Kernel variant with the full x tile array resident in VMEM.
 
     The per-chunk (wt, 128) x window is a dynamic sublane slice of the
-    resident block, started at ``tile_base[chunk]`` read from SMEM — no
+    resident block, started at ``bases[0, chunk]`` read from SMEM — no
     host-side window stack, no duplicated x traffic: x crosses HBM once.
+    ``bases[1, chunk]`` is the slice-window start for the reduce.
     """
 
-    def _sell_kernel(tb_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
+    def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
                      y_ref):
         step = pl.program_id(0)
 
@@ -148,7 +161,7 @@ def _make_sell_kernel_resident(precision, ns, wt, bf16_values, reduce2=False):
         def _init():
             y_ref[:] = jnp.zeros_like(y_ref)
 
-        x_win = x_ref[pl.ds(tb_ref[step], wt), :]  # (wt, LANES)
+        x_win = x_ref[pl.ds(bases_ref[0, step], wt), :]  # (wt, LANES)
         table = _table_select(
             rel_ref, x_win, wt, precision, bf16_values, reduce2
         )
@@ -156,12 +169,15 @@ def _make_sell_kernel_resident(precision, ns, wt, bf16_values, reduce2=False):
             table, lidx_ref[:].astype(jnp.int32), axis=1
         )
         prod = val_ref[:].astype(jnp.float32) * g
-        y_ref[:] += _seg_reduce(prod, sl_ref, ns, precision, reduce2)
+        sb = bases_ref[1, step]
+        y_ref[pl.ds(sb, nsw), :] += _seg_reduce(
+            prod, sl_ref, sb, nsw, precision, reduce2
+        )
 
     return _sell_kernel
 
 
-def _make_sell_kernel_prefetch(precision, ns, wt, bf16_values, reduce2):
+def _make_sell_kernel_prefetch(precision, nsw, wt, bf16_values, reduce2):
     """Kernel variant fed per-chunk x windows by scalar-prefetch DMA.
 
     ``tile_base`` rides as a scalar-prefetch argument so the x-window
@@ -173,9 +189,8 @@ def _make_sell_kernel_prefetch(precision, ns, wt, bf16_values, reduce2):
     residency budget.
     """
 
-    def _sell_kernel(tb_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
+    def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
                      y_ref):
-        del tb_ref  # consumed by the index maps
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -189,7 +204,10 @@ def _make_sell_kernel_prefetch(precision, ns, wt, bf16_values, reduce2):
             table, lidx_ref[:].astype(jnp.int32), axis=1
         )
         prod = val_ref[:].astype(jnp.float32) * g
-        y_ref[:] += _seg_reduce(prod, sl_ref, ns, precision, reduce2)
+        sb = bases_ref[1, step]
+        y_ref[pl.ds(sb, nsw), :] += _seg_reduce(
+            prod, sl_ref, sb, nsw, precision, reduce2
+        )
 
     return _sell_kernel
 
@@ -235,15 +253,18 @@ def _make_sell_kernel_onehot(precision, ns, wt):
 
 @partial(
     jax.jit,
-    static_argnames=("n_chunks", "chunk", "ns", "wt", "interpret",
+    static_argnames=("n_chunks", "chunk", "ns", "nsw", "wt", "interpret",
                      "precision", "resident", "onehot_dense", "reduce2",
                      "prefetch"),
 )
 def _sell_spmv_call(
-    x_tiles, vals, lidx, rel_tile, slice_of, tile_base, *, n_chunks, chunk,
-    ns, wt, interpret, precision=jax.lax.Precision.HIGHEST, resident=True,
-    onehot_dense=False, reduce2=False, prefetch=True,
+    x_tiles, vals, lidx, rel_tile, slice_of, bases, *, n_chunks, chunk,
+    ns, nsw, wt, interpret, precision=jax.lax.Precision.HIGHEST,
+    resident=True, onehot_dense=False, reduce2=False, prefetch=True,
 ):
+    """Dispatch one SELL launch. ``bases`` is i32 (2, n_chunks):
+    row 0 = per-chunk x tile-window starts, row 1 = per-chunk y
+    slice-window starts (both 16-aligned; see sell_plan)."""
     bf16_values = vals.dtype == jnp.bfloat16
     if onehot_dense:
         # Compatibility mode: build the one-hot planes with XLA outside
@@ -252,7 +273,7 @@ def _sell_spmv_call(
         xw = jnp.stack(
             [
                 jax.lax.dynamic_slice(
-                    x_tiles.astype(jnp.float32), (tile_base[i], 0),
+                    x_tiles.astype(jnp.float32), (bases[0, i], 0),
                     (wt, LANES),
                 )
                 for i in range(n_chunks)
@@ -290,11 +311,11 @@ def _sell_spmv_call(
         ct = x_tiles.shape[0]
         return pl.pallas_call(
             _make_sell_kernel_resident(
-                precision, ns, wt, bf16_values, reduce2
+                precision, nsw, wt, bf16_values, reduce2
             ),
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # tile_base
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
                 pl.BlockSpec((ct, LANES), lambda i: (0, 0)),  # resident x
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
@@ -304,7 +325,7 @@ def _sell_spmv_call(
             out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
-        )(tile_base, x_tiles, vals, lidx, rel_tile, slice_of)
+        )(bases, x_tiles, vals, lidx, rel_tile, slice_of)
 
     if prefetch:
         # x stays in HBM; each chunk's (wt, LANES) window is DMA'd by
@@ -314,35 +335,36 @@ def _sell_spmv_call(
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (pl.Element(wt), LANES), lambda i, tb: (tb[i], 0)
+                    (pl.Element(wt), LANES), lambda i, b: (b[0, i], 0)
                 ),
-                pl.BlockSpec((chunk, LANES), lambda i, tb: (i, 0)),
-                pl.BlockSpec((chunk, LANES), lambda i, tb: (i, 0)),
-                pl.BlockSpec((chunk, 1), lambda i, tb: (i, 0)),
-                pl.BlockSpec((1, chunk), lambda i, tb: (i, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+                pl.BlockSpec((chunk, 1), lambda i, b: (i, 0)),
+                pl.BlockSpec((1, chunk), lambda i, b: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((ns, LANES), lambda i, tb: (0, 0)),
+            out_specs=pl.BlockSpec((ns, LANES), lambda i, b: (0, 0)),
         )
         return pl.pallas_call(
-            _make_sell_kernel_prefetch(precision, ns, wt, bf16_values,
+            _make_sell_kernel_prefetch(precision, nsw, wt, bf16_values,
                                        reduce2),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
-        )(tile_base, x_tiles, vals, lidx, rel_tile, slice_of)
+        )(bases, x_tiles, vals, lidx, rel_tile, slice_of)
 
     # Fallback: per-chunk x windows as a handful of overlapping dynamic
     # slices (XLA host of the pallas_call; n_chunks is small and static).
     xw = jnp.stack(
         [
-            jax.lax.dynamic_slice(x_tiles, (tile_base[i], 0), (wt, LANES))
+            jax.lax.dynamic_slice(x_tiles, (bases[0, i], 0), (wt, LANES))
             for i in range(n_chunks)
         ]
     )
     return pl.pallas_call(
-        _make_sell_kernel(precision, ns, wt, bf16_values, reduce2),
+        _make_sell_kernel(precision, nsw, wt, bf16_values, reduce2),
         grid=(n_chunks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
             pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
@@ -352,7 +374,7 @@ def _sell_spmv_call(
         out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
         interpret=interpret,
-    )(xw, vals, lidx, rel_tile, slice_of)
+    )(bases, xw, vals, lidx, rel_tile, slice_of)
 
 
 class SellSpMV:
@@ -418,6 +440,13 @@ class SellSpMV:
             self.rel_tile = jnp.asarray(plan.rel_tile)
             self.slice_of = jnp.asarray(plan.slice_of)
             self.tile_base = jnp.asarray(plan.tile_base)
+            sb, self.nsw = plan.reduce_window()
+            self.bases = jnp.stack(
+                [
+                    jnp.asarray(plan.tile_base, dtype=jnp.int32),
+                    jnp.asarray(sb, dtype=jnp.int32),
+                ]
+            )
         self._triplets = _triplets  # host (r, c, v) for lazy transpose
         self._t_op: "SellSpMV | None" = None
 
@@ -510,10 +539,11 @@ class SellSpMV:
             self.lidx,
             self.rel_tile,
             self.slice_of,
-            self.tile_base,
+            self.bases,
             n_chunks=plan.n_chunks,
             chunk=plan.chunk,
             ns=plan.n_slices,
+            nsw=self.nsw,
             wt=plan.window_tiles,
             interpret=self.interpret,
             precision=self.precision,

@@ -43,7 +43,7 @@ class ShardedSell:
     lidx: jax.Array  # i32 (n, S, 128)
     rel_tile: jax.Array  # i32 (n, S, 1)
     slice_of: jax.Array  # i32 (n, n_chunks, chunk)
-    tile_base: jax.Array  # i32 (n, n_chunks)
+    tile_base: jax.Array  # i32 (n, 2, n_chunks): [tile, slice] bases
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     chunk: int = dataclasses.field(metadata=dict(static=True))
@@ -52,6 +52,9 @@ class ShardedSell:
     n_coltiles: int = dataclasses.field(metadata=dict(static=True))
     window_tiles: int = dataclasses.field(metadata=dict(static=True))
     n_slices_local: int = dataclasses.field(metadata=dict(static=True))
+    slice_window: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def S(self) -> int:
@@ -138,9 +141,24 @@ def shard_sell(
 
     rel = np.stack([_pad_rel(p) for p in plans])
     slc = np.stack([_pad_slice(p) for p in plans])
-    tbase = np.stack(
-        [_pad(p.tile_base.astype(np.int32), (n_chunks,)) for p in plans]
-    )
+    # Common slice window across shards (one compiled kernel): take the
+    # max per-plan window and re-clamp each base so windows stay inside
+    # the common NSl (coverage only grows — see spmv_2d notes).
+    NSW = max(p.reduce_window()[1] for p in plans)
+    NSW = min(NSW, NSl)
+
+    def _bases(p):
+        sb = np.minimum(
+            p.reduce_window()[0].astype(np.int32), max(NSl - NSW, 0)
+        )
+        return np.stack(
+            [
+                _pad(p.tile_base.astype(np.int32), (n_chunks,)),
+                _pad(sb, (n_chunks,)),
+            ]
+        )
+
+    tbase = np.stack([_bases(p) for p in plans])
 
     import os as _os
 
@@ -170,6 +188,7 @@ def shard_sell(
         n_coltiles=CT,
         window_tiles=WT,
         n_slices_local=NSl,
+        slice_window=NSW,
     )
 
 
@@ -223,6 +242,7 @@ def _spmv_sell_sharded(
             n_chunks=n_chunks,
             chunk=sh.chunk,
             ns=sh.NSl,
+            nsw=sh.slice_window if sh.slice_window > 0 else sh.NSl,
             wt=sh.WT,
             interpret=interpret,
             precision=precision,

@@ -118,6 +118,7 @@ def save_plan(dest, plan) -> None:
         "n_coltiles": int(plan.n_coltiles),
         "window_tiles": int(plan.window_tiles),
         "chunk": int(plan.chunk),
+        "slice_window": int(plan.reduce_window()[1]),
     }
     np.savez_compressed(
         dest,
@@ -126,6 +127,7 @@ def save_plan(dest, plan) -> None:
         rel_tile=plan.rel_tile,
         slice_of=plan.slice_of,
         tile_base=plan.tile_base,
+        slice_base=plan.reduce_window()[0],
         __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
     )
 
@@ -150,4 +152,8 @@ def load_plan(source):
             n_coltiles=int(meta["n_coltiles"]),
             window_tiles=int(meta["window_tiles"]),
             chunk=int(meta["chunk"]),
+            # Round-2 checkpoints carry the reduce window; older ones
+            # fall back to the full reduce (slice_base=None).
+            slice_base=z["slice_base"] if "slice_base" in z.files else None,
+            slice_window=int(meta.get("slice_window", 0)),
         )

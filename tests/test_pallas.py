@@ -309,9 +309,10 @@ def test_resident_and_windowed_variants_agree(resident):
     ncols_pad = plan.n_coltiles * 128
     xp = jnp.pad(x, (0, ncols_pad - x.shape[0])).reshape(plan.n_coltiles, 128)
     y = _sell_spmv_call(
-        xp, op.vals, op.lidx, op.rel_tile, op.slice_of, op.tile_base,
+        xp, op.vals, op.lidx, op.rel_tile, op.slice_of, op.bases,
         n_chunks=plan.n_chunks, chunk=plan.chunk, ns=plan.n_slices,
-        wt=plan.window_tiles, interpret=True, resident=resident,
+        nsw=op.nsw, wt=plan.window_tiles, interpret=True,
+        resident=resident,
     )
     y_ref = coo.to_dense() @ np.asarray(x, dtype=np.float64)
     np.testing.assert_allclose(
@@ -481,3 +482,41 @@ def test_prefetch_window_variant_agrees(monkeypatch):
     y_stack = np.asarray(op(x))
     np.testing.assert_allclose(y_prefetch, y_resident, rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(y_stack, y_resident, rtol=1e-6, atol=1e-7)
+
+
+def test_windowed_reduce_engages_on_banded():
+    """On a tall banded matrix the per-chunk slice window NSW is far
+    smaller than NS, and the windowed reduce stays exact."""
+    from smvp_toolkit_tpu.utils.synth import synth_banded
+
+    coo = synth_banded(20_000, nnz_per_row=6, bandwidth=80, seed=3).pad(512)
+    r_, c_, v_ = coo.to_numpy()
+    plan = build_sell_plan(r_, c_, v_, coo.shape, chunk=256)
+    op = SellSpMV(plan)
+    assert plan.n_slices >= 144  # 20k rows -> NS >= 157 slices (padded)
+    sb, nsw = plan.reduce_window()
+    assert nsw < plan.n_slices // 2  # the window genuinely engages
+    assert nsw % 16 == 0 and np.all(sb % 16 == 0)
+    assert np.all(sb >= 0) and np.all(sb + nsw <= plan.n_slices)
+    # Bases must be monotone nondecreasing in natural banded order so a
+    # future flush-behind y scheme stays possible.
+    x = np.random.RandomState(4).randn(coo.shape[1]).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)), dtype=np.float64)
+    r, c, v = coo.to_numpy()
+    y_ref = np.zeros(coo.shape[0])
+    np.add.at(y_ref, r, v.astype(np.float64) * x.astype(np.float64)[c])
+    scale = np.abs(y_ref).max() + 1e-30
+    assert np.abs(y - y_ref).max() / scale < 1e-5
+
+
+def test_windowed_reduce_uniform_matrix_falls_back():
+    """Uniform scatter touches every slice from every chunk: NSW == NS
+    and results stay exact (the window degrades to the full reduce)."""
+    rng = np.random.RandomState(6)
+    r, c, v = random_coo(rng, 2000, 300, 4000)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(2000, 300), pad_to=512)
+    op = SellSpMV.from_coo(coo)
+    x = rng.randn(300).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)), dtype=np.float64)
+    y_ref = coo.to_dense() @ x.astype(np.float64)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
