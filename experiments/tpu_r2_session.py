@@ -90,7 +90,8 @@ def run(name, *, value_dtype=None, precision=None, resident=None,
         )
         scale = np.abs(y_ref).max() + 1e-30
         err = np.abs(y - y_ref).max() / scale
-        tag = f"{name}{label} S={plan.n_sublanes} WT={plan.window_tiles}"
+        tag = (f"{name}{label} S={plan.n_sublanes} WT={plan.window_tiles} "
+           f"NSW={plan.reduce_window()[1]}/{plan.n_slices}")
         print(f"{tag}: err={err:.2e}  (compile+run {time.time()-t0:.0f}s)",
               flush=True)
         if not time_it:
