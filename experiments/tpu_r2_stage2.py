@@ -103,8 +103,10 @@ def fused(fn, x, iterations):
 # ---------------------------------------------------------------------------
 
 
-def _attr_kernel(which, ns, wt, precision):
-    def kern(tb_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref, y_ref):
+def _attr_kernel(which, ns, nsw, wt, precision):
+    """Mirrors the production v6 kernel with one pipeline stage removed."""
+
+    def kern(bases_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref, y_ref):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
@@ -117,7 +119,7 @@ def _attr_kernel(which, ns, wt, precision):
                 val_ref[0:ns, :] + lidx_ref[0:ns, :].astype(jnp.float32)
             )
             return
-        x_win = x_ref[pl.ds(tb_ref[step], wt), :]
+        x_win = x_ref[pl.ds(bases_ref[0, step], wt), :]
         if which == "no-table":
             table = jnp.broadcast_to(x_win[0:1, :], val_ref.shape)
         else:
@@ -137,9 +139,12 @@ def _attr_kernel(which, ns, wt, precision):
         if which == "no-reduce":
             y_ref[:] += prod[0:ns, :]
             return
-        ns_iota = jax.lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
-        seg = (ns_iota == sl_ref[:]).astype(jnp.float32)
-        y_ref[:] += jnp.dot(
+        # v6 windowed reduce (matches the production kernel).
+        sb = bases_ref[1, step]
+        rel_s = sl_ref[:] - sb
+        nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
+        seg = (nsw_iota == rel_s).astype(jnp.float32)
+        y_ref[pl.ds(sb, nsw), :] += jnp.dot(
             seg, prod,
             preferred_element_type=jnp.float32, precision=precision,
         )
@@ -151,6 +156,7 @@ def attr_call(op, which):
     """SpMV-shaped callable running the attribution variant ``which``."""
     plan = op.plan
     ns, wt, chunk = plan.n_slices, plan.window_tiles, plan.chunk
+    nsw = plan.reduce_window()[1]
     assert ns <= chunk, "attribution slices must fit one chunk"
     ct = plan.n_coltiles
 
@@ -160,7 +166,7 @@ def attr_call(op, which):
         if x.shape[0] < npad:
             x = jnp.pad(x, (0, npad - x.shape[0]))
         y = pl.pallas_call(
-            _attr_kernel(which, ns, wt, jax.lax.Precision.HIGHEST),
+            _attr_kernel(which, ns, nsw, wt, jax.lax.Precision.HIGHEST),
             grid=(plan.n_chunks,),
             interpret=jax.devices()[0].platform != "tpu",
             in_specs=[
@@ -173,7 +179,7 @@ def attr_call(op, which):
             ],
             out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
-        )(op.tile_base, x.reshape(ct, LANES), op.vals,
+        )(op.bases, x.reshape(ct, LANES), op.vals,
           op.lidx, op.rel_tile, op.slice_of)
         return y.reshape(-1)[: plan.shape[0]]
 
