@@ -12,9 +12,10 @@ reference it is a no-op because ``ALG_ALL`` shares no bits with the
 per-algorithm masks (SURVEY.md §B1).
 
 New flags (capabilities the reference lacks): ``--kernel`` (xla /
-pallas / native C++), ``--dtype``, ``--expand-symmetry``,
-``--decode-check``, ``--coe-out``, ``--shards``, ``--fused``,
-``--debug``, ``--lut-out``, ``--save-encoded``, ``--profile``,
+pallas / native C++ / df64), ``--dtype``, ``--expand-symmetry``,
+``--decode-check``, ``--coe-out``, ``--shards``, ``--shard-balance``,
+``--fused``, ``--debug``, ``--lut-out``, ``--save-encoded``,
+``--export-aot``, ``--solve``, ``--json-out``, ``--x``, ``--profile``,
 ``--analyze``, ``--no-report``.
 """
 
@@ -251,12 +252,10 @@ def _validate(args) -> Optional[str]:
         if not run_csr:
             return "--solve requires the CSR encoding (-c or -a)"
         method = args.solve.split(":", 1)[0].lower()
-        if method not in (
-            "cg", "pcg", "bicgstab", "gmres", "minres", "chebyshev"
-        ):
+        if method not in SOLVE_METHODS:
             return (
-                "--solve method must be one of cg, pcg, bicgstab, gmres, "
-                f"minres, chebyshev (got {method!r})"
+                f"--solve method must be one of {', '.join(SOLVE_METHODS)} "
+                f"(got {method!r})"
             )
         if ":" in args.solve:
             try:
@@ -519,8 +518,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             f"{100*frac:.1f}% of roofline)",
         )
         if args.json_out:
-            import json
-
             rec = {
                 "alg": alg_name,
                 "file": args.file,
@@ -538,8 +535,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 "eff_gb_s": gbs,
                 "roofline_frac": frac,
             }
-            with open(args.json_out, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            _append_json(args.json_out, rec)
             log("FILE", f"JSON record appended: {args.json_out}")
         if not args.no_report:
             path = write_report(
@@ -591,11 +587,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             save_matrix(f"{args.save_encoded}_csr.npz", csr)
             log("FILE", f"CSR checkpoint: {args.save_encoded}_csr.npz")
         if args.export_aot:
-            from smvp_toolkit_tpu.utils.aot import export_spmv, write_blob
-
-            path = f"{args.export_aot}_csr.jaxexport"
-            write_blob(path, export_spmv(csr))
-            log("FILE", f"CSR AOT program: {path}")
+            _export_aot(args.export_aot, "CSR", csr, log)
         _run(ALG_CSR, csr, csr_fn, spmv_bytes_csr(coo.nnz, coo.shape[0], vbytes))
         if args.solve:
             rc = _run_solve(
@@ -619,11 +611,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             save_matrix(f"{args.save_encoded}_tjds.npz", tj)
             log("FILE", f"TJDS checkpoint: {args.save_encoded}_tjds.npz")
         if args.export_aot:
-            from smvp_toolkit_tpu.utils.aot import export_spmv, write_blob
-
-            path = f"{args.export_aot}_tjds.jaxexport"
-            write_blob(path, export_spmv(tj))
-            log("FILE", f"TJDS AOT program: {path}")
+            _export_aot(args.export_aot, "TJDS", tj, log)
         if args.lut_out:
             from smvp_toolkit_tpu.formats.vivado import write_tjds_lut
 
@@ -676,6 +664,25 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     log("STOP", "smvp-toolkit-tpu run complete.")
     return exit_code
+
+
+SOLVE_METHODS = ("cg", "pcg", "bicgstab", "gmres", "minres", "chebyshev")
+
+
+def _append_json(path, record) -> None:
+    """Append one JSON line to the machine-readable metrics sink."""
+    import json
+
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def _export_aot(prefix, fmt, matrix, log) -> None:
+    from smvp_toolkit_tpu.utils.aot import export_spmv, write_blob
+
+    path = f"{prefix}_{fmt.lower()}.jaxexport"
+    write_blob(path, export_spmv(matrix))
+    log("FILE", f"{fmt} AOT program: {path}")
 
 
 def _run_solve(args, coo, csr, x, device, log, spmv=None):
@@ -769,17 +776,14 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
             + "; try bicgstab or gmres for general matrices",
         )
     if args.json_out:
-        import json
-
-        with open(args.json_out, "a") as f:
-            f.write(json.dumps({
-                "alg": f"SOLVE-{method.upper()}",
-                "file": args.file,
-                "iterations": iters,
-                "wall_ms": ms,
-                "relative_residual": relres,
-                "device": f"{device.device_kind} ({device.platform})",
-            }) + "\n")
+        _append_json(args.json_out, {
+            "alg": f"SOLVE-{method.upper()}",
+            "file": args.file,
+            "iterations": iters,
+            "wall_ms": ms,
+            "relative_residual": relres,
+            "device": f"{device.device_kind} ({device.platform})",
+        })
     if not args.no_report:
         from smvp_toolkit_tpu.bench.harness import TimingStats
         from smvp_toolkit_tpu.bench.report import write_report

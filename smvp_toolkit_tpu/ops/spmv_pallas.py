@@ -439,7 +439,8 @@ class SellSpMV:
             self.lidx = jnp.asarray(plan.lane_idx, dtype=lidx_dtype)
             self.rel_tile = jnp.asarray(plan.rel_tile)
             self.slice_of = jnp.asarray(plan.slice_of)
-            self.tile_base = jnp.asarray(plan.tile_base)
+            # bases[0] = per-chunk x tile-window starts, bases[1] =
+            # per-chunk y slice-window starts (v6 reduce).
             sb, self.nsw = plan.reduce_window()
             self.bases = jnp.stack(
                 [
