@@ -123,3 +123,34 @@ def test_compiled_spmm_xla_memplus(tpu_device):
     np.add.at(Y_ref, r, v[:, None].astype(np.float64) * X[c].astype(np.float64))
     scale = np.abs(Y_ref).max() + 1e-30
     assert np.abs(Y - Y_ref).max() / scale < 1e-5
+
+
+def test_compiled_prefetch_windows_memplus(tpu_device, monkeypatch):
+    """Scalar-prefetch x windows (the >VMEM-x path) compile and match."""
+    import smvp_toolkit_tpu.ops.spmv_pallas as spp
+
+    coo, trip, op = _op("memplus")
+    x = np.random.default_rng(6).standard_normal(coo.shape[1]).astype(
+        np.float32
+    )
+    monkeypatch.setattr(spp, "_RESIDENT_X_LIMIT", -1)
+    _check(coo, trip, op, x)
+
+
+def test_compiled_windowed_reduce_banded(tpu_device):
+    """v6 slice-windowed reduce (NSW < NS) compiles and stays exact."""
+    from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV
+    from smvp_toolkit_tpu.utils.synth import synth_banded
+
+    coo = synth_banded(100_000, nnz_per_row=8, bandwidth=128,
+                       seed=9).pad(512)
+    r, c, v = coo.to_numpy()
+    plan = build_sell_plan(r, c, v, coo.shape)
+    sb, nsw = plan.reduce_window()
+    assert nsw < plan.n_slices  # window engaged
+    op = SellSpMV(plan, interpret=False)
+    x = np.random.default_rng(10).standard_normal(coo.shape[1]).astype(
+        np.float32
+    )
+    _check(coo, (r, c, v), op, x)
