@@ -195,8 +195,11 @@ class COOMatrix:
         import torch
 
         r, c, v = self._export_triplets()
+        # Explicit invariant checks: export is not a hot path, and the
+        # opt-in silences torch's implicit-disable warning.
         return torch.sparse_coo_tensor(
-            np.stack([r, c]).astype(np.int64), v, size=self.shape
+            np.stack([r, c]).astype(np.int64), v, size=self.shape,
+            check_invariants=True,
         ).coalesce()
 
     # ------------------------------------------------------------------
