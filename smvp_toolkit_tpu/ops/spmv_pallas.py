@@ -102,7 +102,20 @@ def _seg_reduce(prod, sl_ref, sb, nsw, precision, reduce2):
     )
 
 
-def _make_sell_kernel(precision, nsw, wt, bf16_values, reduce2=False):
+def _reduce_store(y_ref, prod, sl_ref, sb, ns, nsw, precision, reduce2):
+    """Windowed reduce + dynamic store; static full-block store when
+    the window covers all slices (NSW == NS) — that path is bit-for-bit
+    the pre-v6 kernel and doubles as the Mosaic escape hatch
+    (SMVP_SELL_NOWINDOW=1 forces it)."""
+    if nsw >= ns:
+        y_ref[:] += _seg_reduce(prod, sl_ref, 0, ns, precision, reduce2)
+    else:
+        y_ref[pl.ds(sb, nsw), :] += _seg_reduce(
+            prod, sl_ref, sb, nsw, precision, reduce2
+        )
+
+
+def _make_sell_kernel(precision, ns, nsw, wt, bf16_values, reduce2=False):
     def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
                      y_ref):
         step = pl.program_id(0)
@@ -135,15 +148,13 @@ def _make_sell_kernel(precision, nsw, wt, bf16_values, reduce2=False):
         # bf16 is a storage format here.
         prod = val_ref[:].astype(jnp.float32) * g
         # 4. Windowed row reduce, accumulated at the chunk's y offset.
-        sb = bases_ref[1, step]
-        y_ref[pl.ds(sb, nsw), :] += _seg_reduce(
-            prod, sl_ref, sb, nsw, precision, reduce2
-        )
+        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
+                      precision, reduce2)
 
     return _sell_kernel
 
 
-def _make_sell_kernel_resident(precision, nsw, wt, bf16_values,
+def _make_sell_kernel_resident(precision, ns, nsw, wt, bf16_values,
                                reduce2=False):
     """Kernel variant with the full x tile array resident in VMEM.
 
@@ -169,15 +180,14 @@ def _make_sell_kernel_resident(precision, nsw, wt, bf16_values,
             table, lidx_ref[:].astype(jnp.int32), axis=1
         )
         prod = val_ref[:].astype(jnp.float32) * g
-        sb = bases_ref[1, step]
-        y_ref[pl.ds(sb, nsw), :] += _seg_reduce(
-            prod, sl_ref, sb, nsw, precision, reduce2
-        )
+        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
+                      precision, reduce2)
 
     return _sell_kernel
 
 
-def _make_sell_kernel_prefetch(precision, nsw, wt, bf16_values, reduce2):
+def _make_sell_kernel_prefetch(precision, ns, nsw, wt, bf16_values,
+                               reduce2):
     """Kernel variant fed per-chunk x windows by scalar-prefetch DMA.
 
     ``tile_base`` rides as a scalar-prefetch argument so the x-window
@@ -204,10 +214,8 @@ def _make_sell_kernel_prefetch(precision, nsw, wt, bf16_values, reduce2):
             table, lidx_ref[:].astype(jnp.int32), axis=1
         )
         prod = val_ref[:].astype(jnp.float32) * g
-        sb = bases_ref[1, step]
-        y_ref[pl.ds(sb, nsw), :] += _seg_reduce(
-            prod, sl_ref, sb, nsw, precision, reduce2
-        )
+        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
+                      precision, reduce2)
 
     return _sell_kernel
 
@@ -311,7 +319,7 @@ def _sell_spmv_call(
         ct = x_tiles.shape[0]
         return pl.pallas_call(
             _make_sell_kernel_resident(
-                precision, nsw, wt, bf16_values, reduce2
+                precision, ns, nsw, wt, bf16_values, reduce2
             ),
             grid=(n_chunks,),
             in_specs=[
@@ -345,8 +353,8 @@ def _sell_spmv_call(
             out_specs=pl.BlockSpec((ns, LANES), lambda i, b: (0, 0)),
         )
         return pl.pallas_call(
-            _make_sell_kernel_prefetch(precision, nsw, wt, bf16_values,
-                                       reduce2),
+            _make_sell_kernel_prefetch(precision, ns, nsw, wt,
+                                       bf16_values, reduce2),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
@@ -361,7 +369,7 @@ def _sell_spmv_call(
         ]
     )
     return pl.pallas_call(
-        _make_sell_kernel(precision, nsw, wt, bf16_values, reduce2),
+        _make_sell_kernel(precision, ns, nsw, wt, bf16_values, reduce2),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
@@ -528,6 +536,13 @@ class SellSpMV:
         # lossless in bf16 value mode, ~1e-5 relative for f32 values.
         # Read here (outside jit) so toggling retraces.
         reduce2 = os.environ.get("SMVP_SELL_REDUCE2") == "1"
+        # Escape hatch: SMVP_SELL_NOWINDOW=1 forces the static
+        # full-block reduce store (the pre-v6 kernel path).
+        nsw = (
+            plan.n_slices
+            if os.environ.get("SMVP_SELL_NOWINDOW") == "1"
+            else self.nsw
+        )
         # Non-resident x: scalar-prefetch windows by default (x crosses
         # HBM ~once), host-side window stack as the escape hatch.
         prefetch = (
@@ -544,7 +559,7 @@ class SellSpMV:
             n_chunks=plan.n_chunks,
             chunk=plan.chunk,
             ns=plan.n_slices,
-            nsw=self.nsw,
+            nsw=nsw,
             wt=plan.window_tiles,
             interpret=self.interpret,
             precision=self.precision,

@@ -204,13 +204,18 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
     reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
     prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
-    return _spmv_sell_sharded(sh, x, mesh, compat, reduce2, prefetch)
+    nowindow = _os.environ.get("SMVP_SELL_NOWINDOW") == "1"
+    return _spmv_sell_sharded(sh, x, mesh, compat, reduce2, prefetch,
+                              nowindow)
 
 
-@partial(jax.jit, static_argnames=("mesh", "compat", "reduce2", "prefetch"))
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "compat", "reduce2", "prefetch", "nowindow"),
+)
 def _spmv_sell_sharded(
     sh: ShardedSell, x: jax.Array, mesh: Mesh, compat: bool,
-    reduce2: bool = False, prefetch: bool = True,
+    reduce2: bool = False, prefetch: bool = True, nowindow: bool = False,
 ) -> jax.Array:
     ncols_pad = sh.CT * LANES
     x = x.astype(sh.vals.dtype)  # bf16 value mode streams x in bf16 too
@@ -242,7 +247,11 @@ def _spmv_sell_sharded(
             n_chunks=n_chunks,
             chunk=sh.chunk,
             ns=sh.NSl,
-            nsw=sh.slice_window if sh.slice_window > 0 else sh.NSl,
+            nsw=(
+                sh.NSl
+                if sh.slice_window <= 0 or nowindow
+                else sh.slice_window
+            ),
             wt=sh.WT,
             interpret=interpret,
             precision=precision,

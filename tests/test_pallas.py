@@ -520,3 +520,21 @@ def test_windowed_reduce_uniform_matrix_falls_back():
     y = np.asarray(op(jnp.asarray(x)), dtype=np.float64)
     y_ref = coo.to_dense() @ x.astype(np.float64)
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_nowindow_escape_hatch_identical(monkeypatch):
+    """SMVP_SELL_NOWINDOW=1 (static full-block reduce, the pre-v6 path)
+    must compute identical y to the windowed default."""
+    from smvp_toolkit_tpu.utils.synth import synth_banded
+
+    coo = synth_banded(20_000, nnz_per_row=6, bandwidth=60, seed=8).pad(512)
+    r_, c_, v_ = coo.to_numpy()
+    op = SellSpMV(build_sell_plan(r_, c_, v_, coo.shape, chunk=256))
+    assert op.nsw < op.plan.n_slices  # window engaged by default
+    x = jnp.asarray(
+        np.random.RandomState(9).randn(coo.shape[1]).astype(np.float32)
+    )
+    y_windowed = np.asarray(op(x))
+    monkeypatch.setenv("SMVP_SELL_NOWINDOW", "1")
+    y_full = np.asarray(op(x))
+    np.testing.assert_allclose(y_full, y_windowed, rtol=1e-6, atol=1e-7)
