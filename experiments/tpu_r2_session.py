@@ -150,11 +150,21 @@ def main():
             print(f"{name} {kw.get('label','')} FAILED: {str(e)[:300]}",
                   flush=True)
             if i == 0 and os.environ.get("SMVP_SELL_COMPAT") != "1":
-                # Canary rejected by Mosaic: fall back to the dense
-                # one-hot compatibility kernel (round-1-proven config)
-                # for the rest of the session and retry the canary.
-                print("canary failed — switching to SMVP_SELL_COMPAT=1",
+                # Canary rejected by Mosaic: walk the fallback ladder —
+                # first disable the v6 dynamic-offset y store
+                # (SMVP_SELL_NOWINDOW), then the dense one-hot compat
+                # kernel (round-1-proven config) — and retry.
+                print("canary failed — trying SMVP_SELL_NOWINDOW=1",
                       flush=True)
+                os.environ["SMVP_SELL_NOWINDOW"] = "1"
+                try:
+                    run(name, **kw)
+                    continue  # nowindow works; keep it for the session
+                except Exception as e2:
+                    print(f"nowindow canary failed: {str(e2)[:300]}",
+                          flush=True)
+                print("switching to SMVP_SELL_COMPAT=1", flush=True)
+                os.environ.pop("SMVP_SELL_NOWINDOW", None)
                 os.environ["SMVP_SELL_COMPAT"] = "1"
                 try:
                     run(name, **kw)
