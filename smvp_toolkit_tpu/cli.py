@@ -590,10 +590,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             _export_aot(args.export_aot, "CSR", csr, log)
         _run(ALG_CSR, csr, csr_fn, spmv_bytes_csr(coo.nnz, coo.shape[0], vbytes))
         if args.solve:
-            rc = _run_solve(
-                args, coo, csr, x, device, log,
-                spmv=csr_fn if kernel_kind in ("xla", "pallas") else None,
-            )
+            if kernel_kind == "pallas":
+                # The solvers jit over the matrix argument, but the
+                # Pallas path plans host-side from concrete arrays —
+                # calling spmv_csr_pallas on a traced matrix raises
+                # TracerArrayConversionError. Build the SELL operator
+                # eagerly and close over it instead.
+                from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+                op = sell_op_csr(csr)
+                solve_spmv = lambda _m, xx: op(xx)  # noqa: E731
+            elif kernel_kind == "xla":
+                solve_spmv = csr_fn
+            else:
+                solve_spmv = None  # native/df64: default XLA kernel
+            rc = _run_solve(args, coo, csr, x, device, log, spmv=solve_spmv)
             if rc:
                 return rc
 

@@ -32,7 +32,14 @@ __all__ = ["gcn_norm", "gcn_layer", "gcn_forward", "gcn_train_step", "gcn_init"]
 
 
 def gcn_norm(coo: COOMatrix, *, add_self_loops: bool = True) -> CSRMatrix:
-    """Symmetrically-normalized adjacency D^-1/2 (A + I) D^-1/2 as CSR."""
+    """Symmetrically-normalized adjacency D^-1/2 (A + I) D^-1/2 as CSR.
+
+    Edge weights are rectified (``abs``) before normalization: the
+    degrees under the square root must be non-negative, and the GCN
+    convention (Kipf & Welling) assumes non-negative adjacency. A
+    signed graph therefore loses its signs here — normalize it yourself
+    if the signs are semantic.
+    """
     if coo.shape[0] != coo.shape[1]:
         raise ValueError("gcn_norm needs a square adjacency")
     n = coo.shape[0]

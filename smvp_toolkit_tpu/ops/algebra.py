@@ -87,6 +87,17 @@ def scale(coo: COOMatrix, alpha) -> COOMatrix:
     return dataclasses.replace(coo, vals=coo.vals * alpha)
 
 
+def _as_general(m: COOMatrix) -> COOMatrix:
+    """Full (mirrored) storage of a one-triangle operand, typed general."""
+    if m.typecode.is_general:
+        return m
+    r, c, v = m._export_triplets()
+    return COOMatrix.from_numpy(
+        r, c, v, shape=m.shape, dtype=m.vals.dtype,
+        pad_to=max(128, m.rows.shape[0]),
+    )
+
+
 def add(a: COOMatrix, b: COOMatrix, beta=1.0) -> COOMatrix:
     """A + beta·B as a concatenated COO (duplicates kept, summed on use).
 
@@ -95,9 +106,23 @@ def add(a: COOMatrix, b: COOMatrix, beta=1.0) -> COOMatrix:
     re-encode downstream as usual; duplicate (row, col) entries are
     legal COO and every consumer (encoders, SpMV, ``to_dense``) sums
     them.
+
+    Symmetry conventions must agree before raw triplets can be mixed: a
+    one-triangle operand added to a general one would either never get
+    its mirrored triangle expanded or get mirrored entries it doesn't
+    own. Mismatched (or hermitian-with-complex-``beta``) operands are
+    expanded to full general storage first; operands sharing a symmetry
+    keep one-triangle storage (the sum of two stored-lower triangles is
+    the stored-lower triangle of the sum).
     """
     if a.shape != b.shape:
         raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    sym_a, sym_b = a.typecode.symmetry, b.typecode.symmetry
+    hermitian_break = sym_a == "hermitian" and jnp.iscomplexobj(
+        jnp.asarray(beta)
+    )
+    if sym_a != sym_b or hermitian_break:
+        a, b = _as_general(a), _as_general(b)
     # Strip padding first — a's padding entries must not sit between the
     # real entries of a and b (to_numpy slices the first nnz entries).
     return dataclasses.replace(

@@ -150,7 +150,7 @@ class SellPlan:
 
     def traffic_bytes(
         self, value_bytes: int = 4, lidx_bytes: Optional[int] = None,
-        x_bytes: int = 4,
+        x_bytes: int = 4, x_resident: Optional[bool] = None,
     ) -> int:
         """HBM bytes one kernel launch actually moves (honest roofline).
 
@@ -158,10 +158,17 @@ class SellPlan:
         (S x 128) regardless of occupancy, which is why ``slots()/nnz``
         (the padding factor) divides the achievable nnz/s. Per launch:
         vals + lane_idx planes, the per-sublane/per-chunk one-hot
-        generators, x once (resident mode), y once. ``lidx_bytes``
-        defaults to the width the operator would actually pick for this
-        plan (int8 only when the chunk is 32-tile-aligned —
-        spmv_pallas.SellSpMV).
+        generators, x (see below), y once. ``lidx_bytes`` defaults to
+        the width the operator would actually pick for this plan (int8
+        only when the chunk is 32-tile-aligned — spmv_pallas.SellSpMV).
+
+        x traffic depends on the mode the operator would run in:
+        resident (x fits the VMEM budget) reads each column tile once;
+        the scalar-prefetch path DMAs a ``window_tiles``-tile window per
+        chunk, which is typically *more* than one full pass. When
+        ``x_resident`` is None it is derived from the operator's VMEM
+        limit so ``--analyze`` and the autotune cost model charge the
+        path that will actually run.
         """
         if lidx_bytes is None:
             lidx_bytes = (
@@ -170,13 +177,24 @@ class SellPlan:
                 and os.environ.get("SMVP_SELL_LIDX32") != "1"
                 else 4
             )
+        if x_resident is None:
+            from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
+
+            x_resident = (
+                self.n_coltiles * LANES * x_bytes <= _RESIDENT_X_LIMIT
+            )
+        x_traffic = (
+            self.n_coltiles * LANES * x_bytes       # resident: x once
+            if x_resident
+            else self.n_chunks * self.window_tiles * LANES * x_bytes
+        )
         s = self.n_sublanes
         return int(
             s * LANES * (value_bytes + lidx_bytes)  # packed planes
             + s * 4                                 # rel_tile (i32)
             + s * 4                                 # slice_of (i32)
             + self.n_chunks * 4                     # tile_base
-            + self.n_coltiles * LANES * x_bytes     # resident x, once
+            + x_traffic
             + self.n_slices * LANES * 4             # y
         )
 

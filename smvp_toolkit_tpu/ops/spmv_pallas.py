@@ -651,6 +651,17 @@ def spmv_csr_pallas(csr: CSRMatrix, x: jax.Array) -> jax.Array:
     return _cached_op(csr, _triplets_from_csr_host)(x)
 
 
+def sell_op_csr(csr: CSRMatrix) -> SellSpMV:
+    """The cached SELL operator for a *concrete* CSR matrix.
+
+    Planning happens host-side from concrete arrays, so callers that
+    will trace over the matrix (solvers, jitted training steps) must
+    build the operator eagerly with this and close over it — passing
+    ``spmv_csr_pallas`` into a jit boundary raises on the traced matrix.
+    """
+    return _cached_op(csr, _triplets_from_csr_host)
+
+
 def spmv_tjds_pallas(tjds: TJDSMatrix, x: jax.Array) -> jax.Array:
     """y = A·x from TJDS via the Pallas SELL-T1 kernel (plan cached)."""
     return _cached_op(tjds, _triplets_from_tjds_host)(x)

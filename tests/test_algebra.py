@@ -90,6 +90,48 @@ def test_add_shape_mismatch():
         add(_coo(), _coo(m=5, n=5, nnz=10))
 
 
+def _sym_coo():
+    """4x4 symmetric matrix stored lower-triangle-only."""
+    from smvp_toolkit_tpu.io.mtx import MMTypeCode
+
+    r = np.array([0, 2, 3, 3], np.int32)
+    c = np.array([0, 1, 2, 3], np.int32)
+    v = np.array([2.0, -1.5, 4.0, 1.0])
+    return COOMatrix.from_numpy(
+        r, c, v, shape=(4, 4), typecode=MMTypeCode(symmetry="symmetric"),
+    )
+
+
+def test_add_mixed_symmetry_expands():
+    """general + symmetric (either order) mirrors the stored triangle.
+
+    Regression: raw-triplet concatenation kept operand a's typecode, so
+    general+symmetric never expanded b's mirror and symmetric+general
+    effectively added B+Bᵀ.
+    """
+    sym = _sym_coo()
+    gen = _coo(m=4, n=4, nnz=6, seed=7)
+    sym_full = sym.to_scipy().toarray()  # to_scipy expands the mirror
+    want = gen.to_dense() + 2.0 * sym_full
+    got = add(gen, sym, beta=2.0)
+    assert got.typecode.is_general
+    np.testing.assert_allclose(got.to_dense(), want, rtol=1e-5, atol=1e-6)
+    want2 = sym_full + 2.0 * gen.to_dense()
+    got2 = add(sym, gen, beta=2.0)
+    assert got2.typecode.is_general
+    np.testing.assert_allclose(got2.to_dense(), want2, rtol=1e-5, atol=1e-6)
+
+
+def test_add_same_symmetry_keeps_triangle_storage():
+    """symmetric + symmetric stays one-triangle (still a valid operator)."""
+    a, b = _sym_coo(), _sym_coo()
+    got = add(a, b, beta=0.5)
+    assert got.typecode.symmetry == "symmetric"
+    np.testing.assert_allclose(
+        got.to_dense(), 1.5 * a.to_dense(), rtol=1e-6, atol=1e-7,
+    )
+
+
 def test_diagonal_feeds_pcg():
     """End-to-end: diagonal() output drives the Jacobi preconditioner."""
     from smvp_toolkit_tpu.formats.csr import csr_encode

@@ -344,6 +344,30 @@ def test_solve_mode_runs(method, tmp_path):
     assert len(reports) == 1
 
 
+def test_solve_pallas_kernel(tmp_path):
+    """--solve with --kernel pallas builds the SELL operator eagerly.
+
+    Regression: the Pallas spmv plans host-side from concrete arrays;
+    passing it straight into the jitted solvers traced the matrix and
+    raised TracerArrayConversionError — exactly the path --kernel auto
+    takes on TPU.
+    """
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    out = tmp_path / "m.jsonl"
+    rc = cli_main(
+        ["-c", "-n", "1", "--no-report", "--kernel", "pallas",
+         "--solve", "cg:8", "--json-out", str(out),
+         os.path.join(SAMPLE_DIR, "pdp08-pg4.mtx")]
+    )
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    solve = [r for r in recs if r["alg"].startswith("SOLVE-")]
+    assert len(solve) == 1 and np.isfinite(solve[0]["relative_residual"])
+
+
 def test_solve_validation():
     from smvp_toolkit_tpu.cli import main as cli_main
 
