@@ -7,6 +7,16 @@ Baseline: the reference C toolkit's memplus CSR run — 325 Mnnz/s
 (BASELINE.md: 0.387638 ms avg over 1000 iterations on a ca. 2021 CPU).
 
 Run on whatever device JAX exposes (TPU under axon; CPU fallback works).
+
+TPU compile budget (each remote compile costs ~90-120 s through the
+tunnel): the TPU child performs exactly ONE mandatory XLA compile — the
+fused timing loop. Matrix I/O, SELL planning, and plan upload are
+host-side (``sell_op_coo``), x is uploaded with ``device_put`` (a
+transfer, not a program), and correctness is gated on the timing loop's
+own accumulator (``iterations·y``) against a numpy oracle, so no
+separate validation program is ever compiled. A fallback rung
+(NOWINDOW → compat) costs one more compile only if the previous rung
+fails validation.
 """
 
 from __future__ import annotations
@@ -14,49 +24,117 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 BASELINE_NNZ_PER_S = 325e6  # memplus CSR, reference hardware (BASELINE.md)
 MATRIX = "/root/reference/sample-data/memplus.mtx"
+TPU_LOCK = "/tmp/smvp_tpu.lock"  # held (with a PID inside) by any long TPU job
 
 # The TPU here is reached through a network tunnel whose compile service
 # can wedge (observed: compiler crash leaves the endpoint accepting TCP
 # but never answering, with the hang inside a GIL-holding C call — so an
 # in-process SIGALRM cannot fire). A hung benchmark is worse than a CPU
 # number, so the watchdog runs OUT of process: this script supervises a
-# child copy of itself and reruns it on the CPU backend if the TPU run
-# makes no progress in time.
-WATCHDOG_SECS = int(os.environ.get("SMVP_BENCH_WATCHDOG", "480"))
+# child copy of itself. The child emits "HB <stage>" heartbeats on
+# stderr before each potentially-slow step; the supervisor kills the
+# child only when it has been SILENT for SMVP_BENCH_STALL seconds
+# (default 420 — a legitimate remote compile is 90-120 s of silence,
+# a wedged tunnel is silent forever) or when the hard cap expires.
+STALL_SECS = int(os.environ.get("SMVP_BENCH_STALL", "420"))
+HARD_CAP_SECS = int(os.environ.get("SMVP_BENCH_HARD_CAP", "2400"))
+
+
+def _hb(stage: str) -> None:
+    """Child-side heartbeat: one stderr line the supervisor watches for."""
+    sys.stderr.write(f"HB {time.strftime('%H:%M:%S')} {stage}\n")
+    sys.stderr.flush()
+
+
+def _lock_holder_alive() -> bool:
+    """True if TPU_LOCK names a live PID (another TPU job owns the tunnel)."""
+    try:
+        with open(TPU_LOCK) as f:
+            pid = int(f.read().strip() or "0")
+        if pid <= 0:
+            return False
+        os.kill(pid, 0)
+        return True
+    except (FileNotFoundError, ValueError, ProcessLookupError,
+            PermissionError):
+        return False
 
 
 def _supervise() -> int:
+    import signal
     import subprocess
+    import threading
 
-    def _run(extra_env, timeout):
+    # Only one process may own the TPU tunnel. If a measurement session
+    # (the watcher's) holds the lock, wait for it — its compiles are
+    # warming the very cache this run will hit.
+    waited = 0
+    while _lock_holder_alive() and waited < 1800:
+        if waited == 0:
+            sys.stderr.write(
+                "bench.py: TPU tunnel busy (another session holds "
+                f"{TPU_LOCK}); waiting up to 30 min\n"
+            )
+        time.sleep(15)
+        waited += 15
+
+    def _run_watched(extra_env):
+        """Run a child; kill it on heartbeat stall or hard cap."""
         env = dict(os.environ)
         env.update(extra_env)
         env["SMVP_BENCH_CHILD"] = "1"
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                timeout=timeout,
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL,
-                text=True,
-                start_new_session=True,  # isolate so we can kill the tree
-            )
-            return proc.returncode, proc.stdout
-        except subprocess.TimeoutExpired:
-            return None, ""
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            start_new_session=True,  # isolate so we can kill the tree
+        )
+        last_progress = [time.monotonic()]
+        stderr_tail = []
 
-    rc_out = _run({}, WATCHDOG_SECS if WATCHDOG_SECS > 0 else None)
-    if rc_out[0] == 0 and rc_out[1].strip():
-        sys.stdout.write(rc_out[1])
+        def _drain():
+            for line in proc.stderr:
+                last_progress[0] = time.monotonic()
+                stderr_tail.append(line)
+                del stderr_tail[:-40]
+
+        t = threading.Thread(target=_drain, daemon=True)
+        t.start()
+        t0 = time.monotonic()
+        timed_out = False
+        while proc.poll() is None:
+            now = time.monotonic()
+            if now - last_progress[0] > STALL_SECS or now - t0 > HARD_CAP_SECS:
+                timed_out = True
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                break
+            time.sleep(2)
+        out = proc.stdout.read() if not timed_out else ""
+        proc.wait()
+        t.join(timeout=5)
+        return (None if timed_out else proc.returncode, out,
+                "".join(stderr_tail))
+
+    rc, out, err = _run_watched({})
+    if rc == 0 and out.strip():
+        sys.stdout.write(out)
         return 0
+    reason = "made no progress (heartbeat stall)" if rc is None else (
+        f"exited rc={rc}")
     sys.stderr.write(
-        f"bench.py: TPU run failed or made no progress in {WATCHDOG_SECS}s; "
-        "falling back to CPU backend\n"
+        f"bench.py: TPU run {reason}; falling back to CPU backend\n"
     )
+    if err:
+        sys.stderr.write("bench.py: child stderr tail:\n" + err)
     cpu_env = {
         "JAX_PLATFORMS": "cpu",
         "PYTHONPATH": os.pathsep.join(
@@ -65,105 +143,15 @@ def _supervise() -> int:
             if p and os.path.normpath(p) != "/root/.axon_site"
         ),
     }
-    rc, out = _run(cpu_env, None)
+    rc, out, err = _run_watched(cpu_env)
     sys.stdout.write(out)
+    if rc != 0:
+        sys.stderr.write("bench.py: CPU child failed:\n" + err)
     return rc if rc is not None else 1
 
 
-def main() -> int:
-    if os.environ.get("SMVP_BENCH_CHILD") != "1":
-        return _supervise()
-
-    # Persistent compilation cache: remote compiles cost ~2 min each in
-    # this environment; cache survivors make reruns near-instant.
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from smvp_toolkit_tpu.bench import (
-        bench_spmv_fused,
-        spmv_bytes_csr,
-        hbm_bandwidth_gbs,
-    )
-    from smvp_toolkit_tpu.formats.csr import csr_encode
-    from smvp_toolkit_tpu.io.mtx import read_mtx
-    from smvp_toolkit_tpu.ops import spmv_csr
-
-    device = jax.devices()[0]
-
-    coo = read_mtx(MATRIX).pad(512)
-    csr = csr_encode(coo)
-    x = jnp.ones((coo.shape[1],), dtype=jnp.float32)
-
-    r, c, v = coo.to_numpy()
-    y_ref = np.zeros(coo.shape[0])
-    np.add.at(y_ref, r, v.astype(np.float64))
-    ref_scale = np.abs(y_ref).max() + 1e-30
-
-    spmv_fn = spmv_csr
-    kernel = "xla"
-    if device.platform != "cpu":
-        from smvp_toolkit_tpu.ops import spmv_pallas
-
-        y_x = np.asarray(spmv_csr(csr, x))
-        for mode, env in (("pallas", None), ("pallas-compat", "1")):
-            try:
-                if env is not None:
-                    os.environ["SMVP_SELL_COMPAT"] = env
-                # Validate before trusting.
-                y_p = np.asarray(spmv_pallas.spmv_csr_pallas(csr, x))
-                if np.allclose(y_p, y_x, rtol=1e-3, atol=1e-4):
-                    spmv_fn = spmv_pallas.spmv_csr_pallas
-                    kernel = mode
-                    break
-            except Exception:
-                continue
-            finally:
-                if env is not None and kernel != mode:
-                    os.environ.pop("SMVP_SELL_COMPAT", None)
-
-    # Correctness gate before publishing a number.
-    y = np.asarray(spmv_fn(csr, x)).astype(np.float64)
-    err = np.abs(y - y_ref).max() / ref_scale
-    assert err < 1e-3, f"CSR SpMV wrong (rel err {err})"
-
-    # Device-loop timing: N sequential SpMVs inside one program, the
-    # honest analog of the reference's timed loop (main-cli.c:402-420)
-    # without paying a host->device dispatch per iteration.
-    stats = bench_spmv_fused(spmv_fn, csr, x, iterations=200, repeats=5)
-
-    if device.platform == "cpu":
-        # No TPU attached: also try the native C++ CPU backend
-        # (single-threaded, like the reference) and report the faster.
-        try:
-            import time as _t
-
-            from smvp_toolkit_tpu.bench.harness import TimingStats
-            from smvp_toolkit_tpu.ops.spmv_native import NativeCsrSpMV
-
-            xn = np.asarray(x)
-            for threads in (1, os.cpu_count() or 1):
-                op = NativeCsrSpMV(csr, threads=threads)
-                y_n = op(xn).astype(np.float64)
-                n_err = np.abs(y_n - y_ref).max() / ref_scale
-                if n_err >= 1e-3:
-                    continue
-                op(xn, iterations=20)  # warm
-                samples = []
-                for _ in range(5):
-                    t0 = _t.perf_counter_ns()
-                    op(xn, iterations=200)
-                    samples.append((_t.perf_counter_ns() - t0) / 1e6 / 200)
-                n_stats = TimingStats(
-                    times_ms=np.repeat(np.asarray(samples), 40)[:200],
-                    iterations=200,
-                )
-                if n_stats.avg_ms < stats.avg_ms:
-                    stats = n_stats
-                    kernel = f"cpu-native-{op.threads}thread"
-        except Exception:
-            pass
+def _emit(kernel, device, stats, coo, fallback):
+    from smvp_toolkit_tpu.bench import hbm_bandwidth_gbs, spmv_bytes_csr
 
     nnzs = stats.nnz_per_s(coo.nnz)
     gbs = stats.gb_per_s(spmv_bytes_csr(coo.nnz, coo.shape[0]))
@@ -172,10 +160,8 @@ def main() -> int:
     # chip's HBM. A CPU fallback run must not print a near-1.0 fraction
     # against a nominal DRAM constant — report against the TPU target and
     # tag the record as a fallback.
-    fallback = device.platform == "cpu"
     roof_gbs = 819.0 if fallback else hbm_bandwidth_gbs(device)
     roof_dev = "v5e-target" if fallback else device.device_kind
-
     print(
         json.dumps(
             {
@@ -192,7 +178,138 @@ def main() -> int:
             }
         )
     )
+
+
+def _main_tpu(coo, y_ref, ref_scale) -> int:
+    """Minimal-compile TPU path: ONE fused-loop compile per ladder rung,
+    validation riding the loop's own accumulator."""
+    import jax
+    import numpy as np
+
+    from smvp_toolkit_tpu.bench import bench_spmv_fused
+    from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_coo
+
+    device = jax.devices()[0]
+    _hb(f"device acquired: {device.device_kind}")
+
+    # device_put is a transfer, not a compiled program — unlike jnp.ones.
+    x = jax.device_put(np.ones((coo.shape[1],), dtype=np.float32))
+
+    iterations, repeats = 200, 5
+    # Ladder: default SELL kernel → static full-reduce (NOWINDOW) →
+    # compat one-hot. Each rung is exactly one remote compile.
+    ladder = (("pallas", {}),
+              ("pallas-nowindow", {"SMVP_SELL_NOWINDOW": "1"}),
+              ("pallas-compat", {"SMVP_SELL_COMPAT": "1"}))
+    for mode, env in ladder:
+        os.environ.update(env)
+        try:
+            _hb(f"planning SELL ({mode}, host-side)")
+            op = sell_op_coo(coo)
+            _hb(f"compiling+running fused loop ({mode}) — expect "
+                "~2 min of silence on a cold cache")
+            stats, acc = bench_spmv_fused(
+                lambda m, xx: op(xx), coo, x,
+                iterations=iterations, repeats=repeats, return_final=True,
+            )
+            _hb("fused loop done; validating accumulator")
+            y = np.asarray(acc).astype(np.float64) / iterations
+            err = np.abs(y - y_ref).max() / ref_scale
+            if err < 1e-3:
+                _emit(mode, device, stats, coo, fallback=False)
+                return 0
+            _hb(f"{mode} FAILED validation (rel err {err:.3g}); "
+                "next ladder rung")
+        except Exception as e:  # noqa: BLE001 — try the next rung
+            _hb(f"{mode} raised {type(e).__name__}: {e}; next ladder rung")
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+    sys.stderr.write("bench.py: every TPU ladder rung failed\n")
+    return 1
+
+
+def _main_cpu(coo, y_ref, ref_scale) -> int:
+    """CPU path: XLA kernel vs native C++ backend, report the faster."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smvp_toolkit_tpu.bench import bench_spmv_fused
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.ops import spmv_csr
+
+    device = jax.devices()[0]
+    csr = csr_encode(coo)
+    x = jnp.ones((coo.shape[1],), dtype=jnp.float32)
+
+    # Correctness gate before publishing a number.
+    y = np.asarray(spmv_csr(csr, x)).astype(np.float64)
+    err = np.abs(y - y_ref).max() / ref_scale
+    assert err < 1e-3, f"CSR SpMV wrong (rel err {err})"
+
+    stats = bench_spmv_fused(spmv_csr, csr, x, iterations=200, repeats=5)
+    kernel = "xla"
+
+    # Also try the native C++ CPU backend and report the faster.
+    try:
+        from smvp_toolkit_tpu.bench.harness import TimingStats
+        from smvp_toolkit_tpu.ops.spmv_native import NativeCsrSpMV
+
+        xn = np.asarray(x)
+        for threads in (1, os.cpu_count() or 1):
+            op = NativeCsrSpMV(csr, threads=threads)
+            y_n = op(xn).astype(np.float64)
+            n_err = np.abs(y_n - y_ref).max() / ref_scale
+            if n_err >= 1e-3:
+                continue
+            op(xn, iterations=20)  # warm
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter_ns()
+                op(xn, iterations=200)
+                samples.append((time.perf_counter_ns() - t0) / 1e6 / 200)
+            n_stats = TimingStats(
+                times_ms=np.repeat(np.asarray(samples), 40)[:200],
+                iterations=200,
+            )
+            if n_stats.avg_ms < stats.avg_ms:
+                stats = n_stats
+                kernel = f"cpu-native-{op.threads}thread"
+    except Exception:
+        pass
+
+    _emit(kernel, device, stats, coo, fallback=True)
     return 0
+
+
+def main() -> int:
+    if os.environ.get("SMVP_BENCH_CHILD") != "1":
+        return _supervise()
+
+    # Persistent compilation cache: remote compiles cost ~2 min each in
+    # this environment; cache survivors make reruns near-instant. The
+    # watcher session warms this cache with the same fused-loop program
+    # before the driver ever runs bench.py.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    _hb("importing jax + toolkit")
+    import jax
+    import numpy as np
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+
+    _hb("loading matrix (host-side)")
+    coo = read_mtx(MATRIX).pad(512)
+    r, c, v = coo.to_numpy()
+    y_ref = np.zeros(coo.shape[0])
+    np.add.at(y_ref, r, v.astype(np.float64))
+    ref_scale = np.abs(y_ref).max() + 1e-30
+
+    _hb("initializing backend (TPU session setup takes ~95 s)")
+    device = jax.devices()[0]
+    if device.platform == "cpu":
+        return _main_cpu(coo, y_ref, ref_scale)
+    return _main_tpu(coo, y_ref, ref_scale)
 
 
 if __name__ == "__main__":

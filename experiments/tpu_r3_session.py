@@ -1,0 +1,244 @@
+"""Round-3 TPU measurement session: the full A/B matrix from VERDICT r2
+item 2, recording machine-readable results for autotuner calibration.
+
+Same stage matrix as round 2 (which never got hardware): canary ladder
+(curtis54 → NOWINDOW → compat), then memplus/pwt/synth-10M A/Bs —
+v6 windows vs full reduce, reduce2 vs HIGHEST, bf16 vs f32, int8 vs
+int32 lane indices, resident vs prefetch x, chunk sweep.
+
+Every timed stage appends one JSON record to
+``experiments/results/tpu_r3_results.jsonl`` with the plan geometry
+(S, WT, NSW, NS, n_chunks, traffic bytes) + measured us/iter, so
+``ops/autotune.calibrate_rates`` can fit the cost model afterwards and
+``pick_plan`` can be checked against the measured best chunk.
+
+Run serially, backgrounded, per CLAUDE.md tunnel discipline:
+  PYTHONPATH=/root/repo:/root/.axon_site nohup python -u \
+      experiments/tpu_r3_session.py > /tmp/tpu_r3.log 2>&1 &
+"""
+
+import json
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smvp_toolkit_tpu.bench.harness import bench_spmv_fused
+from smvp_toolkit_tpu.io.mtx import read_mtx
+from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+from smvp_toolkit_tpu.ops import spmv_pallas as sp
+
+REF_MS = {"memplus": 0.387638, "pwt": 0.569281, "curtis54": 0.0009249,
+          "synth-10M": None}
+RESULTS = os.path.join(os.path.dirname(__file__), "results",
+                       "tpu_r3_results.jsonl")
+_COO_CACHE = {}
+
+
+def _coo(name):
+    if name not in _COO_CACHE:
+        if name == "synth-10M":
+            from smvp_toolkit_tpu.utils.synth import synth_banded
+
+            _COO_CACHE[name] = synth_banded(
+                1_000_000, nnz_per_row=10, bandwidth=256, seed=0
+            ).pad(512)
+        else:
+            _COO_CACHE[name] = read_mtx(
+                f"/root/reference/sample-data/{name}.mtx"
+            ).pad(512)
+    return _COO_CACHE[name]
+
+
+def _record(rec):
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def run(name, *, value_dtype=None, precision=None, resident=None,
+        time_it=True, iterations=200, label="", lidx32=False, chunk=1024,
+        reduce2=False):
+    t0 = time.time()
+    coo = _coo(name)
+    r, c, v = coo.to_numpy()
+    plan = build_sell_plan(r, c, v, coo.shape, chunk=chunk)
+    if lidx32:
+        os.environ["SMVP_SELL_LIDX32"] = "1"
+    try:
+        op = sp.SellSpMV(plan, interpret=False, precision=precision,
+                         value_dtype=value_dtype)
+    finally:
+        os.environ.pop("SMVP_SELL_LIDX32", None)
+    if reduce2:
+        os.environ["SMVP_SELL_REDUCE2"] = "1"
+    if resident is not None:
+        # monkey-patch the auto choice for the comparison stage
+        lim = sp._RESIDENT_X_LIMIT
+        sp._RESIDENT_X_LIMIT = 10**12 if resident else -1
+    try:
+        rng = np.random.default_rng(0)
+        xh = rng.standard_normal(coo.shape[1]).astype(np.float32)
+        x = jnp.asarray(xh)
+        bf16 = value_dtype == jnp.bfloat16
+        vdt = np.float32
+        if bf16:
+            import ml_dtypes
+
+            vdt = ml_dtypes.bfloat16
+        y_ref = np.zeros(coo.shape[0])
+        np.add.at(
+            y_ref, r,
+            v.astype(vdt).astype(np.float64)
+            * xh.astype(vdt)[c].astype(np.float64),
+        )
+        scale = np.abs(y_ref).max() + 1e-30
+        nsw = plan.reduce_window()[1]
+        tag = (f"{name}{label} S={plan.n_sublanes} WT={plan.window_tiles} "
+               f"NSW={nsw}/{plan.n_slices}")
+        rec = {
+            "ts": time.time(), "name": name, "label": label.strip(),
+            "chunk": chunk, "bf16": bf16, "reduce2": reduce2,
+            "lidx32": lidx32, "resident": resident,
+            "precision": str(precision) if precision else None,
+            "env_nowindow": os.environ.get("SMVP_SELL_NOWINDOW") == "1",
+            "env_compat": os.environ.get("SMVP_SELL_COMPAT") == "1",
+            "nnz": int(coo.nnz), "nrows": int(coo.shape[0]),
+            "S": int(plan.n_sublanes), "WT": int(plan.window_tiles),
+            "NSW": int(nsw), "NS": int(plan.n_slices),
+            "n_chunks": int(plan.n_chunks),
+            "traffic_bytes": float(plan.traffic_bytes(
+                2 if bf16 else 4, None, 2 if bf16 else 4)),
+            "device": jax.devices()[0].device_kind,
+        }
+        if not time_it:
+            # still validate (canary); use a single eager call
+            y = np.asarray(op(x)).astype(np.float64)
+            err = np.abs(y - y_ref).max() / scale
+            rec.update(err=float(err))
+            _record(rec)
+            print(f"{tag}: err={err:.2e}  "
+                  f"(compile+run {time.time()-t0:.0f}s)", flush=True)
+            return
+        # Timed stages ride validation on the fused loop's accumulator —
+        # ONE remote compile per stage (bench.py's trick).
+        stats, acc = bench_spmv_fused(
+            lambda m, xx: op(xx), coo, x, iterations=iterations,
+            repeats=3, return_final=True,
+        )
+        y = np.asarray(acc).astype(np.float64) / iterations
+        err = np.abs(y - y_ref).max() / scale
+        nnzs = coo.nnz / (stats.avg_ms * 1e-3)
+        ref = REF_MS.get(name)
+        vs = f"vs_ref_csr {ref / stats.avg_ms:6.1f}x" if ref else ""
+        rec.update(err=float(err), avg_us=float(stats.avg_ms * 1e3),
+                   gnnz_s=float(nnzs / 1e9), iterations=iterations)
+        _record(rec)
+        print(f"{tag}: err={err:.2e}  {stats.avg_ms*1e3:8.2f} us/iter  "
+              f"{nnzs/1e9:6.2f} Gnnz/s  {vs} "
+              f"(compile+run {time.time()-t0:.0f}s)", flush=True)
+    finally:
+        if resident is not None:
+            sp._RESIDENT_X_LIMIT = lim
+        if reduce2:
+            os.environ.pop("SMVP_SELL_REDUCE2", None)
+
+
+def main():
+    t0 = time.time()
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform}) "
+          f"[{time.time()-t0:.0f}s]", flush=True)
+    stages = [
+        ("curtis54", dict(time_it=False, label=" canary")),
+        ("memplus", dict(label=" f32")),
+        ("memplus", dict(value_dtype=jnp.bfloat16, label=" bf16")),
+        ("pwt", dict(label=" f32")),
+        ("pwt", dict(value_dtype=jnp.bfloat16, label=" bf16")),
+        ("memplus", dict(resident=False, label=" f32-prefetchwin")),
+        ("memplus", dict(lidx32=True, label=" f32-lidx32")),
+        ("memplus", dict(precision=jax.lax.Precision.HIGH,
+                         label=" f32-HIGH")),
+        # Double-bf16 ladder: 2 single-pass reduce matmuls (lossless for
+        # bf16-mode products; ~1e-5 rel for f32 — check err output).
+        ("memplus", dict(value_dtype=jnp.bfloat16, reduce2=True,
+                         label=" bf16-reduce2")),
+        ("memplus", dict(reduce2=True, label=" f32-reduce2")),
+        # Chunk sweep: reduce MACs are chunk-invariant but the per-chunk
+        # tile window (table MACs) shrinks with the chunk. These rows
+        # are the autotuner calibration set.
+        ("memplus", dict(chunk=512, label=" f32-c512")),
+        ("memplus", dict(chunk=256, label=" f32-c256")),
+        ("memplus", dict(chunk=2048, label=" f32-c2048")),
+        ("pwt", dict(chunk=512, label=" f32-c512")),
+        ("pwt", dict(chunk=256, label=" f32-c256")),
+        ("memplus", dict(value_dtype=jnp.bfloat16, chunk=512,
+                         label=" bf16-c512")),
+        # Last: the 10M-nnz scaling config (big upload through the tunnel;
+        # ~150 MB of planes — keep it from blocking the smaller stages).
+        ("synth-10M", dict(iterations=50, label=" f32")),
+        ("synth-10M", dict(value_dtype=jnp.bfloat16, iterations=50,
+                           label=" bf16")),
+        ("synth-10M", dict(chunk=512, iterations=50, label=" f32-c512")),
+    ]
+    for i, (name, kw) in enumerate(stages):
+        try:
+            run(name, **kw)
+        except Exception as e:
+            print(f"{name} {kw.get('label','')} FAILED: {str(e)[:300]}",
+                  flush=True)
+            if i == 0 and os.environ.get("SMVP_SELL_COMPAT") != "1":
+                # Canary rejected by Mosaic: walk the fallback ladder —
+                # first disable the v6 dynamic-offset y store
+                # (SMVP_SELL_NOWINDOW), then the dense one-hot compat
+                # kernel (round-1-proven config) — and retry.
+                print("canary failed — trying SMVP_SELL_NOWINDOW=1",
+                      flush=True)
+                os.environ["SMVP_SELL_NOWINDOW"] = "1"
+                try:
+                    run(name, **kw)
+                    continue  # nowindow works; keep it for the session
+                except Exception as e2:
+                    print(f"nowindow canary failed: {str(e2)[:300]}",
+                          flush=True)
+                print("switching to SMVP_SELL_COMPAT=1", flush=True)
+                os.environ.pop("SMVP_SELL_NOWINDOW", None)
+                os.environ["SMVP_SELL_COMPAT"] = "1"
+                try:
+                    run(name, **kw)
+                except Exception as e2:
+                    print(f"compat canary ALSO FAILED: {str(e2)[:300]}",
+                          flush=True)
+
+    # Post-session: calibrate the autotuner cost model on the chunk-sweep
+    # records and check pick_plan against the measured best.
+    try:
+        from smvp_toolkit_tpu.ops.autotune import (
+            calibrate_rates, check_pick_plan,
+        )
+
+        with open(RESULTS) as f:
+            records = [json.loads(ln) for ln in f if ln.strip()]
+        rates = calibrate_rates(records)
+        print(f"calibrated RATES: {rates}", flush=True)
+        cal_path = os.path.join(os.path.dirname(RESULTS),
+                                "autotune_rates.json")
+        with open(cal_path, "w") as f:
+            json.dump(rates, f, indent=1)
+        for verdict in check_pick_plan(records, rates):
+            print(f"pick_plan check: {verdict}", flush=True)
+    except Exception as e:
+        print(f"calibration step failed: {str(e)[:300]}", flush=True)
+    print(f"session total {time.time()-t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

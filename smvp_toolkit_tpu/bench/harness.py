@@ -192,7 +192,8 @@ def bench_spmv_fused(
     iterations: int = 1000,
     repeats: int = 5,
     warmup: int = 1,
-) -> TimingStats:
+    return_final=False,
+):
     """Benchmark N sequential SpMVs executed inside ONE device program.
 
     The reference's timed loop is N back-to-back SpMVs (main-cli.c:402-420);
@@ -204,6 +205,11 @@ def bench_spmv_fused(
     iteration computes the same y = A·x.
 
     Returns per-iteration stats over ``repeats`` device-loop launches.
+    With ``return_final=True`` returns ``(stats, acc)`` where ``acc`` is
+    the warmup launch's accumulator — ``iterations · y``, so callers can
+    correctness-gate the run against a host oracle without compiling a
+    separate single-shot program (every remote compile costs ~2 min on
+    a tunneled TPU).
     """
     import jax
     import jax.numpy as jnp
@@ -233,7 +239,9 @@ def bench_spmv_fused(
             0, iterations, body, jnp.zeros((nrows,), acc_dtype)
         )
 
-    for _ in range(max(warmup, 1)):
+    acc = run(x)
+    acc.block_until_ready()
+    for _ in range(max(warmup, 1) - 1):
         run(x).block_until_ready()
 
     samples = []
@@ -250,5 +258,6 @@ def bench_spmv_fused(
     per_iter = np.repeat(
         np.asarray(samples), -(-iterations // max(repeats, 1))
     )[:iterations]
-    return TimingStats(times_ms=per_iter, iterations=iterations,
-                       per_launch=True)
+    stats = TimingStats(times_ms=per_iter, iterations=iterations,
+                        per_launch=True)
+    return (stats, acc) if return_final else stats

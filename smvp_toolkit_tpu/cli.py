@@ -89,7 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
         help=(
             "SpMV kernel implementation (auto: pallas on TPU, xla "
             "elsewhere; native = C++ CPU backend; df64 = double-float "
-            "extended precision, ~1e-14 relative error on f32 hardware)"
+            "extended precision, ~1e-14 relative error on f32 hardware; "
+            "NOTE: df64 runs on the XLA path, not the Pallas SELL "
+            "performance kernel)"
         ),
     )
     p.add_argument(
@@ -399,6 +401,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             # The fallback must not be misreported as extended precision.
             tjds_df64.kernel_label = "xla"
             log("INFO", "df64 is CSR-only; TJDS runs the plain XLA kernel.")
+            log("INFO", "df64 runs on the XLA path — the Pallas SELL "
+                "performance kernel has no double-float variant.")
             return csr_df64, tjds_df64, "df64"
         if args.kernel == "native":
             from smvp_toolkit_tpu.ops.spmv_native import (

@@ -25,7 +25,8 @@ import numpy as np
 
 from smvp_toolkit_tpu.ops.sell_plan import LANES, SellPlan, build_sell_plan
 
-__all__ = ["RATES", "plan_cost_us", "pick_plan"]
+__all__ = ["RATES", "plan_cost_us", "pick_plan", "calibrate_rates",
+           "check_pick_plan"]
 
 # v5e defaults — recalibrate from tpu_r2_session output. The MXU rate
 # is a *throughput* figure (pipelined in-kernel matmuls): the round-1
@@ -105,3 +106,111 @@ def pick_plan(
             best = (plan, cost)
     assert best is not None
     return best
+
+
+def _passes(rec: dict) -> Tuple[int, int]:
+    """(table_passes, reduce_passes) implied by a session record's flags.
+
+    Mirrors the precision rules in ops/spmv_pallas.py: bf16 value mode
+    runs a single-pass table matmul; the reduce is 3-pass (HIGH) for
+    bf16 and f32-HIGH, 6-pass (HIGHEST) for plain f32, and 2-pass when
+    the double-bf16 reduce2 ladder is enabled.
+    """
+    high = rec.get("precision") and "HIGH" in str(rec["precision"])
+    table = 1 if rec.get("bf16") else (3 if high else 6)
+    if rec.get("reduce2"):
+        reduce = 2
+    else:
+        reduce = 3 if (rec.get("bf16") or high) else 6
+    return table, reduce
+
+
+def _cost_terms(rec: dict) -> Tuple[float, float, float, float]:
+    """(total MACs, shuffle elements, grid steps, traffic bytes)."""
+    tp, rp = _passes(rec)
+    macs = rec["S"] * rec["WT"] * LANES * tp + rec["NSW"] * rec["S"] * (
+        LANES * rp
+    )
+    return (float(macs), float(rec["S"] * LANES),
+            float(rec["n_chunks"]), float(rec["traffic_bytes"]))
+
+
+def _usable(records: Iterable[dict]) -> list:
+    return [
+        r for r in records
+        if r.get("avg_us") and r.get("err", 1.0) < 1e-2
+        and not r.get("env_compat") and not r.get("env_nowindow")
+    ]
+
+
+def calibrate_rates(records: Iterable[dict]) -> dict:
+    """Fit RATES from measured session records (tpu_r3_session.py JSONL).
+
+    Fits the additive compute model t = a·MACs + b·shuffle + c·chunks +
+    d·traffic by non-negative least squares (the measured matrices are
+    low-occupancy — compute-dominated — so the max(hbm, compute) roof is
+    approximated as a sum; terms the data can't identify keep their
+    default RATES). Returns a full rates dict usable by pick_plan.
+    """
+    recs = _usable(records)
+    out = dict(RATES)
+    if len(recs) < 3:
+        return out
+    A = np.array([_cost_terms(r) for r in recs])
+    y = np.array([r["avg_us"] for r in recs])
+    try:
+        from scipy.optimize import nnls
+
+        coef, _ = nnls(A, y)
+    except Exception:
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        coef = np.clip(coef, 0.0, None)
+    a, b, c, d = coef
+    if a > 0:
+        out["mxu_mac_us"] = 1.0 / a
+    if b > 0:
+        out["shuffle_gel_s"] = 1.0 / (b * 1e3)
+    if c > 0:
+        out["grid_step_us"] = float(c)
+    if d > 0:
+        out["hbm_gb_s"] = 1.0 / (d * 1e3)
+    out["calibrated_on"] = len(recs)
+    return out
+
+
+def check_pick_plan(records: Iterable[dict], rates: dict) -> list:
+    """Compare the model's chunk choice with the measured best per
+    (matrix, bf16) group that has a chunk sweep. Returns verdict lines.
+    """
+    r = {k: v for k, v in rates.items() if k in RATES}
+    groups: dict = {}
+    for rec in _usable(records):
+        # only sweep-comparable rows: default kernel config
+        if rec.get("reduce2") or rec.get("lidx32") or rec.get("precision") \
+                or rec.get("resident") is not None:
+            continue
+        groups.setdefault((rec["name"], bool(rec.get("bf16"))), {})[
+            rec["chunk"]
+        ] = rec
+    verdicts = []
+    for (name, bf16), by_chunk in sorted(groups.items()):
+        if len(by_chunk) < 2:
+            continue
+        measured_best = min(by_chunk, key=lambda ch: by_chunk[ch]["avg_us"])
+        tp, rp = _passes(by_chunk[measured_best])
+
+        def model_us(rec):
+            macs, shuf, chunks, traffic = _cost_terms(rec)
+            return max(
+                traffic / (r["hbm_gb_s"] * 1e3),
+                macs / r["mxu_mac_us"] + shuf / (r["shuffle_gel_s"] * 1e3),
+            ) + chunks * r["grid_step_us"]
+
+        model_best = min(by_chunk, key=lambda ch: model_us(by_chunk[ch]))
+        ok = measured_best == model_best
+        verdicts.append(
+            f"{name} bf16={bf16}: measured best chunk={measured_best} "
+            f"({by_chunk[measured_best]['avg_us']:.1f} us), model picks "
+            f"{model_best} -> {'MATCH' if ok else 'MISMATCH'}"
+        )
+    return verdicts

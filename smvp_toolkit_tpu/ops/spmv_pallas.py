@@ -672,6 +672,17 @@ def spmv_coo_pallas(coo: COOMatrix, x: jax.Array) -> jax.Array:
     return _cached_op(coo, _triplets_from_coo_host)(x)
 
 
+def sell_op_coo(coo: COOMatrix) -> SellSpMV:
+    """The cached SELL operator for a *concrete* COO matrix.
+
+    Same contract as :func:`sell_op_csr` — planning is host-side, so
+    this never compiles a device program; the returned operator is safe
+    to close over inside jit. bench.py builds its TPU operator this way
+    to avoid the jitted ``csr_encode`` remote compile entirely.
+    """
+    return _cached_op(coo, _triplets_from_coo_host)
+
+
 def _triplets_from_cisr_host(cisr):
     """Host CISR schedule → COO triplets (live cells only)."""
     rows = np.asarray(cisr.row_of)

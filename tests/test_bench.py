@@ -206,3 +206,57 @@ def test_bench_native_batched_and_per_launch_label(tmp_path):
         stats=stats, output_vector=np.zeros(4),
     )
     assert "per-launch averages" in text
+
+
+def test_fused_return_final_accumulator():
+    # return_final rides validation on the timing loop's own compile:
+    # acc must equal iterations * (A @ x) bit-for-bit in f32 order.
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.bench.harness import bench_spmv_fused
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.ops import spmv_csr
+
+    r = np.array([0, 1, 2, 2], dtype=np.int32)
+    c = np.array([1, 0, 2, 0], dtype=np.int32)
+    v = np.array([2.0, 3.0, 4.0, -1.5])
+    coo = COOMatrix.from_numpy(r, c, v, shape=(3, 3), pad_to=8)
+    csr = csr_encode(coo)
+    x = jnp.arange(1.0, 4.0, dtype=jnp.float32)
+    stats, acc = bench_spmv_fused(
+        spmv_csr, csr, x, iterations=7, repeats=2, return_final=True
+    )
+    y = np.asarray(spmv_csr(csr, x))
+    np.testing.assert_allclose(np.asarray(acc), 7 * y, rtol=1e-6)
+    assert stats.iterations == 7
+
+
+def test_bench_tpu_ladder_path_runs_on_interpreter(capsys):
+    # The TPU child's minimal-compile path (bench._main_tpu) must work
+    # end-to-end off-hardware too (Pallas interpreter): host-side SELL
+    # planning from COO, ONE fused-loop program, accumulator-gated
+    # validation, JSON emission.
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+
+    from smvp_toolkit_tpu.utils.synth import synth_banded
+
+    coo = synth_banded(96, nnz_per_row=5, bandwidth=4, seed=0)
+    r, c, v = coo.to_numpy()
+    y_ref = np.zeros(coo.shape[0])
+    np.add.at(y_ref, r, v.astype(np.float64))
+    ref_scale = np.abs(y_ref).max() + 1e-30
+
+    rc = bench._main_tpu(coo, y_ref, ref_scale)
+    out = capsys.readouterr().out.strip()
+    assert rc == 0
+    import json as _json
+
+    rec = _json.loads(out.splitlines()[-1])
+    assert rec["unit"] == "Mnnz/s"
+    assert rec["value"] > 0
+    assert "pallas" in rec["metric"]
