@@ -42,7 +42,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["SellPlan", "build_sell_plan"]
+__all__ = ["SellPlan", "build_sell_plan", "rewindow_plan"]
 
 LANES = 128
 
@@ -415,6 +415,47 @@ def _finish_plan(
         chunk=chunk,
         slice_base=slice_base,
         slice_window=NSW,
+    )
+
+
+def rewindow_plan(plan: SellPlan, min_window_tiles: int) -> SellPlan:
+    """Widen an existing plan's per-chunk column-tile window in place.
+
+    Bit-identical to rebuilding with ``build_sell_plan(...,
+    min_window_tiles=...)`` but O(S) numpy — no re-sort, no re-fill:
+    the absolute tile of every sublane is recovered from
+    ``rel_tile + tile_base`` and only the windowing tail of
+    ``_finish_plan`` reruns. Sharded encode uses this so each shard is
+    planned ONCE and then aligned to the common window (previously a
+    probe-plan-then-rebuild double pass — 2x planner cost per shard).
+    """
+    rel = plan.rel_tile.reshape(-1).astype(np.int64)
+    if plan.nnz == 0 or (rel < 0).all():
+        # Empty plan: rel carries no tiles; its window [0, WT) already
+        # sits at base 0 and widening is a no-op for a dead kernel.
+        return plan
+    if (rel < 0).any():
+        # Out-of-window sublanes lost their absolute tile; fall back to
+        # a conservative answer (never produced by build_sell_plan).
+        raise ValueError("plan has out-of-window sublanes; rebuild it")
+    chunk = plan.chunk
+    u_tile = rel + np.repeat(plan.tile_base.astype(np.int64), chunk)
+    tiles_2d = u_tile.reshape(plan.n_chunks, chunk)
+    t_lo = (tiles_2d.min(axis=1) // 16) * 16
+    t_hi = tiles_2d.max(axis=1)
+    CT = plan.n_coltiles
+    WT = _round_up(max(int((t_hi - t_lo).max()) + 1, min_window_tiles), 16)
+    WT = min(WT, CT)
+    tile_base = np.minimum(t_lo, max(CT - WT, 0)).astype(np.int32)
+    new_rel = (
+        u_tile - np.repeat(tile_base.astype(np.int64), chunk)
+    ).astype(np.int32)
+    new_rel[(new_rel < 0) | (new_rel >= WT)] = -1
+    return dataclasses.replace(
+        plan,
+        rel_tile=new_rel.reshape(-1, 1),
+        tile_base=tile_base,
+        window_tiles=WT,
     )
 
 

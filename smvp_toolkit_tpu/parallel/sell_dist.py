@@ -23,7 +23,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smvp_toolkit_tpu.formats.coo import COOMatrix
-from smvp_toolkit_tpu.ops.sell_plan import LANES, build_sell_plan
+from smvp_toolkit_tpu.ops.sell_plan import (
+    LANES,
+    build_sell_plan,
+    rewindow_plan,
+)
 from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call, _use_interpret
 from smvp_toolkit_tpu.parallel.mesh import DP_AXIS
 
@@ -91,29 +95,24 @@ def shard_sell(
     rows_blk = _round_up(nrows, n * LANES) // n  # multiple of 128
     r, c, v = coo.to_numpy()
 
-    # Two passes: measure each shard's natural window, then rebuild with
-    # the common maximum so one compiled kernel (and one clamping rule)
-    # serves every shard.
+    # One planner pass per shard, then an O(S) rewindow to the common
+    # maximum so one compiled kernel (and one clamping rule) serves
+    # every shard (bit-identical to the former probe-then-rebuild
+    # double pass — tested).
     parts = []
     for k in range(n):
         lo, hi = k * rows_blk, (k + 1) * rows_blk
         sel = (r >= lo) & (r < hi)
         parts.append((r[sel] - lo, c[sel], v[sel]))
-    probe = [
+    plans = [
         build_sell_plan(
             pr, pc, pv, (rows_blk, ncols), chunk=chunk,
             allow_small_chunk=False,
         )
         for pr, pc, pv in parts
     ]
-    wt_common = max(p.window_tiles for p in probe)
-    plans = [
-        build_sell_plan(
-            pr, pc, pv, (rows_blk, ncols), chunk=chunk,
-            min_window_tiles=wt_common, allow_small_chunk=False,
-        )
-        for pr, pc, pv in parts
-    ]
+    wt_common = max(p.window_tiles for p in plans)
+    plans = [rewindow_plan(p, wt_common) for p in plans]
 
     S = max(p.n_sublanes for p in plans)
     CT = max(p.n_coltiles for p in plans)

@@ -538,3 +538,43 @@ def test_nowindow_escape_hatch_identical(monkeypatch):
     monkeypatch.setenv("SMVP_SELL_NOWINDOW", "1")
     y_full = np.asarray(op(x))
     np.testing.assert_allclose(y_full, y_windowed, rtol=1e-6, atol=1e-7)
+
+
+def test_rewindow_plan_matches_rebuild():
+    # One-pass sharded planning: widening a plan's window with
+    # rewindow_plan must be bit-identical to rebuilding the plan with
+    # min_window_tiles (what shard_sell formerly did, at 2x planner cost).
+    from smvp_toolkit_tpu.ops.sell_plan import rewindow_plan
+
+    rng = np.random.RandomState(7)
+    n = 700
+    r = rng.randint(0, n, size=4000).astype(np.int64)
+    c = np.clip(r + rng.randint(-90, 91, size=4000), 0, n - 1)
+    v = rng.randn(4000)
+    # dedup (planner requires coalesced input for exact value match)
+    key = r * n + c
+    _, idx = np.unique(key, return_index=True)
+    r, c, v = r[idx], c[idx], v[idx]
+
+    base = build_sell_plan(r, c, v, (n, n), chunk=256,
+                           allow_small_chunk=False)
+    for wt in (base.window_tiles, base.window_tiles + 16,
+               base.window_tiles + 64):
+        a = rewindow_plan(base, wt)
+        b = build_sell_plan(r, c, v, (n, n), chunk=256,
+                            min_window_tiles=wt, allow_small_chunk=False)
+        assert a.window_tiles == b.window_tiles
+        np.testing.assert_array_equal(a.tile_base, b.tile_base)
+        np.testing.assert_array_equal(a.rel_tile, b.rel_tile)
+        np.testing.assert_array_equal(a.vals, b.vals)
+        np.testing.assert_array_equal(a.lane_idx, b.lane_idx)
+        np.testing.assert_array_equal(a.slice_of, b.slice_of)
+        np.testing.assert_array_equal(*(p.reduce_window()[0] for p in (a, b)))
+        assert a.slice_window == b.slice_window
+
+    # Empty plan: rewindow is a no-op, not an error.
+    empty = build_sell_plan(
+        np.array([], np.int64), np.array([], np.int64), np.array([]),
+        (n, n), chunk=256, allow_small_chunk=False,
+    )
+    assert rewindow_plan(empty, 999).window_tiles == empty.window_tiles
