@@ -51,6 +51,18 @@ def _coo(name):
             _COO_CACHE[name] = synth_banded(
                 1_000_000, nnz_per_row=10, bandwidth=256, seed=0
             ).pad(512)
+        elif name == "synth-4M":
+            from smvp_toolkit_tpu.utils.synth import synth_banded
+
+            _COO_CACHE[name] = synth_banded(
+                4_000_000, nnz_per_row=6, bandwidth=192, seed=11
+            ).pad(512)
+        elif name == "synth-40k":
+            from smvp_toolkit_tpu.utils.synth import synth_banded
+
+            _COO_CACHE[name] = synth_banded(
+                40_000, nnz_per_row=6, bandwidth=64, seed=13
+            ).pad(512)
         else:
             _COO_CACHE[name] = read_mtx(
                 f"/root/reference/sample-data/{name}.mtx"
@@ -66,11 +78,18 @@ def _record(rec):
 
 def run(name, *, value_dtype=None, precision=None, resident=None,
         time_it=True, iterations=200, label="", lidx32=False, chunk=1024,
-        reduce2=False):
+        reduce2=False, stream=False, y_block_rows=None):
     t0 = time.time()
     coo = _coo(name)
     r, c, v = coo.to_numpy()
-    plan = build_sell_plan(r, c, v, coo.shape, chunk=chunk)
+    if stream:
+        from smvp_toolkit_tpu.ops.sell_plan import build_streamed_sell_plan
+
+        kw = {"y_block_rows": y_block_rows} if y_block_rows else {}
+        plan = build_streamed_sell_plan(r, c, v, coo.shape, chunk=chunk,
+                                        **kw)
+    else:
+        plan = build_sell_plan(r, c, v, coo.shape, chunk=chunk)
     if lidx32:
         os.environ["SMVP_SELL_LIDX32"] = "1"
     try:
@@ -107,6 +126,9 @@ def run(name, *, value_dtype=None, precision=None, resident=None,
         rec = {
             "ts": time.time(), "name": name, "label": label.strip(),
             "chunk": chunk, "bf16": bf16, "reduce2": reduce2,
+            "stream_y_blocks": (
+                int(plan.y_block_id.max()) + 1 if stream else 0
+            ),
             "lidx32": lidx32, "resident": resident,
             "precision": str(precision) if precision else None,
             "env_nowindow": os.environ.get("SMVP_SELL_NOWINDOW") == "1",
@@ -188,6 +210,15 @@ def main():
         ("synth-10M", dict(value_dtype=jnp.bfloat16, iterations=50,
                            label=" bf16")),
         ("synth-10M", dict(chunk=512, iterations=50, label=" f32-c512")),
+        # v7 streamed y: small-block Mosaic canary first, then the
+        # >VMEM-output 4M-row config (ROADMAP flush-behind item) and an
+        # A/B of streamed vs resident on the 10M/1M-row config.
+        ("synth-40k", dict(time_it=False, stream=True, chunk=256,
+                           y_block_rows=2048, label=" stream-canary")),
+        ("synth-4M", dict(iterations=50, stream=True,
+                          label=" f32-stream")),
+        ("synth-10M", dict(iterations=50, stream=True,
+                           label=" f32-stream")),
     ]
     for i, (name, kw) in enumerate(stages):
         try:

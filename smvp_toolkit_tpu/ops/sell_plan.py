@@ -42,7 +42,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["SellPlan", "build_sell_plan", "rewindow_plan"]
+__all__ = ["SellPlan", "build_sell_plan", "build_streamed_sell_plan",
+           "rewindow_plan"]
 
 LANES = 128
 
@@ -127,6 +128,16 @@ class SellPlan:
     # (None/0, e.g. plans from old checkpoints) mean "full reduce".
     slice_base: Optional[np.ndarray] = None  # i32 (n_chunks,)
     slice_window: int = 0
+    # Streamed y (v7 flush-behind): for outputs too large to keep VMEM-
+    # resident, sublanes are grouped by y block (``y_block_slices``
+    # slices each) and chunks never straddle a block boundary. When set
+    # (> 0), ``slice_of``/``slice_base`` hold LOCAL slice ids within
+    # each chunk's y block, ``y_block_id`` maps chunks to blocks
+    # (non-decreasing — the kernel flushes completed blocks behind the
+    # sweep), and ``n_slices`` is the TOTAL padded slice count
+    # (n_yblocks x y_block_slices). Built by build_streamed_sell_plan.
+    y_block_id: Optional[np.ndarray] = None  # i32 (n_chunks,)
+    y_block_slices: int = 0  # NSB (0 = resident-y plan)
 
     def reduce_window(self) -> Tuple[np.ndarray, int]:
         """(slice_base, NSW) with the full-reduce fallback applied."""
@@ -201,6 +212,8 @@ class SellPlan:
     # Dense one-hot views (debug/tests only — the kernel builds these
     # per-chunk on the fly; materializing them is O(S x NS) memory).
     def oht_dense(self) -> np.ndarray:
+        if self.y_block_slices:
+            raise ValueError("dense views undefined for streamed-y plans")
         oht = np.zeros((self.n_sublanes, self.window_tiles), dtype=np.float32)
         rel = self.rel_tile.reshape(-1)
         ok = (rel >= 0) & (rel < self.window_tiles)
@@ -208,6 +221,8 @@ class SellPlan:
         return oht
 
     def seg_dense(self) -> np.ndarray:
+        if self.y_block_slices:
+            raise ValueError("dense views undefined for streamed-y plans")
         seg = np.zeros((self.n_slices, self.n_sublanes), dtype=np.float32)
         sl = self.slice_of.reshape(-1)
         ok = (sl >= 0) & (sl < self.n_slices)
@@ -415,6 +430,87 @@ def _finish_plan(
         chunk=chunk,
         slice_base=slice_base,
         slice_window=NSW,
+    )
+
+
+def build_streamed_sell_plan(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    shape: Tuple[int, int],
+    *,
+    chunk: int = 1024,
+    y_block_rows: int = 512 * LANES,
+) -> SellPlan:
+    """SELL-T1 plan whose y streams through VMEM block by block (v7).
+
+    The v6 kernel keeps the whole (NS, 128) y VMEM-resident — a wall at
+    ~3M rows (12 MB f32). Here rows are partitioned into y blocks of
+    ``y_block_rows`` (a multiple of 2048 so every block is exactly
+    ``NSB = y_block_rows/128`` 16-aligned slices), each block is planned
+    independently (tile-major within the block, so the measured WT
+    behaviour of the flat planner is preserved), and the sub-plans are
+    concatenated. Chunks therefore never straddle a block boundary, the
+    per-chunk block ids are non-decreasing, and the kernel can flush
+    each completed (NSB, 128) y block behind the sweep via a
+    prefetch-driven output index map.
+
+    ``slice_of`` / ``slice_base`` in the result are LOCAL to each
+    chunk's y block; ``n_slices`` is the total padded slice count.
+    """
+    if y_block_rows % (16 * LANES) != 0:
+        raise ValueError("y_block_rows must be a multiple of 2048")
+    nrows, ncols = shape
+    nsb = y_block_rows // LANES
+    n_blocks = max(-(-nrows // y_block_rows), 1)
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    v = np.asarray(vals)
+
+    blk_of = rows // y_block_rows
+    order = np.argsort(blk_of, kind="stable")
+    bounds = np.searchsorted(blk_of[order], np.arange(n_blocks + 1))
+
+    subs = []
+    for g in range(n_blocks):
+        sel = order[bounds[g]:bounds[g + 1]]
+        subs.append(
+            build_sell_plan(
+                rows[sel] - g * y_block_rows, cols[sel], v[sel],
+                (y_block_rows, ncols), chunk=chunk,
+                allow_small_chunk=False,
+            )
+        )
+    wt_common = max(p.window_tiles for p in subs)
+    subs = [rewindow_plan(p, wt_common) for p in subs]
+    nsw_common = min(max(p.reduce_window()[1] for p in subs), nsb)
+
+    def _sb(p):
+        # Re-clamp each local window base for the common NSW (coverage
+        # only grows — same rule as the sharded stacker, sell_dist.py).
+        return np.minimum(
+            p.reduce_window()[0].astype(np.int32), max(nsb - nsw_common, 0)
+        )
+
+    return SellPlan(
+        vals=np.concatenate([p.vals for p in subs]),
+        lane_idx=np.concatenate([p.lane_idx for p in subs]),
+        rel_tile=np.concatenate([p.rel_tile for p in subs]),
+        slice_of=np.concatenate([p.slice_of for p in subs]),
+        tile_base=np.concatenate([p.tile_base for p in subs]),
+        shape=shape,
+        nnz=len(rows),
+        n_slices=n_blocks * nsb,
+        n_coltiles=subs[0].n_coltiles,
+        window_tiles=wt_common,
+        chunk=chunk,
+        slice_base=np.concatenate([_sb(p) for p in subs]),
+        slice_window=nsw_common,
+        y_block_id=np.concatenate(
+            [np.full(p.n_chunks, g, dtype=np.int32)
+             for g, p in enumerate(subs)]
+        ),
+        y_block_slices=nsb,
     )
 
 

@@ -226,6 +226,53 @@ def _make_sell_kernel_prefetch(precision, ns, nsw, wt, bf16_values,
 # (SMVP_SELL_PREFETCH=0 reverts to the host-side window stack).
 _RESIDENT_X_LIMIT = 6 * 2**20
 
+# Above this many bytes of y (NS x 128 x 4) the VMEM-resident output of
+# the v6 kernel no longer fits; operators switch to the streamed-y plan
+# (v7 flush-behind): y blocks of _STREAM_Y_BLOCK_ROWS rows are flushed
+# behind the sweep via a prefetch-driven output index map.
+_RESIDENT_Y_LIMIT = 8 * 2**20
+_STREAM_Y_BLOCK_ROWS = 512 * LANES  # 512 slices = 256 KB f32 per block
+
+
+def _make_sell_kernel_streamy(precision, nsb, nsw, wt, bf16_values,
+                              reduce2, resident_x):
+    """Streamed-y kernel (v7): the output block is ONE (nsb, 128) y
+    block, selected per chunk by the scalar-prefetched block id
+    (bases[2]) — when the id advances, the pipeline flushes the
+    completed block to HBM behind the sweep (block ids are
+    non-decreasing by plan construction, so no block is ever revisited).
+    The block is zeroed on first entry; slice offsets (bases[1]) are
+    LOCAL to the block. x is either VMEM-resident (dynamic wt-window at
+    bases[0]) or a per-chunk scalar-prefetch DMA window, as in v6.
+    """
+
+    def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
+                     y_ref):
+        step = pl.program_id(0)
+        blk = bases_ref[2, step]
+        prev = bases_ref[2, jnp.maximum(step - 1, 0)]
+
+        @pl.when(jnp.logical_or(step == 0, blk != prev))
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        x_win = (
+            x_ref[pl.ds(bases_ref[0, step], wt), :]
+            if resident_x
+            else x_ref[:]
+        )
+        table = _table_select(
+            rel_ref, x_win, wt, precision, bf16_values, reduce2
+        )
+        g = jnp.take_along_axis(
+            table, lidx_ref[:].astype(jnp.int32), axis=1
+        )
+        prod = val_ref[:].astype(jnp.float32) * g
+        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], nsb, nsw,
+                      precision, reduce2)
+
+    return _sell_kernel
+
 
 def _make_sell_kernel_onehot(precision, ns, wt):
     """Maximum-compatibility kernel: dense one-hot planes as inputs.
@@ -263,17 +310,55 @@ def _make_sell_kernel_onehot(precision, ns, wt):
     jax.jit,
     static_argnames=("n_chunks", "chunk", "ns", "nsw", "wt", "interpret",
                      "precision", "resident", "onehot_dense", "reduce2",
-                     "prefetch"),
+                     "prefetch", "nsb"),
 )
 def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, bases, *, n_chunks, chunk,
     ns, nsw, wt, interpret, precision=jax.lax.Precision.HIGHEST,
     resident=True, onehot_dense=False, reduce2=False, prefetch=True,
+    nsb=0,
 ):
     """Dispatch one SELL launch. ``bases`` is i32 (2, n_chunks):
     row 0 = per-chunk x tile-window starts, row 1 = per-chunk y
-    slice-window starts (both 16-aligned; see sell_plan)."""
+    slice-window starts (both 16-aligned; see sell_plan). Streamed-y
+    plans (``nsb > 0``) carry a third row — per-chunk y block ids —
+    and ``slice_of``/row 1 hold block-LOCAL slice positions."""
     bf16_values = vals.dtype == jnp.bfloat16
+    if nsb > 0:
+        # v7 flush-behind: y streams through VMEM one (nsb, 128) block
+        # at a time; the scalar-prefetched bases drive both the x window
+        # (non-resident x) and the output block selection. The compat
+        # one-hot kernel has no streamed variant (it exists for small
+        # matrices); NOWINDOW maps to a full-block local reduce.
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                (
+                    pl.BlockSpec(
+                        (x_tiles.shape[0], LANES), lambda i, b: (0, 0)
+                    )
+                    if resident
+                    else pl.BlockSpec(
+                        (pl.Element(wt), LANES), lambda i, b: (b[0, i], 0)
+                    )
+                ),
+                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+                pl.BlockSpec((chunk, 1), lambda i, b: (i, 0)),
+                pl.BlockSpec((1, chunk), lambda i, b: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((nsb, LANES), lambda i, b: (b[2, i], 0)),
+        )
+        return pl.pallas_call(
+            _make_sell_kernel_streamy(
+                precision, nsb, min(nsw, nsb), wt, bf16_values, reduce2,
+                resident,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            interpret=interpret,
+        )(bases, x_tiles, vals, lidx, rel_tile, slice_of)
     if onehot_dense:
         # Compatibility mode: build the one-hot planes with XLA outside
         # the kernel (loop-invariant, so fused benchmark loops hoist
@@ -448,14 +533,17 @@ class SellSpMV:
             self.rel_tile = jnp.asarray(plan.rel_tile)
             self.slice_of = jnp.asarray(plan.slice_of)
             # bases[0] = per-chunk x tile-window starts, bases[1] =
-            # per-chunk y slice-window starts (v6 reduce).
+            # per-chunk y slice-window starts (v6 reduce; block-LOCAL
+            # for streamed plans), bases[2] (streamed-y plans only) =
+            # per-chunk y block ids (v7 flush-behind).
             sb, self.nsw = plan.reduce_window()
-            self.bases = jnp.stack(
-                [
-                    jnp.asarray(plan.tile_base, dtype=jnp.int32),
-                    jnp.asarray(sb, dtype=jnp.int32),
-                ]
-            )
+            rows = [
+                jnp.asarray(plan.tile_base, dtype=jnp.int32),
+                jnp.asarray(sb, dtype=jnp.int32),
+            ]
+            if plan.y_block_slices:
+                rows.append(jnp.asarray(plan.y_block_id, dtype=jnp.int32))
+            self.bases = jnp.stack(rows)
         self._triplets = _triplets  # host (r, c, v) for lazy transpose
         self._t_op: "SellSpMV | None" = None
 
@@ -463,7 +551,7 @@ class SellSpMV:
     def from_coo(coo: COOMatrix, **kw) -> "SellSpMV":
         r, c, v = coo.to_numpy()
         return SellSpMV(
-            build_sell_plan(r, c, v, coo.shape), _triplets=(r, c, v), **kw
+            _auto_plan(r, c, v, coo.shape), _triplets=(r, c, v), **kw
         )
 
     def transpose(self) -> "SellSpMV":
@@ -474,7 +562,7 @@ class SellSpMV:
                     "transpose requires an operator built via from_coo"
                 )
             r, c, v = self._triplets
-            plan_t = build_sell_plan(
+            plan_t = _auto_plan(
                 np.asarray(c), np.asarray(r), v,
                 (self.shape[1], self.shape[0]),
             )
@@ -537,9 +625,10 @@ class SellSpMV:
         # Read here (outside jit) so toggling retraces.
         reduce2 = os.environ.get("SMVP_SELL_REDUCE2") == "1"
         # Escape hatch: SMVP_SELL_NOWINDOW=1 forces the static
-        # full-block reduce store (the pre-v6 kernel path).
+        # full-block reduce store (the pre-v6 kernel path; for streamed
+        # plans this is a full LOCAL-block reduce — y still streams).
         nsw = (
-            plan.n_slices
+            (plan.y_block_slices or plan.n_slices)
             if os.environ.get("SMVP_SELL_NOWINDOW") == "1"
             else self.nsw
         )
@@ -564,9 +653,12 @@ class SellSpMV:
             interpret=self.interpret,
             precision=self.precision,
             resident=resident,
-            onehot_dense=onehot_dense,
+            # The compat one-hot kernel has no streamed-y variant —
+            # streamed plans always run the main kernel family.
+            onehot_dense=onehot_dense and not plan.y_block_slices,
             reduce2=reduce2,
             prefetch=prefetch,
+            nsb=plan.y_block_slices,
         )
         return y.reshape(-1)[: self.shape[0]]
 
@@ -609,6 +701,18 @@ def _triplets_from_coo_host(coo: COOMatrix):
     return r, c, v, coo.shape
 
 
+def _auto_plan(rows, cols, vals, shape, chunk: int = 1024) -> SellPlan:
+    """Flat plan while y fits VMEM; streamed-y (v7) plan beyond it."""
+    from smvp_toolkit_tpu.ops.sell_plan import build_streamed_sell_plan
+
+    if shape[0] * 4 > _RESIDENT_Y_LIMIT:  # NS*LANES*4 ≈ nrows*4 bytes
+        return build_streamed_sell_plan(
+            rows, cols, vals, shape, chunk=chunk,
+            y_block_rows=_STREAM_Y_BLOCK_ROWS,
+        )
+    return build_sell_plan(rows, cols, vals, shape, chunk=chunk)
+
+
 def _cached_op(matrix, triplets_fn) -> SellSpMV:
     """Per-matrix operator cache keyed weakly: the cache must not keep a
     discarded matrix's device buffers (or its multi-MB SELL planes) alive
@@ -634,7 +738,7 @@ def _cached_op(matrix, triplets_fn) -> SellSpMV:
 
         plan, _ = pick_plan(r, c, v, shape, bf16=vdt == jnp.bfloat16)
     else:
-        plan = build_sell_plan(r, c, v, shape)
+        plan = _auto_plan(r, c, v, shape)
     op = SellSpMV(plan, value_dtype=vdt, _triplets=(r, c, v))
     try:
         ref = weakref.ref(matrix, lambda _r, _k=key: _CACHE.pop(_k, None))

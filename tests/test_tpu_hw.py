@@ -154,3 +154,42 @@ def test_compiled_windowed_reduce_banded(tpu_device):
         np.float32
     )
     _check(coo, (r, c, v), op, x)
+
+
+def test_compiled_streamed_y_4m_rows(tpu_device):
+    """v7 flush-behind: a 4M-row synth runs with y streamed block-by-
+    block (prefetch-driven output index map) and matches the oracle."""
+    from smvp_toolkit_tpu.ops.sell_plan import build_streamed_sell_plan
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV
+    from smvp_toolkit_tpu.utils.synth import synth_banded
+
+    coo = synth_banded(4_000_000, nnz_per_row=6, bandwidth=192,
+                       seed=11).pad(512)
+    r, c, v = coo.to_numpy()
+    plan = build_streamed_sell_plan(r, c, v, coo.shape)
+    assert plan.y_block_slices > 0
+    assert plan.y_block_id.max() >= 60  # many blocks actually stream
+    op = SellSpMV(plan, interpret=False)
+    x = np.random.default_rng(12).standard_normal(coo.shape[1]).astype(
+        np.float32
+    )
+    _check(coo, (r, c, v), op, x)
+
+
+def test_compiled_streamed_y_small_blocks(tpu_device):
+    """Streamed-y with the minimum block size — cheap Mosaic canary for
+    the data-dependent output index map before the 4M-row config."""
+    from smvp_toolkit_tpu.ops.sell_plan import build_streamed_sell_plan
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV
+    from smvp_toolkit_tpu.utils.synth import synth_banded
+
+    coo = synth_banded(10_000, nnz_per_row=6, bandwidth=64, seed=13)
+    r, c, v = coo.to_numpy()
+    plan = build_streamed_sell_plan(r, c, v, coo.shape, chunk=256,
+                                    y_block_rows=2048)
+    assert plan.y_block_id.max() >= 3
+    op = SellSpMV(plan, interpret=False)
+    x = np.random.default_rng(14).standard_normal(coo.shape[1]).astype(
+        np.float32
+    )
+    _check(coo, (r, c, v), op, x)
