@@ -119,16 +119,22 @@ def save_plan(dest, plan) -> None:
         "window_tiles": int(plan.window_tiles),
         "chunk": int(plan.chunk),
         "slice_window": int(plan.reduce_window()[1]),
+        "y_block_slices": int(plan.y_block_slices),
     }
-    np.savez_compressed(
-        dest,
+    arrays = dict(
         vals=plan.vals,
         lane_idx=plan.lane_idx,
         rel_tile=plan.rel_tile,
         slice_of=plan.slice_of,
         tile_base=plan.tile_base,
         slice_base=plan.reduce_window()[0],
+    )
+    if plan.y_block_slices:  # streamed-y (v7) plans
+        arrays["y_block_id"] = plan.y_block_id
+    np.savez_compressed(
+        dest,
         __meta__=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **arrays,
     )
 
 
@@ -156,4 +162,9 @@ def load_plan(source):
             # fall back to the full reduce (slice_base=None).
             slice_base=z["slice_base"] if "slice_base" in z.files else None,
             slice_window=int(meta.get("slice_window", 0)),
+            # Round-3 streamed-y (v7) plans; absent in older checkpoints.
+            y_block_id=(
+                z["y_block_id"] if "y_block_id" in z.files else None
+            ),
+            y_block_slices=int(meta.get("y_block_slices", 0)),
         )

@@ -152,3 +152,21 @@ def test_streamed_rectangular_wide():
     y_ref = _oracle(r, c, v, x, nrows)
     scale = np.abs(y_ref).max() + 1e-30
     assert np.abs(y - y_ref).max() / scale < 1e-5
+
+
+def test_streamed_plan_checkpoint_roundtrip(tmp_path):
+    from smvp_toolkit_tpu.utils.checkpoint import load_plan, save_plan
+
+    r, c, v = _random_coo(5000, 700, 4000, seed=7, banded=64)
+    plan = build_streamed_sell_plan(
+        r, c, v, (5000, 700), chunk=256, y_block_rows=BLOCK_ROWS
+    )
+    p = tmp_path / "plan.npz"
+    save_plan(p, plan)
+    back = load_plan(p)
+    assert back.y_block_slices == plan.y_block_slices
+    np.testing.assert_array_equal(back.y_block_id, plan.y_block_id)
+    x = np.random.RandomState(8).randn(700).astype(np.float32)
+    y_a = np.asarray(SellSpMV(plan, interpret=True)(jnp.asarray(x)))
+    y_b = np.asarray(SellSpMV(back, interpret=True)(jnp.asarray(x)))
+    np.testing.assert_array_equal(y_a, y_b)
