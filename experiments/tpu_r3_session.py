@@ -38,31 +38,34 @@ from smvp_toolkit_tpu.ops import spmv_pallas as sp
 
 REF_MS = {"memplus": 0.387638, "pwt": 0.569281, "curtis54": 0.0009249,
           "synth-10M": None}
-RESULTS = os.path.join(os.path.dirname(__file__), "results",
-                       "tpu_r3_results.jsonl")
+# SMVP_SESSION_QUICK=1: tiny surrogate inputs + few iterations, for a
+# CPU (interpreter) dry run of the whole session logic — catches script
+# bugs BEFORE they can burn a real hardware window.
+QUICK = os.environ.get("SMVP_SESSION_QUICK") == "1"
+RESULTS = os.path.join(
+    os.path.dirname(__file__), "results",
+    "tpu_r3_results_quick.jsonl" if QUICK else "tpu_r3_results.jsonl",
+)
 _COO_CACHE = {}
 
 
 def _coo(name):
     if name not in _COO_CACHE:
-        if name == "synth-10M":
+        if name.startswith("synth"):
             from smvp_toolkit_tpu.utils.synth import synth_banded
 
-            _COO_CACHE[name] = synth_banded(
-                1_000_000, nnz_per_row=10, bandwidth=256, seed=0
-            ).pad(512)
-        elif name == "synth-4M":
-            from smvp_toolkit_tpu.utils.synth import synth_banded
-
-            _COO_CACHE[name] = synth_banded(
-                4_000_000, nnz_per_row=6, bandwidth=192, seed=11
-            ).pad(512)
-        elif name == "synth-40k":
-            from smvp_toolkit_tpu.utils.synth import synth_banded
-
-            _COO_CACHE[name] = synth_banded(
-                40_000, nnz_per_row=6, bandwidth=64, seed=13
-            ).pad(512)
+            cfg = {
+                "synth-10M": dict(n=1_000_000, nnz_per_row=10,
+                                  bandwidth=256, seed=0),
+                "synth-4M": dict(n=4_000_000, nnz_per_row=6,
+                                 bandwidth=192, seed=11),
+                "synth-40k": dict(n=40_000, nnz_per_row=6, bandwidth=64,
+                                  seed=13),
+            }[name]
+            if QUICK:  # surrogate scale, same code paths
+                cfg["n"] = max(cfg["n"] // 100, 20_000)
+            n = cfg.pop("n")
+            _COO_CACHE[name] = synth_banded(n, **cfg).pad(512)
         else:
             _COO_CACHE[name] = read_mtx(
                 f"/root/reference/sample-data/{name}.mtx"
@@ -80,6 +83,10 @@ def run(name, *, value_dtype=None, precision=None, resident=None,
         time_it=True, iterations=200, label="", lidx32=False, chunk=1024,
         reduce2=False, stream=False, y_block_rows=None):
     t0 = time.time()
+    if QUICK:
+        iterations = 3
+        if stream:
+            y_block_rows = 2048  # keep multi-block streaming exercised
     coo = _coo(name)
     r, c, v = coo.to_numpy()
     if stream:
@@ -93,8 +100,9 @@ def run(name, *, value_dtype=None, precision=None, resident=None,
     if lidx32:
         os.environ["SMVP_SELL_LIDX32"] = "1"
     try:
-        op = sp.SellSpMV(plan, interpret=False, precision=precision,
-                         value_dtype=value_dtype)
+        # QUICK dry runs use auto interpret (Pallas interpreter off-TPU).
+        op = sp.SellSpMV(plan, interpret=None if QUICK else False,
+                         precision=precision, value_dtype=value_dtype)
     finally:
         os.environ.pop("SMVP_SELL_LIDX32", None)
     if reduce2:

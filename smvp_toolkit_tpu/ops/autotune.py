@@ -95,9 +95,13 @@ def pick_plan(
     table_p = 1 if bf16 else 6
     reduce_p = 3 if bf16 else 6
     vb = 2 if bf16 else value_dtype_bytes
+    # Outputs too large for VMEM must take the streamed-y (v7) plan
+    # regardless of the tuned chunk — the flat plan cannot run.
+    from smvp_toolkit_tpu.ops.spmv_pallas import _auto_plan
+
     best: Optional[Tuple[SellPlan, float]] = None
     for chunk in chunks:
-        plan = build_sell_plan(rows, cols, vals, shape, chunk=chunk)
+        plan = _auto_plan(rows, cols, vals, shape, chunk=chunk)
         cost = plan_cost_us(
             plan, vb, table_passes=table_p, reduce_passes=reduce_p,
             rates=rates,
@@ -185,9 +189,11 @@ def check_pick_plan(records: Iterable[dict], rates: dict) -> list:
     r = {k: v for k, v in rates.items() if k in RATES}
     groups: dict = {}
     for rec in _usable(records):
-        # only sweep-comparable rows: default kernel config
+        # only sweep-comparable rows: default kernel config (streamed-y
+        # records are a different kernel structure — separate sweep)
         if rec.get("reduce2") or rec.get("lidx32") or rec.get("precision") \
-                or rec.get("resident") is not None:
+                or rec.get("resident") is not None \
+                or rec.get("stream_y_blocks"):
             continue
         groups.setdefault((rec["name"], bool(rec.get("bf16"))), {})[
             rec["chunk"]
