@@ -121,8 +121,37 @@ def _csr_encode_impl(coo: COOMatrix, with_row_ids: bool = True) -> CSRMatrix:
     )
 
 
+def _csr_encode_native(
+    coo: COOMatrix, with_row_ids: bool
+) -> Optional[CSRMatrix]:
+    """Host fast path: native stable counting sort (bit-identical order)."""
+    from smvp_toolkit_tpu.formats import encode_native as en
+
+    r, c, v = en.host_triplets(coo)
+    got = en.csr_order(r, c, coo.nnz, coo.shape[0], coo.shape[1])
+    if got is None:  # pragma: no cover — lib vanished between checks
+        return None
+    order, row_ptr = got
+    return CSRMatrix(
+        row_ptr=jnp.asarray(row_ptr),
+        col_ind=jnp.asarray(c[order]),
+        vals=jnp.asarray(v[order]),
+        shape=coo.shape,
+        nnz=coo.nnz,
+        row_ids=jnp.asarray(r[order]) if with_row_ids else None,
+    )
+
+
 def csr_encode(coo: COOMatrix, *, with_row_ids: bool = True) -> CSRMatrix:
-    """Encode COO → CSR on device (jitted XLA sort + prefix build)."""
+    """Encode COO → CSR: native host counting sort when the triplets are
+    host-reachable (O(nnz), no compile), else the jitted XLA sort +
+    prefix build. Both produce identical arrays."""
+    from smvp_toolkit_tpu.formats import encode_native as en
+
+    if en.use_native(coo):
+        out = _csr_encode_native(coo, with_row_ids)
+        if out is not None:
+            return out
     return _csr_encode_impl(coo, with_row_ids=with_row_ids)
 
 

@@ -184,17 +184,48 @@ def _tjds_encode_impl(coo: COOMatrix, diag_bound: int) -> TJDSMatrix:
     )
 
 
-def tjds_encode(coo: COOMatrix) -> TJDSMatrix:
-    """Encode COO → TJDS on device (jitted XLA sorts + prefix builds).
+def _tjds_encode_native(coo: COOMatrix, diag_bound: int):
+    """Host fast path: native counting-sort pack (bit-identical order)."""
+    from smvp_toolkit_tpu.formats import encode_native as en
 
-    The diagonal-count bound is measured first (one tiny device reduce
-    whose scalar comes back to the host) so ``start_pos`` is sized
-    O(num_diags), not O(nnz_padded) — a 10M-nnz matrix must not carry a
-    40 MB prefix array for a format whose point is compression. The bound
-    rounds up to a multiple of 8 to bucket recompiles of the encoder.
+    r, c, v = en.host_triplets(coo)
+    got = en.tjds_order(
+        r, c, coo.nnz, coo.shape[0], coo.shape[1], diag_bound
+    )
+    if got is None:  # pragma: no cover — lib vanished between checks
+        return None
+    order, offsets, perm, start_pos, num_diags = got
+    return TJDSMatrix(
+        vals=jnp.asarray(v[order]),
+        row_ind=jnp.asarray(r[order]),
+        start_pos=jnp.asarray(start_pos),
+        perm=jnp.asarray(perm),
+        offsets=jnp.asarray(offsets),
+        num_diags=jnp.asarray(np.int32(num_diags)),
+        shape=coo.shape,
+        nnz=coo.nnz,
+    )
+
+
+def tjds_encode(coo: COOMatrix) -> TJDSMatrix:
+    """Encode COO → TJDS: native host counting sorts when the triplets
+    are host-reachable (O(nnz), no compile), else the jitted XLA sorts.
+    Both produce identical arrays.
+
+    The diagonal-count bound is measured first (host bincount) so
+    ``start_pos`` is sized O(num_diags), not O(nnz_padded) — a 10M-nnz
+    matrix must not carry a 40 MB prefix array for a format whose point
+    is compression. The bound rounds up to a multiple of 8 to bucket
+    recompiles of the XLA encoder.
     """
     nd = _max_col_count(coo)
     diag_bound = max(-(-nd // 8) * 8, 8)
+    from smvp_toolkit_tpu.formats import encode_native as en
+
+    if en.use_native(coo):
+        out = _tjds_encode_native(coo, diag_bound)
+        if out is not None:
+            return out
     return _tjds_encode_impl(coo, diag_bound)
 
 
