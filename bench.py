@@ -71,16 +71,26 @@ def _supervise() -> int:
 
     # Only one process may own the TPU tunnel. If a measurement session
     # (the watcher's) holds the lock, wait for it — its compiles are
-    # warming the very cache this run will hit.
+    # warming the very cache this run will hit. The watcher pipeline can
+    # hold the lock for hours; if it still does after the wait cap, do
+    # NOT contend (two owners can wedge the tunnel for both) — go
+    # straight to the CPU fallback instead.
     waited = 0
-    while _lock_holder_alive() and waited < 1800:
+    wait_cap = int(os.environ.get("SMVP_BENCH_LOCK_WAIT", "1800"))
+    while _lock_holder_alive() and waited < wait_cap:
         if waited == 0:
             sys.stderr.write(
                 "bench.py: TPU tunnel busy (another session holds "
-                f"{TPU_LOCK}); waiting up to 30 min\n"
+                f"{TPU_LOCK}); waiting up to {wait_cap}s\n"
             )
         time.sleep(15)
         waited += 15
+    skip_tpu = _lock_holder_alive()
+    if skip_tpu:
+        sys.stderr.write(
+            "bench.py: tunnel still busy after wait; skipping the TPU "
+            "child (no contention) and using the CPU backend\n"
+        )
 
     def _run_watched(extra_env):
         """Run a child; kill it on heartbeat stall or hard cap."""
@@ -124,17 +134,18 @@ def _supervise() -> int:
         return (None if timed_out else proc.returncode, out,
                 "".join(stderr_tail))
 
-    rc, out, err = _run_watched({})
-    if rc == 0 and out.strip():
-        sys.stdout.write(out)
-        return 0
-    reason = "made no progress (heartbeat stall)" if rc is None else (
-        f"exited rc={rc}")
-    sys.stderr.write(
-        f"bench.py: TPU run {reason}; falling back to CPU backend\n"
-    )
-    if err:
-        sys.stderr.write("bench.py: child stderr tail:\n" + err)
+    if not skip_tpu:
+        rc, out, err = _run_watched({})
+        if rc == 0 and out.strip():
+            sys.stdout.write(out)
+            return 0
+        reason = "made no progress (heartbeat stall)" if rc is None else (
+            f"exited rc={rc}")
+        sys.stderr.write(
+            f"bench.py: TPU run {reason}; falling back to CPU backend\n"
+        )
+        if err:
+            sys.stderr.write("bench.py: child stderr tail:\n" + err)
     cpu_env = {
         "JAX_PLATFORMS": "cpu",
         "PYTHONPATH": os.pathsep.join(

@@ -268,8 +268,12 @@ def main():
             records = [json.loads(ln) for ln in f if ln.strip()]
         rates = calibrate_rates(records)
         print(f"calibrated RATES: {rates}", flush=True)
-        cal_path = os.path.join(os.path.dirname(RESULTS),
-                                "autotune_rates.json")
+        # QUICK (interpreter) fits are 2-3 orders off real v5e rates —
+        # never let a dry run clobber hardware calibration.
+        cal_path = os.path.join(
+            os.path.dirname(RESULTS),
+            "autotune_rates_quick.json" if QUICK else "autotune_rates.json",
+        )
         with open(cal_path, "w") as f:
             json.dump(rates, f, indent=1)
         for verdict in check_pick_plan(records, rates):

@@ -39,10 +39,16 @@ for attempt in $(seq 1 60); do
     timeout 2400 python -u experiments/tpu_r2_stage2.py >> "$LOG" 2>&1
     echo "=== stage2 done rc=$? $(date +%H:%M:%S) ===" >> "$LOG"
     echo "=== hardware-gated tests ===" >> "$LOG"
-    timeout 3600 env SMVP_TESTS_TPU=1 python -m pytest tests/test_tpu_hw.py \
-      -q --timeout=900 >> "$LOG" 2>&1 \
-      || timeout 3600 env SMVP_TESTS_TPU=1 python -m pytest \
-           tests/test_tpu_hw.py -q >> "$LOG" 2>&1
+    # --timeout needs the pytest-timeout plugin; probe for it instead of
+    # retrying on failure (a retry would burn another hour of tunnel
+    # window re-running genuinely failing tests).
+    if python -c "import pytest_timeout" 2>/dev/null; then
+      timeout 3600 env SMVP_TESTS_TPU=1 python -m pytest \
+        tests/test_tpu_hw.py -q --timeout=900 >> "$LOG" 2>&1
+    else
+      timeout 3600 env SMVP_TESTS_TPU=1 python -m pytest \
+        tests/test_tpu_hw.py -q >> "$LOG" 2>&1
+    fi
     echo "=== gated tests done rc=$? $(date +%H:%M:%S) ===" >> "$LOG"
     rm -f "$LOCK"   # bench.py supervises itself; must not see our lock
     echo "=== running bench.py (cache warm + headline) ===" >> "$LOG"

@@ -120,7 +120,10 @@ def _passes(rec: dict) -> Tuple[int, int]:
     bf16 and f32-HIGH, 6-pass (HIGHEST) for plain f32, and 2-pass when
     the double-bf16 reduce2 ladder is enabled.
     """
-    high = rec.get("precision") and "HIGH" in str(rec["precision"])
+    # "HIGHEST" contains "HIGH" as a substring — classify it as the
+    # 6-pass default, not the 3-pass HIGH mode.
+    prec = str(rec.get("precision") or "")
+    high = "HIGH" in prec and "HIGHEST" not in prec
     table = 1 if rec.get("bf16") else (3 if high else 6)
     if rec.get("reduce2"):
         reduce = 2
@@ -203,7 +206,6 @@ def check_pick_plan(records: Iterable[dict], rates: dict) -> list:
         if len(by_chunk) < 2:
             continue
         measured_best = min(by_chunk, key=lambda ch: by_chunk[ch]["avg_us"])
-        tp, rp = _passes(by_chunk[measured_best])
 
         def model_us(rec):
             macs, shuf, chunks, traffic = _cost_terms(rec)

@@ -481,16 +481,7 @@ def build_streamed_sell_plan(
                 allow_small_chunk=False,
             )
         )
-    wt_common = max(p.window_tiles for p in subs)
-    subs = [rewindow_plan(p, wt_common) for p in subs]
-    nsw_common = min(max(p.reduce_window()[1] for p in subs), nsb)
-
-    def _sb(p):
-        # Re-clamp each local window base for the common NSW (coverage
-        # only grows — same rule as the sharded stacker, sell_dist.py).
-        return np.minimum(
-            p.reduce_window()[0].astype(np.int32), max(nsb - nsw_common, 0)
-        )
+    subs, wt_common, nsw_common, sub_bases = common_window(subs, nsb)
 
     return SellPlan(
         vals=np.concatenate([p.vals for p in subs]),
@@ -504,7 +495,7 @@ def build_streamed_sell_plan(
         n_coltiles=subs[0].n_coltiles,
         window_tiles=wt_common,
         chunk=chunk,
-        slice_base=np.concatenate([_sb(p) for p in subs]),
+        slice_base=np.concatenate(sub_bases),
         slice_window=nsw_common,
         y_block_id=np.concatenate(
             [np.full(p.n_chunks, g, dtype=np.int32)
@@ -512,6 +503,37 @@ def build_streamed_sell_plan(
         ),
         y_block_slices=nsb,
     )
+
+
+def common_window(plans, ns_cap: int):
+    """Align per-block plans to one (tile window, slice window) pair.
+
+    Blocks/shards that run under a single compiled kernel must share
+    static WT and NSW. Takes the max per-plan tile window (rewindowed
+    O(S)), the max per-plan slice window capped at ``ns_cap``, and
+    re-clamps each plan's slice bases so every window stays inside the
+    cap (coverage only grows). Used by both the streamed-y stacker
+    (``build_streamed_sell_plan``) and the sharded stacker
+    (``parallel/sell_dist.py``) so the window rule lives in one place.
+
+    Returns ``(plans, wt_common, nsw_common, bases)`` with ``bases[i]``
+    the re-clamped int32 slice_base of ``plans[i]``.
+    """
+    plans = [
+        rewindow_plan(p, max(q.window_tiles for q in plans)) for p in plans
+    ]
+    # Recompute after rewindowing: a plan whose own column-tile count is
+    # below the requested window clamps to it (WT = min(WT, CT)).
+    wt_common = max(p.window_tiles for p in plans)
+    nsw_common = min(max(p.reduce_window()[1] for p in plans), ns_cap)
+    bases = [
+        np.minimum(
+            p.reduce_window()[0].astype(np.int32),
+            max(ns_cap - nsw_common, 0),
+        )
+        for p in plans
+    ]
+    return plans, wt_common, nsw_common, bases
 
 
 def rewindow_plan(plan: SellPlan, min_window_tiles: int) -> SellPlan:

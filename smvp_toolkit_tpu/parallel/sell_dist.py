@@ -26,7 +26,7 @@ from smvp_toolkit_tpu.formats.coo import COOMatrix
 from smvp_toolkit_tpu.ops.sell_plan import (
     LANES,
     build_sell_plan,
-    rewindow_plan,
+    common_window,
 )
 from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call, _use_interpret
 from smvp_toolkit_tpu.parallel.mesh import DP_AXIS
@@ -98,7 +98,9 @@ def shard_sell(
     # One planner pass per shard, then an O(S) rewindow to the common
     # maximum so one compiled kernel (and one clamping rule) serves
     # every shard (bit-identical to the former probe-then-rebuild
-    # double pass — tested).
+    # double pass — tested). Window alignment (tile window + slice
+    # window + base re-clamp) is the shared common_window rule in
+    # ops/sell_plan.py, same as the streamed-y stacker.
     parts = []
     for k in range(n):
         lo, hi = k * rows_blk, (k + 1) * rows_blk
@@ -111,13 +113,11 @@ def shard_sell(
         )
         for pr, pc, pv in parts
     ]
-    wt_common = max(p.window_tiles for p in plans)
-    plans = [rewindow_plan(p, wt_common) for p in plans]
+    NSl = max(p.n_slices for p in plans)
+    plans, WT, NSW, sub_bases = common_window(plans, NSl)
 
     S = max(p.n_sublanes for p in plans)
     CT = max(p.n_coltiles for p in plans)
-    WT = max(p.window_tiles for p in plans)
-    NSl = max(p.n_slices for p in plans)
     n_chunks = S // chunk
 
     def _pad(a, shape):
@@ -140,16 +140,8 @@ def shard_sell(
 
     rel = np.stack([_pad_rel(p) for p in plans])
     slc = np.stack([_pad_slice(p) for p in plans])
-    # Common slice window across shards (one compiled kernel): take the
-    # max per-plan window and re-clamp each base so windows stay inside
-    # the common NSl (coverage only grows — see spmv_2d notes).
-    NSW = max(p.reduce_window()[1] for p in plans)
-    NSW = min(NSW, NSl)
 
-    def _bases(p):
-        sb = np.minimum(
-            p.reduce_window()[0].astype(np.int32), max(NSl - NSW, 0)
-        )
+    def _bases(p, sb):
         return np.stack(
             [
                 _pad(p.tile_base.astype(np.int32), (n_chunks,)),
@@ -157,7 +149,7 @@ def shard_sell(
             ]
         )
 
-    tbase = np.stack([_bases(p) for p in plans])
+    tbase = np.stack([_bases(p, sb) for p, sb in zip(plans, sub_bases)])
 
     import os as _os
 
