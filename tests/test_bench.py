@@ -232,6 +232,46 @@ def test_fused_return_final_accumulator():
     assert stats.iterations == 7
 
 
+def test_bench_cached_tpu_record_replay(tmp_path, capsys, monkeypatch):
+    # When no live TPU run is possible, the supervisor replays the last
+    # persisted hardware record, tagged cached — never silently dropping
+    # a real measurement for a CPU surrogate. Fallback/CPU/absent
+    # records must NOT replay.
+    import importlib
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+
+    rec_path = tmp_path / "bench_tpu_last.json"
+    monkeypatch.setattr(bench, "TPU_RECORD", str(rec_path))
+
+    assert bench._replay_cached("skipped (test)") is False  # absent
+
+    good = {
+        "metric": "memplus CSR SpMV throughput (pallas kernel, TPU v5e)",
+        "value": 5000.0, "unit": "Mnnz/s", "vs_baseline": 15.4,
+        "fallback": False, "measured_at": "2026-08-17T00:00:00Z",
+    }
+    rec_path.write_text(_json.dumps(dict(good, fallback=True)))
+    assert bench._replay_cached("x") is False  # fallback record
+
+    rec_path.write_text(_json.dumps(
+        dict(good, metric="memplus CSR SpMV throughput (xla kernel, cpu)")
+    ))
+    assert bench._replay_cached("x") is False  # cpu record
+
+    rec_path.write_text(_json.dumps(good))
+    assert bench._replay_cached("stalled") is True
+    out = capsys.readouterr().out.strip()
+    replayed = _json.loads(out.splitlines()[-1])
+    assert replayed["cached"] is True
+    assert replayed["live_attempt"] == "stalled"
+    assert replayed["value"] == 5000.0
+    assert replayed["measured_at"] == "2026-08-17T00:00:00Z"
+
+
 def test_bench_tpu_ladder_path_runs_on_interpreter(capsys):
     # The TPU child's minimal-compile path (bench._main_tpu) must work
     # end-to-end off-hardware too (Pallas interpreter): host-side SELL
