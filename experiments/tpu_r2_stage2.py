@@ -226,6 +226,22 @@ def main():
         X8, per=20,
     )
 
+    # --- E. SELL stage attribution on memplus ------------------------------
+    # Runs FIRST among the long stages: it decides the TJDS-hybrid
+    # build/reject call (VERDICT round-2 item 4), so it must land even
+    # if the watcher's outer timeout cuts the session short.
+    x_mem = jnp.asarray(rng.standard_normal(n_mem).astype(np.float32))
+    timed("sell full      (fused x200)", fused(op_mem, x_mem, 200),
+          x_mem, per=200)
+    for which in ("no-reduce", "no-table", "no-shuffle", "stream"):
+        try:
+            f = attr_call(op_mem, which)
+        except AssertionError as e:
+            print(f"attr {which} skipped: {e}", flush=True)
+            continue
+        timed(f"sell {which:10s} (fused x200)", fused(f, x_mem, 200),
+              x_mem, per=200)
+
     # --- C. GCN training step ----------------------------------------------
     try:
         from smvp_toolkit_tpu.models.graph import (
@@ -309,19 +325,6 @@ def main():
         ),
         b_sb, per=50,
     )
-
-    # --- E. SELL stage attribution on memplus ------------------------------
-    x_mem = jnp.asarray(rng.standard_normal(n_mem).astype(np.float32))
-    timed("sell full      (fused x200)", fused(op_mem, x_mem, 200),
-          x_mem, per=200)
-    for which in ("no-reduce", "no-table", "no-shuffle", "stream"):
-        try:
-            f = attr_call(op_mem, which)
-        except AssertionError as e:
-            print(f"attr {which} skipped: {e}", flush=True)
-            continue
-        timed(f"sell {which:10s} (fused x200)", fused(f, x_mem, 200),
-              x_mem, per=200)
 
     print(f"stage2 total {time.time()-t0:.0f}s", flush=True)
 
