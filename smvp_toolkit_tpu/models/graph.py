@@ -28,7 +28,14 @@ from smvp_toolkit_tpu.formats.coo import COOMatrix
 from smvp_toolkit_tpu.formats.csr import CSRMatrix, csr_encode
 from smvp_toolkit_tpu.ops.spmv_xla import spmm_csr
 
-__all__ = ["gcn_norm", "gcn_layer", "gcn_forward", "gcn_train_step", "gcn_init"]
+__all__ = [
+    "gcn_norm",
+    "gcn_layer",
+    "gcn_forward",
+    "gcn_train_step",
+    "gcn_train_step_edges",
+    "gcn_init",
+]
 
 
 def gcn_norm(coo: COOMatrix, *, add_self_loops: bool = True) -> CSRMatrix:
@@ -131,3 +138,47 @@ def gcn_train_step(
     loss, grads = jax.value_and_grad(loss_fn)(params)
     new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
     return new_params, loss
+
+
+def gcn_train_step_edges(
+    s: CSRMatrix,
+    params,
+    edge_vals: jax.Array,
+    h: jax.Array,
+    labels: jax.Array,
+    mask: jax.Array,
+    lr: float = 1e-2,
+    edge_lr: Optional[float] = None,
+):
+    """One SGD step training the layer weights AND the edge weights.
+
+    ``edge_vals`` is the live values plane of the aggregation operator,
+    in ``s.vals`` layout (CSR entry order; pass ``s.vals`` to start).
+    SpMM is bilinear in (values, features), so the edge cotangent flows
+    through the XLA kernels out of the box — learned edge weighting
+    (the attention-free cousin of GAT) costs one extra gradient, no new
+    kernels. Entries padded past ``s.nnz`` aggregate into no row, so
+    their gradient is exactly 0 and they stay put under SGD.
+
+    The Pallas counterpart for y = A·x is
+    ``SellSpMV.differentiable_edges`` (ops/spmv_pallas.py), which runs
+    forward, d/dx, and d/d(values) all on the SELL kernel family.
+
+    Returns ``(params, edge_vals, loss)``.
+    """
+    import dataclasses
+
+    edge_lr = lr if edge_lr is None else edge_lr
+
+    def loss_fn(p, ev):
+        logits = gcn_forward(dataclasses.replace(s, vals=ev), p, h)
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        m = mask.astype(logp.dtype)
+        return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    loss, (gp, ge) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        params, edge_vals
+    )
+    new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, gp)
+    return new_params, edge_vals - edge_lr * ge, loss

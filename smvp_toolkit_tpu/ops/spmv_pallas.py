@@ -306,6 +306,134 @@ def _make_sell_kernel_onehot(precision, ns, wt):
     return _sell_kernel
 
 
+def _make_vals_grad_kernel(nsw, wt, precision, bf16_values):
+    """Backward kernel for d(loss)/d(packed values plane).
+
+    SpMV is bilinear: with g the output cotangent,
+    ``grad_vals[s, l] = g[slice_of(s), l] * x[col(s, l)]``. Both factors
+    are the kernel's native one-hot selects — x by column tile exactly
+    as the forward (table matmul + lane shuffle), and g by slice via
+    the TRANSPOSE of the forward's reduce one-hot (a dot_general
+    contracting sublane 0 of both operands). No scatter anywhere; the
+    (chunk, LANES) grad block streams straight out per grid step. Dead
+    SUBLANES (rel/slice == -1) fall outside every one-hot, so their
+    whole lane row is exactly 0; unused lanes within a live sublane
+    carry that slot's true (generally nonzero) partial derivative —
+    harmless, since the triplet-space API gathers live slots only.
+    """
+
+    def _kernel(bases_ref, x_ref, g_ref, lidx_ref, rel_ref, sl_ref,
+                out_ref):
+        step = pl.program_id(0)
+        x_win = x_ref[pl.ds(bases_ref[0, step], wt), :]
+        table = _table_select(
+            rel_ref, x_win, wt, precision, bf16_values, False
+        )
+        xg = jnp.take_along_axis(
+            table, lidx_ref[:].astype(jnp.int32), axis=1
+        )
+        sb = bases_ref[1, step]
+        g_win = g_ref[pl.ds(sb, nsw), :]          # (nsw, LANES)
+        rel_s = sl_ref[:] - sb                    # (1, chunk)
+        nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
+        seg = (nsw_iota == rel_s).astype(jnp.float32)  # (nsw, chunk)
+        gsel = jax.lax.dot_general(                # segᵀ @ g_win
+            seg, g_win, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,   # exact 1-hot select
+        )                                          # (chunk, LANES)
+        out_ref[:] = gsel * xg
+
+    return _kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk", "ns", "nsw", "wt", "interpret",
+                     "precision", "resident", "bf16_values"),
+)
+def _sell_vals_grad_call(
+    x_tiles, g2d, lidx, rel_tile, slice_of, bases, *, chunk, ns, nsw, wt,
+    interpret, precision, resident, bf16_values,
+):
+    """Dispatch the packed-values backward kernel; returns (S, LANES)."""
+    n_chunks = slice_of.shape[0]
+    if not resident:
+        # Host-side per-chunk x windows (same escape hatch as the
+        # forward's non-prefetch fallback; backward runs are training-
+        # time, so the duplicated x traffic is acceptable there).
+        xw = jnp.stack(
+            [
+                jax.lax.dynamic_slice(x_tiles, (bases[0, i], 0),
+                                      (wt, LANES))
+                for i in range(n_chunks)
+            ]
+        )
+        return pl.pallas_call(
+            _make_vals_grad_kernel_windowed(nsw, wt, precision,
+                                            bf16_values),
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
+                pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+                pl.BlockSpec((1, chunk), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_chunks * chunk, LANES), jnp.float32
+            ),
+            interpret=interpret,
+        )(bases, xw, g2d, lidx, rel_tile, slice_of)
+    ct = x_tiles.shape[0]
+    return pl.pallas_call(
+        _make_vals_grad_kernel(nsw, wt, precision, bf16_values),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ct, LANES), lambda i: (0, 0)),   # resident x
+            pl.BlockSpec((ns, LANES), lambda i: (0, 0)),   # resident g
+            pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, chunk), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks * chunk, LANES), jnp.float32
+        ),
+        interpret=interpret,
+    )(bases, x_tiles, g2d, lidx, rel_tile, slice_of)
+
+
+def _make_vals_grad_kernel_windowed(nsw, wt, precision, bf16_values):
+    """Backward kernel fed pre-windowed (1, wt, LANES) x blocks."""
+
+    def _kernel(bases_ref, x_ref, g_ref, lidx_ref, rel_ref, sl_ref,
+                out_ref):
+        step = pl.program_id(0)
+        table = _table_select(
+            rel_ref, x_ref[0], wt, precision, bf16_values, False
+        )
+        xg = jnp.take_along_axis(
+            table, lidx_ref[:].astype(jnp.int32), axis=1
+        )
+        sb = bases_ref[1, step]
+        g_win = g_ref[pl.ds(sb, nsw), :]
+        rel_s = sl_ref[:] - sb
+        nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
+        seg = (nsw_iota == rel_s).astype(jnp.float32)
+        gsel = jax.lax.dot_general(
+            seg, g_win, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[:] = gsel * xg
+
+    return _kernel
+
+
 @partial(
     jax.jit,
     static_argnames=("n_chunks", "chunk", "ns", "nsw", "wt", "interpret",
@@ -546,6 +674,7 @@ class SellSpMV:
             self.bases = jnp.stack(rows)
         self._triplets = _triplets  # host (r, c, v) for lazy transpose
         self._t_op: "SellSpMV | None" = None
+        self._slot_map: np.ndarray | None = None  # triplet -> flat slot
 
     @staticmethod
     def from_coo(coo: COOMatrix, **kw) -> "SellSpMV":
@@ -604,7 +733,140 @@ class SellSpMV:
         f.defvjp(fwd, bwd)
         return f
 
+    def vjp_vals(self, x: jax.Array, g: jax.Array) -> jax.Array:
+        """Cotangent w.r.t. the packed values plane: (S, LANES) f32.
+
+        SpMV is bilinear, so ``d(loss)/d(vals[s, l]) = g[row(s, l)] *
+        x[col(s, l)]`` — computed by a dedicated Pallas kernel
+        (:func:`_make_vals_grad_kernel`) whose two factors are the same
+        one-hot MXU selects the forward uses; no scatter. Dead/padding
+        slots receive exactly 0.
+        """
+        plan = self.plan
+        if plan.y_block_slices:
+            raise ValueError(
+                "vals-grad needs a resident-y plan; streamed-y operators "
+                "(> ~2M rows) train via the XLA kernels instead"
+            )
+        ncols_pad = plan.n_coltiles * LANES
+        x = x.astype(self.value_dtype)
+        if x.shape[0] < ncols_pad:
+            x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
+        x_tiles = x.reshape(plan.n_coltiles, LANES)
+        nrows_pad = plan.n_slices * LANES
+        g = g.astype(jnp.float32)
+        if g.shape[0] < nrows_pad:
+            g = jnp.pad(g, (0, nrows_pad - g.shape[0]))
+        g2d = g.reshape(plan.n_slices, LANES)
+        resident = (
+            plan.n_coltiles * LANES * x_tiles.dtype.itemsize
+            <= _RESIDENT_X_LIMIT
+        )
+        return _sell_vals_grad_call(
+            x_tiles, g2d, self.lidx, self.rel_tile, self.slice_of,
+            self.bases,
+            chunk=plan.chunk,
+            ns=plan.n_slices,
+            nsw=self.nsw,
+            wt=plan.window_tiles,
+            interpret=self.interpret,
+            precision=self.precision,
+            resident=resident,
+            bf16_values=self.value_dtype == jnp.dtype(jnp.bfloat16),
+        )
+
+    def slot_map(self) -> np.ndarray:
+        """Flat slot index (into ``vals.reshape(-1)``) of each triplet.
+
+        Derived planner-agnostically: the slot layout depends only on
+        (rows, cols), so re-planning with probe values 1..nnz and
+        reading the probe ids back out of the packed plane recovers the
+        mapping bit-exactly for WHATEVER planner built it (numpy or
+        native). Cached per operator; requires ``from_coo`` triplets.
+        """
+        if self._slot_map is None:
+            if self._triplets is None:
+                raise ValueError(
+                    "slot_map requires an operator built via from_coo"
+                )
+            r, c, _v = self._triplets
+            nnz = len(r)
+            if nnz >= (1 << 24):
+                raise ValueError(
+                    "slot_map probe ids must stay exact in f32 "
+                    "(nnz < 2^24); train larger matrices on the XLA path"
+                )
+            probe = np.arange(1, nnz + 1, dtype=np.float32)
+            p = build_sell_plan(
+                np.asarray(r), np.asarray(c), probe, self.shape,
+                chunk=self.plan.chunk,
+            )
+            flat = p.vals.reshape(-1)
+            nz = np.flatnonzero(flat)
+            if len(nz) != nnz:
+                raise AssertionError(
+                    "probe plan slot count mismatch (planner drift?)"
+                )
+            ids = flat[nz].astype(np.int64) - 1
+            slot = np.empty(nnz, dtype=np.int64)
+            slot[ids] = nz
+            self._slot_map = slot
+        return self._slot_map
+
+    def differentiable_edges(self):
+        """``f(v, x) = A(v)·x``, differentiable in BOTH arguments.
+
+        ``v`` is the nnz-vector of matrix values in the from_coo triplet
+        order — the natural parameterization for trainable edge weights
+        (GCN attention-free edge learning, sparse weight fine-tuning).
+        Inside the trace ``v`` is scattered into the packed SELL plane
+        (and, for the x-cotangent, into the transpose plane), so ONE set
+        of live parameters drives the forward kernel, the d/dx kernel
+        (Aᵀ·g) and the d/dv kernel (:meth:`vjp_vals`) — all three on the
+        Pallas performance path.
+        """
+        plan = self.plan
+        op_t = self.transpose()
+        slots = jnp.asarray(self.slot_map())
+        slots_t = jnp.asarray(op_t.slot_map())
+        n_slot = plan.n_sublanes * LANES
+        n_slot_t = op_t.plan.n_sublanes * LANES
+        vdt = self.value_dtype
+        this = self
+
+        def _scatter(v, slot_idx, n):
+            return (
+                jnp.zeros((n,), vdt).at[slot_idx].set(v.astype(vdt))
+            )
+
+        @jax.custom_vjp
+        def f(v, x):
+            vals = _scatter(v, slots, n_slot).reshape(-1, LANES)
+            return this._apply(x, vals)
+
+        def fwd(v, x):
+            return f(v, x), (v, x)
+
+        def bwd(res, g):
+            v, x = res
+            gv = this.vjp_vals(x, g).reshape(-1)[slots]
+            vals_t = _scatter(v, slots_t, n_slot_t).reshape(-1, LANES)
+            gx = op_t._apply(g, vals_t)[: x.shape[0]].astype(x.dtype)
+            return gv.astype(v.dtype), gx
+
+        f.defvjp(fwd, bwd)
+        return f
+
     def __call__(self, x: jax.Array) -> jax.Array:
+        return self._apply(x, self.vals)
+
+    def _apply(self, x: jax.Array, vals: jax.Array) -> jax.Array:
+        """y = A·x with the packed values plane passed explicitly.
+
+        ``__call__`` passes the operator's own (static) plane; the
+        trainable-edge path (:meth:`differentiable_edges`) passes a
+        plane scattered from live parameters inside the trace.
+        """
         plan = self.plan
         ncols_pad = plan.n_coltiles * LANES
         x = x.astype(self.value_dtype)
@@ -640,7 +902,7 @@ class SellSpMV:
         )
         y = _sell_spmv_call(
             x_tiles,
-            self.vals,
+            vals.astype(self.value_dtype),
             self.lidx,
             self.rel_tile,
             self.slice_of,

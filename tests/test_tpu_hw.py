@@ -193,3 +193,60 @@ def test_compiled_streamed_y_small_blocks(tpu_device):
         np.float32
     )
     _check(coo, (r, c, v), op, x)
+
+
+def test_compiled_vals_grad_memplus(tpu_device):
+    """The packed-values backward kernel (transposed one-hot select via
+    dot_general contracting dim 0) Mosaic-compiles and matches the
+    dense cotangent g[row]*x[col] on live slots."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV
+
+    coo = read_mtx("/root/reference/sample-data/memplus.mtx").pad(512)
+    r, c, v = coo.to_numpy()
+    op = SellSpMV.from_coo(coo, interpret=False)
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal(coo.shape[1]).astype(np.float32)
+    g = rng.standard_normal(coo.shape[0]).astype(np.float32)
+    gp = np.asarray(op.vjp_vals(jnp.asarray(x), jnp.asarray(g)))
+    got = gp.reshape(-1)[op.slot_map()]
+    gv_ref = (
+        g.astype(np.float64)[r[: coo.nnz]]
+        * x.astype(np.float64)[c[: coo.nnz]]
+    )
+    scale = np.abs(gv_ref).max() + 1e-9
+    assert np.abs(got - gv_ref).max() / scale < 1e-5
+
+
+def test_compiled_differentiable_edges_curtis54(tpu_device):
+    """End-to-end trainable-edge VJP (forward + d/dv + d/dx kernels, all
+    Pallas) compiles on hardware; cheap canary-sized sample."""
+    import jax
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV
+
+    coo = read_mtx("/root/reference/sample-data/curtis54.mtx").pad(128)
+    r, c, v = coo.to_numpy()
+    op = SellSpMV.from_coo(coo, interpret=False)
+    f = op.differentiable_edges()
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.standard_normal(coo.shape[1]).astype(np.float32))
+    vj = jnp.asarray(v[: coo.nnz].astype(np.float32))
+    gv, gx = jax.jit(jax.grad(
+        lambda vv, xx: jnp.sum(f(vv, xx) ** 2), argnums=(0, 1)
+    ))(vj, x)
+    a = np.zeros(coo.shape, dtype=np.float64)
+    np.add.at(a, (r[: coo.nnz], c[: coo.nnz]), v[: coo.nnz])
+    g_out = 2 * (a @ np.asarray(x, np.float64))
+    gv_ref = g_out[r[: coo.nnz]] * np.asarray(x, np.float64)[c[: coo.nnz]]
+    gx_ref = a.T @ g_out
+    assert np.abs(np.asarray(gv) - gv_ref).max() / (
+        np.abs(gv_ref).max() + 1e-9
+    ) < 1e-5
+    assert np.abs(np.asarray(gx) - gx_ref).max() / (
+        np.abs(gx_ref).max() + 1e-9
+    ) < 1e-5
