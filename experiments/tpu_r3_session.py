@@ -182,6 +182,75 @@ def run(name, *, value_dtype=None, precision=None, resident=None,
             os.environ.pop("SMVP_SELL_REDUCE2", None)
 
 
+def run_grad(name, *, iterations=100, label=" grad"):
+    """Time one fused training-gradient step: gv, gx of 0.5·|A(v)·x|².
+
+    The backward sweeps the nnz three times per iteration (forward y,
+    vals-grad kernel, transpose apply for gx), all on the Pallas path —
+    this stage measures the trainable-edge story end to end with ONE
+    remote compile (fori_loop fusion, bench.py's trick).
+    """
+    t0 = time.time()
+    if QUICK:
+        iterations = 3
+    coo = _coo(name)
+    r, c, v = coo.to_numpy()
+    op = sp.SellSpMV.from_coo(coo, interpret=None if QUICK else False)
+    f = op.differentiable_edges()
+    rng = np.random.default_rng(0)
+    xh = rng.standard_normal(coo.shape[1]).astype(np.float32)
+    x = jnp.asarray(xh)
+    vj = jnp.asarray(v[: coo.nnz].astype(np.float32))
+    grad_fn = jax.grad(
+        lambda vv, xx: 0.5 * jnp.sum(f(vv, xx) ** 2), argnums=(0, 1)
+    )
+
+    @jax.jit
+    def fused(vv, xx):
+        def body(_, carry):
+            agv, agx = carry
+            # Never-taken select: makes each iteration data-dependent on
+            # the carry so XLA cannot hoist the gradient out of the loop.
+            xi = jnp.where(agx[0] > 1e30, xx + 1.0, xx)
+            gv, gx = grad_fn(vv, xi)
+            return agv + gv, agx + gx
+
+        zero = (jnp.zeros_like(vv), jnp.zeros_like(xx))
+        return jax.lax.fori_loop(0, iterations, body, zero)
+
+    agv, agx = jax.block_until_ready(fused(vj, x))  # compile + warmup
+    times = []
+    for _ in range(3):
+        t1 = time.time()
+        jax.block_until_ready(fused(vj, x))
+        times.append((time.time() - t1) / iterations)
+    # Host float64 oracle: g = y, gv = y[r]·x[c], gx = Aᵀ·y.
+    rn, cn, vn = r[: coo.nnz], c[: coo.nnz], v[: coo.nnz]
+    y_ref = np.zeros(coo.shape[0])
+    np.add.at(y_ref, rn, vn * xh.astype(np.float64)[cn])
+    gv_ref = y_ref[rn] * xh.astype(np.float64)[cn]
+    gx_ref = np.zeros(coo.shape[1])
+    np.add.at(gx_ref, cn, vn * y_ref[rn])
+    egv = np.abs(np.asarray(agv, np.float64) / iterations - gv_ref).max()
+    egv /= np.abs(gv_ref).max() + 1e-30
+    egx = np.abs(np.asarray(agx, np.float64) / iterations - gx_ref).max()
+    egx /= np.abs(gx_ref).max() + 1e-30
+    avg = min(times)
+    nnzs3 = 3 * coo.nnz / avg  # 3 nnz-sweeps per gradient iteration
+    rec = {
+        "ts": time.time(), "name": name, "label": label.strip(),
+        "kind": "grad", "nnz": int(coo.nnz),
+        "err_gv": float(egv), "err_gx": float(egx),
+        "avg_us": float(avg * 1e6), "gnnz_s_3pass": float(nnzs3 / 1e9),
+        "iterations": iterations,
+        "device": jax.devices()[0].device_kind,
+    }
+    _record(rec)
+    print(f"{name}{label}: err_gv={egv:.2e} err_gx={egx:.2e}  "
+          f"{avg*1e6:8.2f} us/step  {nnzs3/1e9:6.2f} Gnnz/s(3-pass) "
+          f"(compile+run {time.time()-t0:.0f}s)", flush=True)
+
+
 def main():
     t0 = time.time()
     dev = jax.devices()[0]
@@ -256,6 +325,17 @@ def main():
                 except Exception as e2:
                     print(f"compat canary ALSO FAILED: {str(e2)[:300]}",
                           flush=True)
+
+    # Trainable-edge backward throughput (resident-y matrices only —
+    # streamed-y operators train on the XLA path by design).
+    for gname, gkw in [
+        ("memplus", dict(label=" grad-f32")),
+        ("synth-10M", dict(iterations=20, label=" grad-f32")),
+    ]:
+        try:
+            run_grad(gname, **gkw)
+        except Exception as e:
+            print(f"{gname} grad FAILED: {str(e)[:300]}", flush=True)
 
     # Post-session: calibrate the autotuner cost model on the chunk-sweep
     # records and check pick_plan against the measured best.
