@@ -152,6 +152,72 @@ class COOMatrix:
         return scipy.sparse.coo_matrix((v, (r, c)), shape=self.shape)
 
     @staticmethod
+    def from_bcoo(
+        mat,
+        *,
+        typecode: Optional[MMTypeCode] = None,
+        dtype=None,
+        pad_to: Optional[int] = None,
+    ) -> "COOMatrix":
+        """Build from a ``jax.experimental.sparse.BCOO`` matrix.
+
+        The in-ecosystem bridge: JAX users holding BCOO operators can
+        route them onto this framework's encoders/kernels without
+        leaving device-array land. Only plain 2-D matrices (no batch or
+        dense trailing dims) map onto a sparse matrix codec. BCOO marks
+        padding with out-of-range indices — those slots are dropped
+        (this framework's padding sentinel differs: ``row == nrows``
+        with ``val == 0``). Duplicates are preserved (both sides sum
+        them on materialization). The value dtype is preserved unless
+        ``dtype`` overrides it.
+        """
+        if mat.ndim != 2 or mat.n_batch or mat.n_dense:
+            raise ValueError(
+                "only plain 2-D BCOO (n_batch=0, n_dense=0) converts to "
+                f"a sparse matrix; got ndim={mat.ndim}, "
+                f"n_batch={mat.n_batch}, n_dense={mat.n_dense}"
+            )
+        idx = np.asarray(mat.indices)
+        data = np.asarray(mat.data)
+        keep = (idx[:, 0] < mat.shape[0]) & (idx[:, 1] < mat.shape[1])
+        if not bool(keep.all()):
+            idx, data = idx[keep], data[keep]
+        return COOMatrix.from_numpy(
+            idx[:, 0],
+            idx[:, 1],
+            data,
+            shape=mat.shape,
+            typecode=typecode,
+            dtype=mat.dtype if dtype is None else dtype,
+            pad_to=pad_to,
+        )
+
+    def to_bcoo(self):
+        """True (unpadded) entries as ``jax.experimental.sparse.BCOO``.
+
+        Symmetric/skew/hermitian storage is expanded to the full matrix
+        (BCOO carries no symmetry metadata); the value dtype is
+        preserved (BCOO is JAX-native, so bfloat16 needs no upcast).
+        """
+        from jax.experimental import sparse as jsparse
+
+        r, c, v = self.to_numpy()
+        if not self.typecode.is_general:
+            from smvp_toolkit_tpu.io.mtx import expand_symmetric
+
+            r, c, v = expand_symmetric(self.typecode, r, c, v)
+        indices = jnp.stack(
+            [
+                jnp.asarray(np.asarray(r, np.int32)),
+                jnp.asarray(np.asarray(c, np.int32)),
+            ],
+            axis=1,
+        )
+        return jsparse.BCOO(
+            (jnp.asarray(v), indices), shape=self.shape
+        )
+
+    @staticmethod
     def from_torch(
         tensor,
         *,

@@ -144,3 +144,80 @@ def test_to_scipy_torch_bf16_upcasts():
     t = coo.to_torch()
     np.testing.assert_allclose(t.to_dense().numpy(), sp.toarray(),
                                rtol=1e-2, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# jax.experimental.sparse (BCOO) bridge
+# ---------------------------------------------------------------------------
+
+def _bcoo():
+    from jax.experimental import sparse as jsparse
+
+    return jsparse
+
+
+def test_bcoo_round_trip_dense_equal():
+    jsparse = _bcoo()
+    sp = _random_scipy(m=41, n=29, density=0.12, seed=3)
+    b = jsparse.BCOO.fromdense(jnp.asarray(sp.toarray(), jnp.float32))
+    coo = COOMatrix.from_bcoo(b)
+    np.testing.assert_allclose(
+        coo.to_dense(), sp.toarray(), rtol=1e-6, atol=1e-6
+    )
+    back = coo.to_bcoo()
+    np.testing.assert_allclose(
+        np.asarray(back.todense()), sp.toarray(), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_bcoo_padding_slots_dropped():
+    # BCOO marks padding with out-of-range indices; conversion must drop
+    # those slots, not alias them onto real entries.
+    jsparse = _bcoo()
+    data = jnp.asarray([1.0, 2.0, 7.0], jnp.float32)
+    indices = jnp.asarray([[0, 1], [2, 0], [4, 4]], jnp.int32)  # last OOB
+    b = jsparse.BCOO((data, indices), shape=(4, 3))
+    coo = COOMatrix.from_bcoo(b)
+    assert coo.nnz == 2
+    dense = np.zeros((4, 3))
+    dense[0, 1], dense[2, 0] = 1.0, 2.0
+    np.testing.assert_array_equal(coo.to_dense(), dense)
+
+
+def test_bcoo_spmv_matches():
+    jsparse = _bcoo()
+    sp = _random_scipy(m=64, n=48, density=0.1, seed=4)
+    b = jsparse.BCOO.fromdense(jnp.asarray(sp.toarray(), jnp.float32))
+    coo = COOMatrix.from_bcoo(b, pad_to=128)
+    csr = csr_encode(coo)
+    x = np.random.RandomState(0).randn(48).astype(np.float32)
+    y = np.asarray(spmv_csr(csr, jnp.asarray(x)))
+    np.testing.assert_allclose(y, sp @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_bcoo_batch_or_dense_dims_rejected():
+    jsparse = _bcoo()
+    dense = jnp.zeros((2, 4, 4), jnp.float32).at[:, 0, 1].set(1.0)
+    batched = jsparse.BCOO.fromdense(dense, n_batch=1)
+    with pytest.raises(ValueError, match="n_batch"):
+        COOMatrix.from_bcoo(batched)
+
+
+def test_to_bcoo_expands_symmetric_and_keeps_bf16():
+    from smvp_toolkit_tpu.io.mtx import MMTypeCode
+
+    # lower triangle of a symmetric matrix, stored bf16
+    r = np.array([0, 1, 2, 2], np.int32)
+    c = np.array([0, 0, 1, 2], np.int32)
+    v = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    tc = MMTypeCode(field="real", symmetry="symmetric")
+    coo = COOMatrix.from_numpy(
+        r, c, v, shape=(3, 3), typecode=tc, dtype=jnp.bfloat16
+    )
+    b = coo.to_bcoo()
+    assert b.dtype == jnp.bfloat16
+    dense = np.asarray(b.todense(), np.float32)
+    expect = np.array(
+        [[1, 2, 0], [2, 0, 3], [0, 3, 4]], np.float32
+    )
+    np.testing.assert_array_equal(dense, expect)
