@@ -95,8 +95,12 @@ def _lock_holder_alive() -> bool:
             return False
         os.kill(pid, 0)
         return True
-    except (FileNotFoundError, ValueError, ProcessLookupError,
-            PermissionError):
+    except PermissionError:
+        # The PID exists but belongs to another user — the holder is
+        # very much alive; treating this as "free" would create exactly
+        # the two-owner tunnel contention the lock prevents.
+        return True
+    except (FileNotFoundError, ValueError, ProcessLookupError):
         return False
 
 
@@ -143,15 +147,25 @@ def _supervise() -> int:
         )
         last_progress = [time.monotonic()]
         stderr_tail = []
+        stdout_chunks = []
 
-        def _drain():
+        def _drain_err():
             for line in proc.stderr:
                 last_progress[0] = time.monotonic()
                 stderr_tail.append(line)
                 del stderr_tail[:-40]
 
-        t = threading.Thread(target=_drain, daemon=True)
-        t.start()
+        def _drain_out():
+            # stdout must drain concurrently too: a child that fills the
+            # pipe buffer blocks in write(), stops heartbeating, and
+            # would be misdiagnosed as a stall.
+            for line in proc.stdout:
+                stdout_chunks.append(line)
+
+        threads = [threading.Thread(target=_drain_err, daemon=True),
+                   threading.Thread(target=_drain_out, daemon=True)]
+        for t in threads:
+            t.start()
         t0 = time.monotonic()
         timed_out = False
         while proc.poll() is None:
@@ -164,9 +178,10 @@ def _supervise() -> int:
                     pass
                 break
             time.sleep(2)
-        out = proc.stdout.read() if not timed_out else ""
         proc.wait()
-        t.join(timeout=5)
+        for t in threads:
+            t.join(timeout=5)
+        out = "" if timed_out else "".join(stdout_chunks)
         return (None if timed_out else proc.returncode, out,
                 "".join(stderr_tail))
 

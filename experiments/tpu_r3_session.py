@@ -145,8 +145,13 @@ def run(name, *, value_dtype=None, precision=None, resident=None,
             "S": int(plan.n_sublanes), "WT": int(plan.window_tiles),
             "NSW": int(nsw), "NS": int(plan.n_slices),
             "n_chunks": int(plan.n_chunks),
+            # lidx width must be passed explicitly: the LIDX32 env var is
+            # only set around operator construction above, so the
+            # default-resolution here would claim int8 for an int32 run.
             "traffic_bytes": float(plan.traffic_bytes(
-                2 if bf16 else 4, None, 2 if bf16 else 4)),
+                2 if bf16 else 4,
+                4 if (lidx32 or chunk % 32) else 1,
+                2 if bf16 else 4)),
             "device": jax.devices()[0].device_kind,
         }
         if not time_it:

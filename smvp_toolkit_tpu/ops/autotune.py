@@ -117,14 +117,22 @@ def _passes(rec: dict) -> Tuple[int, int]:
 
     Mirrors the precision rules in ops/spmv_pallas.py: bf16 value mode
     runs a single-pass table matmul; the reduce is 3-pass (HIGH) for
-    bf16 and f32-HIGH, 6-pass (HIGHEST) for plain f32, and 2-pass when
-    the double-bf16 reduce2 ladder is enabled.
+    bf16 and f32-HIGH, 6-pass (HIGHEST) for plain f32. The double-bf16
+    reduce2 ladder replaces BOTH matmuls with 2 single-pass bf16
+    matmuls each (_table_select/_seg_reduce take the reduce2 branch
+    before consulting ``precision``); in bf16 value mode the table
+    select stays single-pass (x is already bf16 — no hi/lo split).
     """
     # "HIGHEST" contains "HIGH" as a substring — classify it as the
     # 6-pass default, not the 3-pass HIGH mode.
     prec = str(rec.get("precision") or "")
     high = "HIGH" in prec and "HIGHEST" not in prec
-    table = 1 if rec.get("bf16") else (3 if high else 6)
+    if rec.get("bf16"):
+        table = 1
+    elif rec.get("reduce2"):
+        table = 2
+    else:
+        table = 3 if high else 6
     if rec.get("reduce2"):
         reduce = 2
     else:

@@ -306,7 +306,7 @@ def _make_sell_kernel_onehot(precision, ns, wt):
     return _sell_kernel
 
 
-def _make_vals_grad_kernel(nsw, wt, precision, bf16_values):
+def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident):
     """Backward kernel for d(loss)/d(packed values plane).
 
     SpMV is bilinear: with g the output cotangent,
@@ -320,12 +320,19 @@ def _make_vals_grad_kernel(nsw, wt, precision, bf16_values):
     whole lane row is exactly 0; unused lanes within a live sublane
     carry that slot's true (generally nonzero) partial derivative —
     harmless, since the triplet-space API gathers live slots only.
+
+    ``resident``: True slices the chunk's x window out of the resident
+    (CT, LANES) x block; False receives pre-windowed (1, wt, LANES)
+    blocks (the same escape-hatch split as the forward kernel).
     """
 
     def _kernel(bases_ref, x_ref, g_ref, lidx_ref, rel_ref, sl_ref,
                 out_ref):
         step = pl.program_id(0)
-        x_win = x_ref[pl.ds(bases_ref[0, step], wt), :]
+        x_win = (
+            x_ref[pl.ds(bases_ref[0, step], wt), :] if resident
+            else x_ref[0]
+        )
         table = _table_select(
             rel_ref, x_win, wt, precision, bf16_values, False
         )
@@ -370,8 +377,8 @@ def _sell_vals_grad_call(
             ]
         )
         return pl.pallas_call(
-            _make_vals_grad_kernel_windowed(nsw, wt, precision,
-                                            bf16_values),
+            _make_vals_grad_kernel(nsw, wt, precision, bf16_values,
+                                   resident=False),
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -389,7 +396,8 @@ def _sell_vals_grad_call(
         )(bases, xw, g2d, lidx, rel_tile, slice_of)
     ct = x_tiles.shape[0]
     return pl.pallas_call(
-        _make_vals_grad_kernel(nsw, wt, precision, bf16_values),
+        _make_vals_grad_kernel(nsw, wt, precision, bf16_values,
+                               resident=True),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -405,33 +413,6 @@ def _sell_vals_grad_call(
         ),
         interpret=interpret,
     )(bases, x_tiles, g2d, lidx, rel_tile, slice_of)
-
-
-def _make_vals_grad_kernel_windowed(nsw, wt, precision, bf16_values):
-    """Backward kernel fed pre-windowed (1, wt, LANES) x blocks."""
-
-    def _kernel(bases_ref, x_ref, g_ref, lidx_ref, rel_ref, sl_ref,
-                out_ref):
-        step = pl.program_id(0)
-        table = _table_select(
-            rel_ref, x_ref[0], wt, precision, bf16_values, False
-        )
-        xg = jnp.take_along_axis(
-            table, lidx_ref[:].astype(jnp.int32), axis=1
-        )
-        sb = bases_ref[1, step]
-        g_win = g_ref[pl.ds(sb, nsw), :]
-        rel_s = sl_ref[:] - sb
-        nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
-        seg = (nsw_iota == rel_s).astype(jnp.float32)
-        gsel = jax.lax.dot_general(
-            seg, g_win, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[:] = gsel * xg
-
-    return _kernel
 
 
 @partial(
@@ -788,6 +769,17 @@ class SellSpMV:
             if self._triplets is None:
                 raise ValueError(
                     "slot_map requires an operator built via from_coo"
+                )
+            if self.plan.y_block_slices:
+                # The probe below rebuilds a FLAT plan; a streamed-y
+                # operator's sublane order is block-major, so the flat
+                # slot indices would silently mis-scatter values into
+                # the streamed plane (and the backward has no streamed
+                # kernel anyway — see vjp_vals).
+                raise ValueError(
+                    "slot_map/differentiable_edges need a resident-y "
+                    "plan; streamed-y operators (> ~2M rows) train via "
+                    "the XLA kernels instead"
                 )
             r, c, _v = self._triplets
             nnz = len(r)

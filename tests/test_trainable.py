@@ -255,3 +255,20 @@ def test_differentiable_edges_optax():
     for _ in range(20):
         vv, state, _ = step(vv, state)
     assert float(loss(vv)) < l0
+
+
+def test_differentiable_edges_streamed_plan_rejected(monkeypatch):
+    # A streamed-y (v7) plan's sublane order is block-major; slot_map's
+    # flat probe plan would silently mis-scatter values (review finding,
+    # round 3). The trainable API must refuse streamed operators.
+    import smvp_toolkit_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(sp, "_RESIDENT_Y_LIMIT", 1024)
+    monkeypatch.setattr(sp, "_STREAM_Y_BLOCK_ROWS", 2048)
+    coo = synth_banded(5000, nnz_per_row=4, bandwidth=16, seed=3)
+    op = sp.SellSpMV.from_coo(coo, interpret=True)
+    assert op.plan.y_block_slices  # precondition: plan really streamed
+    with pytest.raises(ValueError, match="resident-y"):
+        op.differentiable_edges()
+    with pytest.raises(ValueError, match="resident-y"):
+        op.slot_map()
