@@ -74,14 +74,23 @@ def gcn_layer(
     w: jax.Array,
     b: Optional[jax.Array] = None,
     act: Callable[[jax.Array], jax.Array] = jax.nn.relu,
+    *,
+    spmm: Optional[Callable] = None,
 ) -> jax.Array:
     """One GCN layer: act(S · (H W) + b).
 
     Transform-then-aggregate: the dense H·W runs on the MXU first so the
     SpMM aggregates the (usually narrower) output width.
+
+    ``spmm``: injectable aggregation kernel ``(s, hw) -> S·hw`` — pass
+    e.g. ``lambda m, z: spmm_csr_sharded(sharded, z, mesh)`` to train
+    data-parallel (shard_map is differentiable, so gradients flow
+    through the collective: the forward's ordered all-gather transposes
+    to a reduce-scatter of the cotangent). Defaults to the single-chip
+    XLA kernel.
     """
     hw = h @ w
-    out = spmm_csr(s, hw)
+    out = (spmm or spmm_csr)(s, hw)
     if b is not None:
         out = out + b
     return act(out)
@@ -104,12 +113,15 @@ def gcn_init(
     return params
 
 
-def gcn_forward(s: CSRMatrix, params, h: jax.Array) -> jax.Array:
+def gcn_forward(
+    s: CSRMatrix, params, h: jax.Array, *, spmm: Optional[Callable] = None
+) -> jax.Array:
     """Multi-layer GCN; last layer linear (logits)."""
     for i, (w, b) in enumerate(params):
         last = i == len(params) - 1
         h = gcn_layer(
-            s, h, w, b, act=(lambda z: z) if last else jax.nn.relu
+            s, h, w, b, act=(lambda z: z) if last else jax.nn.relu,
+            spmm=spmm,
         )
     return h
 
@@ -121,15 +133,20 @@ def gcn_train_step(
     labels: jax.Array,
     mask: jax.Array,
     lr: float = 1e-2,
+    *,
+    spmm: Optional[Callable] = None,
 ):
     """One SGD step on masked softmax cross-entropy; returns (params, loss).
 
     Jittable: wrap in ``jax.jit`` (s is a pytree of static-shaped device
-    arrays) or scan it for a full training run.
+    arrays) or scan it for a full training run. With an injected sharded
+    ``spmm`` (see :func:`gcn_layer`) this is the full data-parallel
+    training step: replicated parameters, row-block-sharded aggregation,
+    gradients reduced by the shard_map transpose.
     """
 
     def loss_fn(p):
-        logits = gcn_forward(s, p, h)
+        logits = gcn_forward(s, p, h, spmm=spmm)
         logp = jax.nn.log_softmax(logits)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
         m = mask.astype(logp.dtype)

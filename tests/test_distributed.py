@@ -243,6 +243,56 @@ def test_distributed_gcn_layer_matches_single_device():
     np.testing.assert_allclose(y_dist, y_single, rtol=1e-4, atol=1e-5)
 
 
+def test_distributed_gcn_train_step_matches_single_device():
+    """Full DP training step: grads flow through shard_map's collective.
+
+    One SGD step with the aggregation injected as the sharded SpMM must
+    produce the same loss and updated parameters as the single-device
+    step — the all-gather in the forward transposes to a reduce-scatter
+    of the cotangent under jax.grad.
+    """
+    from smvp_toolkit_tpu.models.graph import (
+        gcn_init, gcn_norm, gcn_train_step,
+    )
+    from smvp_toolkit_tpu.parallel import spmm_csr_sharded
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(31)
+    n = 60
+    r, c, v = random_coo(rng, n, n, 300)
+    adj = COOMatrix.from_numpy(r, c, np.abs(v), shape=(n, n), pad_to=64)
+    s = gcn_norm(adj)
+    mesh = make_mesh(4)
+    s_sh = shard_csr(s, mesh)
+
+    h = jnp.asarray(rng.randn(n, 12), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 4, n), jnp.int32)
+    mask = jnp.asarray(rng.rand(n) < 0.5)
+    params = gcn_init(jax.random.PRNGKey(0), (12, 8, 4))
+
+    p_single, loss_single = jax.jit(
+        lambda p: gcn_train_step(s, p, h, labels, mask)
+    )(params)
+    p_dist, loss_dist = jax.jit(
+        lambda p: gcn_train_step(
+            s, p, h, labels, mask,
+            spmm=lambda m, z: spmm_csr_sharded(s_sh, z, mesh),
+        )
+    )(params)
+
+    np.testing.assert_allclose(
+        float(loss_dist), float(loss_single), rtol=1e-5
+    )
+    for (w1, b1), (w2, b2) in zip(p_single, p_dist):
+        np.testing.assert_allclose(
+            np.asarray(w2), np.asarray(w1), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(b2), np.asarray(b1), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_cg_over_sharded_spmv():
     """Data-parallel CG: the solver loop composed with the sharded SpMV.
 
