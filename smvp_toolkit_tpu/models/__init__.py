@@ -17,6 +17,9 @@ from smvp_toolkit_tpu.models.solvers import (
     cgls,
     gmres,
     pcg,
+    pcg_precond,
+    jacobi_preconditioner,
+    chebyshev_preconditioner,
     chebyshev,
     minres,
     lanczos_eigsh,
@@ -40,6 +43,9 @@ __all__ = [
     "cgls",
     "gmres",
     "pcg",
+    "pcg_precond",
+    "jacobi_preconditioner",
+    "chebyshev_preconditioner",
     "chebyshev",
     "minres",
     "lanczos_eigsh",

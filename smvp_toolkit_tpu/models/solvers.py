@@ -27,6 +27,9 @@ __all__ = [
     "cgls",
     "gmres",
     "pcg",
+    "pcg_precond",
+    "jacobi_preconditioner",
+    "chebyshev_preconditioner",
     "chebyshev",
     "minres",
     "lanczos_eigsh",
@@ -516,6 +519,93 @@ def pcg(
         x = x + alpha * p
         r = r - alpha * ap
         z = inv_d * r
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, z, p, rz_new), jnp.linalg.norm(r)
+
+    (x, *_), res = jax.lax.scan(step, (x, r, z, p, rz), None,
+                                length=num_iters)
+    return x, res
+
+
+def jacobi_preconditioner(
+    matrix, diag: jax.Array, order: int = 2, spmv: Callable = spmv_csr
+) -> Callable:
+    """Truncated-Neumann (fixed-count Jacobi) preconditioner factory.
+
+    ``apply(r) = M⁻¹r`` with ``M⁻¹ = Σ_{k<order} (I − D⁻¹A)^k D⁻¹`` —
+    ``order`` Jacobi sweeps from zero. The sweep count is FIXED, so the
+    operator is the same linear polynomial on every apply (a CG
+    preconditioner must be a constant SPD operator). Each apply costs
+    ``order`` SpMVs and zero reductions — it shifts work from CG's
+    latency-bound all-reduce dot products onto the bandwidth-bound SpMV,
+    the right trade on a sharded mesh. ``order=1`` is plain Jacobi
+    scaling (what :func:`pcg` builds in).
+    """
+
+    def apply(r: jax.Array) -> jax.Array:
+        return jacobi(matrix, r, diag, num_iters=order, spmv=spmv)
+
+    return apply
+
+
+def chebyshev_preconditioner(
+    matrix,
+    lambda_min: float,
+    lambda_max: float,
+    degree: int = 4,
+    spmv: Callable = spmv_csr,
+) -> Callable:
+    """Chebyshev polynomial preconditioner factory (SPD spectrum bounds).
+
+    A fixed-degree Chebyshev semi-iteration approximating ``A⁻¹`` on
+    ``[lambda_min, lambda_max]`` — the minimax-optimal polynomial of
+    that degree, inner-product-free (``degree`` SpMVs + AXPYs per
+    apply, zero global reductions): the classic communication-avoiding
+    preconditioner for distributed CG. Spectrum bounds can come from a
+    few :func:`lanczos_eigsh` iterations. Fixed degree ⇒ constant
+    linear operator, as CG requires.
+    """
+
+    def apply(r: jax.Array) -> jax.Array:
+        z, _ = chebyshev(
+            matrix, r, lambda_min, lambda_max, num_iters=degree,
+            spmv=spmv,
+        )
+        return z
+
+    return apply
+
+
+def pcg_precond(
+    matrix,
+    b: jax.Array,
+    precond: Callable,
+    x0: Optional[jax.Array] = None,
+    num_iters: int = 50,
+    spmv: Callable = spmv_csr,
+):
+    """CG with a general preconditioner callable ``z = precond(r)``.
+
+    ``precond`` must apply a CONSTANT SPD operator (Jacobi scaling, the
+    polynomial factories above, or any user-supplied M⁻¹); CG's
+    three-term recurrence silently loses orthogonality otherwise.
+    Returns (x, residual_norms).
+    """
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - spmv(matrix, x)
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z)
+
+    def step(carry, _):
+        x, r, z, p, rz = carry
+        ap = spmv(matrix, p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = z + beta * p

@@ -431,3 +431,84 @@ def test_block_cg_beats_percolumn_iterations():
         err_s += np.linalg.norm(np.asarray(xs) - X_ref[:, j])
         err_b += np.linalg.norm(np.asarray(Xb)[:, j] - X_ref[:, j])
     assert err_b <= err_s
+
+
+# ---------------------------------------------------------------------------
+# Polynomial preconditioners (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_pcg_precond_jacobi_order1_matches_pcg():
+    # order=1 truncated Neumann IS Jacobi scaling: pcg_precond must
+    # reproduce pcg's residual trajectory exactly.
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.models import (
+        jacobi_preconditioner, pcg, pcg_precond,
+    )
+
+    coo, a = _spd_coo(n=40, seed=21)
+    csr = csr_encode(coo)
+    b = jnp.asarray(np.random.RandomState(0).randn(40).astype(np.float32))
+    diag = jnp.asarray(np.diag(a).astype(np.float32))
+    x1, r1 = pcg(csr, b, diag, num_iters=20)
+    m = jacobi_preconditioner(csr, diag, order=1)
+    x2, r2 = pcg_precond(csr, b, m, num_iters=20)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_polynomial_preconditioners_accelerate_cg():
+    # On an ill-conditioned SPD system both polynomial preconditioners
+    # must beat plain CG at the same CG-iteration budget, and solve.
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.models import (
+        chebyshev_preconditioner, conjugate_gradient,
+        jacobi_preconditioner, lanczos_eigsh, pcg_precond,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 100
+    scales = 10.0 ** rng.uniform(-2, 2, n)
+    dense = np.diag(scales)
+    for _ in range(200):
+        i, j = rng.randint(0, n, 2)
+        if i < j:
+            v = rng.randn() * 0.01 * np.sqrt(scales[i] * scales[j])
+            dense[i, j] += v
+            dense[j, i] += v
+    r, c = np.nonzero(dense)
+    csr = csr_encode(COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), dense[r, c], shape=(n, n)
+    ))
+    b = jnp.asarray(rng.randn(n).astype(np.float32))
+    bn = float(jnp.linalg.norm(b))
+    x_ref = np.linalg.solve(dense, np.asarray(b, np.float64))
+
+    _, res_cg = conjugate_gradient(csr, b, num_iters=25)
+
+    diag = jnp.asarray(scales.astype(np.float32))
+    m_neu = jacobi_preconditioner(csr, diag, order=3)
+    x_n, res_n = pcg_precond(csr, b, m_neu, num_iters=25)
+    assert float(res_n[-1]) < float(res_cg[-1])
+    assert float(res_n[-1]) < 1e-3 * bn
+
+    # The raw spectrum spans ~4 decades (scales 1e-2..1e2), so the
+    # Chebyshev polynomial needs a higher degree than on well-scaled
+    # systems; bounds come from a short Lanczos run.
+    lows, highs = lanczos_eigsh(csr, b, num_iters=20)
+    m_cheb = chebyshev_preconditioner(
+        csr, 0.9 * float(lows[0]), 1.1 * float(highs[-1]), degree=12
+    )
+    # 40 CG iterations: the unconverged Lanczos low Ritz value sits
+    # above the true lambda_min, so the polynomial under-damps the
+    # lowest modes a little (expected with single-pass Lanczos).
+    x_c, res_c = pcg_precond(csr, b, m_cheb, num_iters=40)
+    assert float(res_c[-1]) < float(res_cg[-1])
+    assert float(res_c[-1]) < 1e-3 * bn
+
+    err = np.abs(np.asarray(x_c, np.float64) - x_ref).max()
+    assert err / (np.abs(x_ref).max() + 1e-30) < 1e-2
