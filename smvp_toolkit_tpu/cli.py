@@ -169,7 +169,8 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="METHOD[:ITERS]",
         help=(
             "after benchmarking, solve A x = b with an iterative method "
-            "(cg, pcg, bicgstab, gmres, minres, chebyshev; default 100 "
+            "(cg, pcg, pcg-cheb, pcg-neumann, bicgstab, gmres, minres, "
+            "chebyshev; default 100 "
             "iterations) using the --x vector as b; logs the relative "
             "residual and writes the solution into a SOLVE report"
         ),
@@ -681,7 +682,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     return exit_code
 
 
-SOLVE_METHODS = ("cg", "pcg", "bicgstab", "gmres", "minres", "chebyshev")
+SOLVE_METHODS = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "bicgstab",
+                 "gmres", "minres", "chebyshev")
 
 
 def _append_json(path, record) -> None:
@@ -746,6 +748,32 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
         xs, _ = conjugate_gradient(csr, b, num_iters=iters, spmv=spmv)
     elif method == "pcg":
         xs, _ = pcg(csr, b, diagonal(coo), num_iters=iters, spmv=spmv)
+    elif method in ("pcg-cheb", "pcg-neumann"):
+        # Polynomial preconditioners: the apply is pure SpMV + AXPY
+        # (zero inner products) — communication-avoiding under sharding.
+        from smvp_toolkit_tpu.models import (
+            chebyshev_preconditioner,
+            jacobi_preconditioner,
+            pcg_precond,
+        )
+
+        if is_complex:
+            log("ERROR", f"--solve {method} needs a real SPD system")
+            return 2
+        if method == "pcg-cheb":
+            lows, highs = lanczos_eigsh(
+                csr, jnp.ones_like(b), num_iters=min(30, coo.shape[0]),
+                k=1, spmv=spmv,
+            )
+            m = chebyshev_preconditioner(
+                csr, float(lows[0]) * 0.9, float(highs[0]) * 1.1,
+                degree=8, spmv=spmv,
+            )
+        else:
+            m = jacobi_preconditioner(
+                csr, diagonal(coo), order=3, spmv=spmv
+            )
+        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv)
     elif method == "bicgstab":
         xs, _ = bicgstab(csr, b, num_iters=iters, spmv=spmv)
     elif method == "minres":

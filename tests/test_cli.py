@@ -393,3 +393,37 @@ def test_solve_complex_system(tmp_path):
     rc = cli_main(["-c", "-n", "1", "--no-report", "--solve",
                    "chebyshev:8", str(mtx)])
     assert rc == 2
+
+
+@pytest.mark.parametrize("method", ["pcg-cheb", "pcg-neumann"])
+def test_solve_polynomial_preconditioned(method, tmp_path):
+    """--solve pcg-cheb/pcg-neumann converge on an SPD system."""
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+    from smvp_toolkit_tpu.io.mtx import write_mtx
+
+    rng = np.random.RandomState(3)
+    n = 40
+    a = np.zeros((n, n))
+    for _ in range(3 * n):
+        i, j = rng.randint(0, n, 2)
+        w = rng.rand()
+        a[i, j] += w
+        a[j, i] += w
+    a += np.diag(np.abs(a).sum(axis=1) + 1.0)
+    r, c = np.nonzero(a)
+    path = tmp_path / "spd.mtx"
+    write_mtx(str(path), r.astype(np.int32), c.astype(np.int32),
+              a[r, c], (n, n))
+
+    out = tmp_path / "m.jsonl"
+    rc = cli_main(
+        ["-c", "-n", "1", "-d", str(tmp_path),
+         "--solve", f"{method}:20", "--json-out", str(out), str(path)]
+    )
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    solve = [r for r in recs if r["alg"].startswith("SOLVE-")]
+    assert len(solve) == 1
+    assert solve[0]["relative_residual"] < 1e-3
