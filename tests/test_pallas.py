@@ -578,3 +578,50 @@ def test_rewindow_plan_matches_rebuild():
         (n, n), chunk=256, allow_small_chunk=False,
     )
     assert rewindow_plan(empty, 999).window_tiles == empty.window_tiles
+
+
+# ---------------------------------------------------------------------------
+# Env-flag cross-product matrix (round 3)
+# ---------------------------------------------------------------------------
+# The hardware canary ladder can settle on NOWINDOW=1 or COMPAT=1, and
+# every subsequent session A/B stage (bf16, reduce2, lidx32, prefetch)
+# then runs UNDER that rung — so flag COMBINATIONS occur on hardware.
+# Every combination the session can produce must be interpreter-correct
+# before it can burn a tunnel window.
+
+_LADDER = [{}, {"SMVP_SELL_NOWINDOW": "1"}, {"SMVP_SELL_COMPAT": "1"}]
+_STAGE = [
+    {},
+    {"SMVP_SELL_REDUCE2": "1"},
+    {"SMVP_SELL_LIDX32": "1"},
+    {"SMVP_SELL_REDUCE2": "1", "SMVP_SELL_LIDX32": "1"},
+]
+
+
+@pytest.mark.parametrize("rung", range(len(_LADDER)))
+@pytest.mark.parametrize("stage", range(len(_STAGE)))
+@pytest.mark.parametrize("bf16", [False, True])
+def test_env_flag_matrix(rung, stage, bf16, monkeypatch):
+    env = dict(_LADDER[rung], **_STAGE[stage])
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    rng = np.random.RandomState(7)
+    r, c, v = random_coo(rng, 200, 170, 900)
+    coo = COOMatrix.from_numpy(r, c, v, shape=(200, 170), pad_to=128)
+    rn, cn, vn = coo.to_numpy()
+    vdt = jnp.bfloat16 if bf16 else None
+    op = SellSpMV.from_coo(coo, interpret=True, value_dtype=vdt)
+    x = rng.randn(170).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x))).astype(np.float64)
+    xe = x.astype(np.float64)
+    ve = vn.astype(np.float64)
+    if bf16:
+        import ml_dtypes
+
+        xe = x.astype(ml_dtypes.bfloat16).astype(np.float64)
+        ve = vn.astype(ml_dtypes.bfloat16).astype(np.float64)
+    y_ref = np.zeros(200)
+    np.add.at(y_ref, rn, ve * xe[cn])
+    scale = np.abs(y_ref).max() + 1e-30
+    tol = 5e-5 if (bf16 or env.get("SMVP_SELL_REDUCE2")) else 1e-6
+    assert np.abs(y - y_ref).max() / scale < tol, env
