@@ -166,6 +166,8 @@ def gcn_train_step_edges(
     mask: jax.Array,
     lr: float = 1e-2,
     edge_lr: Optional[float] = None,
+    *,
+    spmm: Optional[Callable] = None,
 ):
     """One SGD step training the layer weights AND the edge weights.
 
@@ -181,6 +183,13 @@ def gcn_train_step_edges(
     ``SellSpMV.differentiable_edges`` (ops/spmv_pallas.py), which runs
     forward, d/dx, and d/d(values) all on the SELL kernel family.
 
+    ``spmm``: injectable aggregation ``(m, z) -> A·z`` receiving the
+    live-valued matrix ``m`` — for DISTRIBUTED edge training pass
+    ``lambda m, z: spmm_csr_sharded(s_sh.with_vals(m.vals), z, mesh)``:
+    `ShardedCSR.with_vals` rebuilds the per-shard slab from the live
+    entry-order values inside the trace, so the edge cotangent flows
+    back through the shard_map collective.
+
     Returns ``(params, edge_vals, loss)``.
     """
     import dataclasses
@@ -188,7 +197,9 @@ def gcn_train_step_edges(
     edge_lr = lr if edge_lr is None else edge_lr
 
     def loss_fn(p, ev):
-        logits = gcn_forward(dataclasses.replace(s, vals=ev), p, h)
+        logits = gcn_forward(
+            dataclasses.replace(s, vals=ev), p, h, spmm=spmm
+        )
         logp = jax.nn.log_softmax(logits)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
         m = mask.astype(logp.dtype)

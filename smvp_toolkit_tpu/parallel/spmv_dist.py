@@ -82,6 +82,35 @@ class ShardedCSR:
     row_starts: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)
     )
+    # Per-block first CSR entry index (static, encode-time). Lets
+    # `with_vals` rebuild the slab from live values inside a trace.
+    nnz_starts: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
+    def with_vals(self, ev: jax.Array) -> "ShardedCSR":
+        """Rebuild the per-shard values slab from CSR-entry-order values.
+
+        ``ev`` is a vector in the encoded CSR's entry order (at least
+        ``nnz`` long, e.g. ``CSRMatrix.vals``); block boundaries are
+        static, so this is a stack of static slices — fully
+        differentiable, which is what lets DISTRIBUTED edge-weight
+        training drive the sharded SpMM from one live parameter vector
+        (models/graph.gcn_train_step_edges with an injected spmm).
+        """
+        if not self.nnz_starts:
+            raise ValueError(
+                "with_vals needs nnz_starts metadata (re-shard with "
+                "this version's shard_csr)"
+            )
+        ends = self.nnz_starts[1:] + (self.nnz,)
+        nnz_blk = int(self.vals.shape[1])
+        blocks = []
+        for s, e in zip(self.nnz_starts, ends):
+            blocks.append(jnp.pad(ev[s:e], (0, nnz_blk - (e - s))))
+        return dataclasses.replace(
+            self, vals=jnp.stack(blocks).astype(self.vals.dtype)
+        )
 
     def block_rows(self) -> Tuple[int, ...]:
         """True (unpadded) row count of each block."""
@@ -173,6 +202,7 @@ def shard_csr(
         rows_per_shard=rows_blk,
         n_shards=n,
         row_starts=tuple(int(s) for s in row_starts[:-1]),
+        nnz_starts=tuple(int(s) for s in starts),
     )
 
 

@@ -293,6 +293,59 @@ def test_distributed_gcn_train_step_matches_single_device():
         )
 
 
+def test_distributed_edge_training_matches_single_device():
+    """DP edge-weight training: with_vals reshards the live parameter.
+
+    One SGD step on (layer weights, edge values) where the aggregation
+    is the sharded SpMM rebuilt per step from the live entry-order
+    values — must match the single-device gcn_train_step_edges exactly
+    (loss, weights, and the edge-value gradient step).
+    """
+    from smvp_toolkit_tpu.models.graph import (
+        gcn_init, gcn_norm, gcn_train_step_edges,
+    )
+    from smvp_toolkit_tpu.parallel import spmm_csr_sharded
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(37)
+    n = 60
+    r, c, v = random_coo(rng, n, n, 300)
+    adj = COOMatrix.from_numpy(r, c, np.abs(v), shape=(n, n), pad_to=64)
+    s = gcn_norm(adj)
+    mesh = make_mesh(4)
+    s_sh = shard_csr(s, mesh)
+
+    h = jnp.asarray(rng.randn(n, 12), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 4, n), jnp.int32)
+    mask = jnp.asarray(rng.rand(n) < 0.5)
+    params = gcn_init(jax.random.PRNGKey(2), (12, 4))
+    ev0 = s.vals
+
+    p1, ev1, loss1 = jax.jit(
+        lambda p, ev: gcn_train_step_edges(s, p, ev, h, labels, mask)
+    )(params, ev0)
+    p2, ev2, loss2 = jax.jit(
+        lambda p, ev: gcn_train_step_edges(
+            s, p, ev, h, labels, mask,
+            spmm=lambda m, z: spmm_csr_sharded(
+                s_sh.with_vals(m.vals), z, mesh
+            ),
+        )
+    )(params, ev0)
+
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ev2), np.asarray(ev1), rtol=1e-4, atol=1e-6
+    )
+    for (w1, b1), (w2, b2) in zip(p1, p2):
+        np.testing.assert_allclose(
+            np.asarray(w2), np.asarray(w1), rtol=1e-4, atol=1e-5
+        )
+    # The step actually moved the edge values.
+    assert float(jnp.abs(ev1[: s.nnz] - ev0[: s.nnz]).max()) > 0
+
+
 def test_cg_over_sharded_spmv():
     """Data-parallel CG: the solver loop composed with the sharded SpMV.
 
