@@ -293,13 +293,15 @@ def test_distributed_gcn_train_step_matches_single_device():
         )
 
 
-def test_distributed_edge_training_matches_single_device():
+@pytest.mark.parametrize("balance", ["rows", "nnz"])
+def test_distributed_edge_training_matches_single_device(balance):
     """DP edge-weight training: with_vals reshards the live parameter.
 
     One SGD step on (layer weights, edge values) where the aggregation
     is the sharded SpMM rebuilt per step from the live entry-order
     values — must match the single-device gcn_train_step_edges exactly
-    (loss, weights, and the edge-value gradient step).
+    (loss, weights, and the edge-value gradient step), for both
+    equal-rows and nnz-balanced block boundaries.
     """
     from smvp_toolkit_tpu.models.graph import (
         gcn_init, gcn_norm, gcn_train_step_edges,
@@ -314,7 +316,7 @@ def test_distributed_edge_training_matches_single_device():
     adj = COOMatrix.from_numpy(r, c, np.abs(v), shape=(n, n), pad_to=64)
     s = gcn_norm(adj)
     mesh = make_mesh(4)
-    s_sh = shard_csr(s, mesh)
+    s_sh = shard_csr(s, mesh, balance=balance)
 
     h = jnp.asarray(rng.randn(n, 12), jnp.float32)
     labels = jnp.asarray(rng.randint(0, 4, n), jnp.int32)
