@@ -40,11 +40,18 @@ LANES = 128
 
 
 def _coo(name):
-    if name.startswith("synth"):
+    if name == "synth-10M":  # the BASELINE.json headline config
         from smvp_toolkit_tpu.utils.synth import synth_banded
 
         return synth_banded(1_000_000, nnz_per_row=10, bandwidth=256,
                             seed=0).pad(512)
+    if name.startswith("synth:"):  # synth:N:NNZ, same spec as the CLI
+        from smvp_toolkit_tpu.utils.synth import synth_banded
+
+        _, n, nnz = name.split(":")
+        n = int(n)
+        return synth_banded(n, nnz_per_row=max(int(nnz) // n, 1),
+                            bandwidth=256, seed=0).pad(512)
     return read_mtx(f"/root/reference/sample-data/{name}.mtx").pad(512)
 
 

@@ -743,6 +743,28 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
     b_dtype = csr.vals.dtype if is_complex else jnp.float32
     b = x[: coo.shape[0]].astype(b_dtype)
 
+    def _lanczos_bounds(safety_lo=0.3, safety_hi=1.1):
+        """Spectrum bounds for Chebyshev intervals, with safety margins.
+
+        A RANDOM start vector (ones is an exact eigenvector of
+        constant-row-sum matrices, which collapses the Ritz set), and a
+        deliberately aggressive lower cushion: single-pass Lanczos
+        routinely OVERestimates lambda_min, and an interval that misses
+        the true bottom of the spectrum makes the Chebyshev polynomial
+        indefinite (silent CG stall / divergence). Underestimating only
+        costs acceleration.
+        """
+        import numpy as _np
+
+        v0 = jnp.asarray(
+            _np.random.default_rng(0).standard_normal(b.shape[0]),
+            b.dtype,
+        )
+        lows, highs = lanczos_eigsh(
+            csr, v0, num_iters=min(30, coo.shape[0]), k=1, spmv=spmv,
+        )
+        return float(lows[0]) * safety_lo, float(highs[0]) * safety_hi
+
     t0 = _time.perf_counter()
     if method == "cg":
         xs, _ = conjugate_gradient(csr, b, num_iters=iters, spmv=spmv)
@@ -761,14 +783,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
             log("ERROR", f"--solve {method} needs a real SPD system")
             return 2
         if method == "pcg-cheb":
-            lows, highs = lanczos_eigsh(
-                csr, jnp.ones_like(b), num_iters=min(30, coo.shape[0]),
-                k=1, spmv=spmv,
-            )
-            m = chebyshev_preconditioner(
-                csr, float(lows[0]) * 0.9, float(highs[0]) * 1.1,
-                degree=8, spmv=spmv,
-            )
+            lo, hi = _lanczos_bounds()
+            m = chebyshev_preconditioner(csr, lo, hi, degree=8, spmv=spmv)
         else:
             m = jacobi_preconditioner(
                 csr, diagonal(coo), order=3, spmv=spmv
@@ -786,14 +802,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
             csr, b, restart=restart, num_restarts=num_restarts, spmv=spmv,
         )
     else:  # chebyshev — SPD systems; spectrum bounds from Lanczos
-        lows, highs = lanczos_eigsh(
-            csr, jnp.ones_like(b), num_iters=min(30, coo.shape[0]), k=1,
-            spmv=spmv,
-        )
-        xs, _ = chebyshev(
-            csr, b, float(lows[0]) * 0.9, float(highs[0]) * 1.1,
-            num_iters=iters, spmv=spmv,
-        )
+        lo, hi = _lanczos_bounds()
+        xs, _ = chebyshev(csr, b, lo, hi, num_iters=iters, spmv=spmv)
     xs.block_until_ready()
     ms = (_time.perf_counter() - t0) * 1e3
 

@@ -503,34 +503,19 @@ def pcg(
 
     The cheapest preconditioner that still collapses condition numbers
     of diagonally-dominant systems; the preconditioner apply is one VPU
-    multiply per step. Returns (x, residual_norms).
+    multiply per step. Returns (x, residual_norms). One CG recurrence
+    lives in the codebase: this delegates to :func:`pcg_precond` with
+    ``z = D⁻¹ r``.
     """
     inv_d = 1.0 / jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
-    x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - spmv(matrix, x)
-    z = inv_d * r
-    p = z
-    rz = jnp.vdot(r, z)
-
-    def step(carry, _):
-        x, r, z, p, rz = carry
-        ap = spmv(matrix, p)
-        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = inv_d * r
-        rz_new = jnp.vdot(r, z)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
-        return (x, r, z, p, rz_new), jnp.linalg.norm(r)
-
-    (x, *_), res = jax.lax.scan(step, (x, r, z, p, rz), None,
-                                length=num_iters)
-    return x, res
+    return pcg_precond(
+        matrix, b, lambda r: inv_d * r, x0=x0, num_iters=num_iters,
+        spmv=spmv,
+    )
 
 
 def jacobi_preconditioner(
-    matrix, diag: jax.Array, order: int = 2, spmv: Callable = spmv_csr
+    matrix, diag: jax.Array, order: int = 3, spmv: Callable = spmv_csr
 ) -> Callable:
     """Truncated-Neumann (fixed-count Jacobi) preconditioner factory.
 
@@ -542,7 +527,23 @@ def jacobi_preconditioner(
     latency-bound all-reduce dot products onto the bandwidth-bound SpMV,
     the right trade on a sharded mesh. ``order=1`` is plain Jacobi
     scaling (what :func:`pcg` builds in).
+
+    Use an ODD order: ``p(t) = Σ_{k<order} (1−t)^k`` is positive for
+    all t > 0 only when the order is odd. Even orders give p(t) < 0
+    wherever λ(D⁻¹A) exceeds a root (order 2: λ > 2 — any SPD system
+    that is not diagonally dominant), making M⁻¹ indefinite and CG
+    silently stall.
     """
+    if order % 2 == 0:
+        import warnings
+
+        warnings.warn(
+            "jacobi_preconditioner: even order gives an indefinite "
+            "preconditioner whenever lambda_max(D^-1 A) exceeds a root "
+            "of the Neumann polynomial (order 2: >2); use an odd order "
+            "unless the system is diagonally dominant",
+            stacklevel=2,
+        )
 
     def apply(r: jax.Array) -> jax.Array:
         return jacobi(matrix, r, diag, num_iters=order, spmv=spmv)

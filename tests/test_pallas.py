@@ -590,11 +590,16 @@ def test_rewindow_plan_matches_rebuild():
 # before it can burn a tunnel window.
 
 _LADDER = [{}, {"SMVP_SELL_NOWINDOW": "1"}, {"SMVP_SELL_COMPAT": "1"}]
+# "xwin" forces the non-resident x paths (scalar-prefetch windows, and
+# the host window-stack escape hatch with SMVP_SELL_PREFETCH=0).
 _STAGE = [
     {},
     {"SMVP_SELL_REDUCE2": "1"},
     {"SMVP_SELL_LIDX32": "1"},
     {"SMVP_SELL_REDUCE2": "1", "SMVP_SELL_LIDX32": "1"},
+    {"xwin": True},
+    {"xwin": True, "SMVP_SELL_PREFETCH": "0"},
+    {"xwin": True, "SMVP_SELL_REDUCE2": "1"},
 ]
 
 
@@ -603,6 +608,10 @@ _STAGE = [
 @pytest.mark.parametrize("bf16", [False, True])
 def test_env_flag_matrix(rung, stage, bf16, monkeypatch):
     env = dict(_LADDER[rung], **_STAGE[stage])
+    if env.pop("xwin", False):
+        import smvp_toolkit_tpu.ops.spmv_pallas as _sp
+
+        monkeypatch.setattr(_sp, "_RESIDENT_X_LIMIT", -1)
     for k, v in env.items():
         monkeypatch.setenv(k, v)
     rng = np.random.RandomState(7)
