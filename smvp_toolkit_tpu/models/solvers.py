@@ -81,25 +81,65 @@ def pagerank(
     return r_final
 
 
-@partial(jax.jit, static_argnames=("num_iters", "spmv"))
+def _while_solve(step, carry0, b, num_iters, tol):
+    """Run ``carry -> (carry, |r|)`` under ``lax.while_loop`` until the
+    relative residual reaches ``tol`` or ``num_iters`` steps.
+
+    Returns ``(carry[0], res_norms)`` where ``res_norms`` keeps the
+    static ``num_iters`` length — entries past the stopping step repeat
+    the final norm so ``res[-1]`` is always the converged residual.
+    The first carry element must be the solution vector x.
+    """
+    rdt = jnp.zeros((), b.dtype).real.dtype
+    target = tol * jnp.maximum(jnp.linalg.norm(b).astype(rdt), 1e-30)
+    hist0 = jnp.zeros((num_iters,), rdt)
+
+    def cond(st):
+        i, _carry, _hist, last = st
+        return (i < num_iters) & (last > target)
+
+    def body(st):
+        i, carry, hist, _ = st
+        carry, nrm = step(carry)
+        nrm = nrm.astype(rdt)
+        return i + 1, carry, hist.at[i].set(nrm), nrm
+
+    i, carry, hist, last = jax.lax.while_loop(
+        cond, body, (0, carry0, hist0, jnp.asarray(jnp.inf, rdt))
+    )
+    res = jnp.where(jnp.arange(num_iters) < i, hist, last)
+    return carry[0], res
+
+
+@partial(jax.jit, static_argnames=("num_iters", "spmv", "tol"))
 def conjugate_gradient(
     matrix,
     b: jax.Array,
     x0: Optional[jax.Array] = None,
     num_iters: int = 50,
     spmv: Callable = spmv_csr,
+    tol: Optional[float] = None,
 ):
     """Solve A x = b for symmetric positive-definite A by CG.
 
     Fixed ``num_iters`` steps under ``lax.scan`` (convergence is read off
     the returned residual norms host-side; no per-step host sync).
+
+    ``tol``: optional RELATIVE residual target (|r|/|b|). When set, the
+    loop runs under ``lax.while_loop`` and stops at the first of
+    ``num_iters`` / tolerance — still entirely on device (no per-step
+    host sync; TPU supports data-dependent trip counts), saving the
+    remaining SpMVs in serving paths. The returned residual-norm array
+    keeps the static ``num_iters`` length; entries past the stopping
+    step repeat the final norm, so ``res[-1]`` is the converged
+    residual either way.
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - spmv(matrix, x)
     p = r
     rs = jnp.vdot(r, r)
 
-    def step(carry, _):
+    def step(carry):
         x, r, p, rs = carry
         ap = spmv(matrix, p)
         denom = jnp.vdot(p, ap)
@@ -109,12 +149,14 @@ def conjugate_gradient(
         rs_new = jnp.vdot(r, r)
         beta = rs_new / jnp.maximum(rs, 1e-30)
         p = r + beta * p
-        return (x, r, p, rs_new), jnp.sqrt(rs_new)
+        return (x, r, p, rs_new), jnp.sqrt(jnp.abs(rs_new))
 
-    (x, r, p, rs), res_norms = jax.lax.scan(
-        step, (x, r, p, rs), None, length=num_iters
-    )
-    return x, res_norms
+    if tol is None:
+        (x, r, p, rs), res_norms = jax.lax.scan(
+            lambda c, _: step(c), (x, r, p, rs), None, length=num_iters
+        )
+        return x, res_norms
+    return _while_solve(step, (x, r, p, rs), b, num_iters, tol)
 
 
 @partial(jax.jit, static_argnames=("num_iters", "spmv"))
@@ -498,6 +540,7 @@ def pcg(
     x0: Optional[jax.Array] = None,
     num_iters: int = 50,
     spmv: Callable = spmv_csr,
+    tol: Optional[float] = None,
 ):
     """Jacobi-preconditioned CG: M = diag(A) (SPD systems).
 
@@ -510,7 +553,7 @@ def pcg(
     inv_d = 1.0 / jnp.where(jnp.abs(diag) > 1e-30, diag, 1.0)
     return pcg_precond(
         matrix, b, lambda r: inv_d * r, x0=x0, num_iters=num_iters,
-        spmv=spmv,
+        spmv=spmv, tol=tol,
     )
 
 
@@ -586,13 +629,15 @@ def pcg_precond(
     x0: Optional[jax.Array] = None,
     num_iters: int = 50,
     spmv: Callable = spmv_csr,
+    tol: Optional[float] = None,
 ):
     """CG with a general preconditioner callable ``z = precond(r)``.
 
     ``precond`` must apply a CONSTANT SPD operator (Jacobi scaling, the
     polynomial factories above, or any user-supplied M⁻¹); CG's
     three-term recurrence silently loses orthogonality otherwise.
-    Returns (x, residual_norms).
+    Returns (x, residual_norms). ``tol`` enables on-device early
+    stopping exactly as in :func:`conjugate_gradient`.
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - spmv(matrix, x)
@@ -600,7 +645,7 @@ def pcg_precond(
     p = z
     rz = jnp.vdot(r, z)
 
-    def step(carry, _):
+    def step(carry):
         x, r, z, p, rz = carry
         ap = spmv(matrix, p)
         alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
@@ -612,6 +657,10 @@ def pcg_precond(
         p = z + beta * p
         return (x, r, z, p, rz_new), jnp.linalg.norm(r)
 
-    (x, *_), res = jax.lax.scan(step, (x, r, z, p, rz), None,
-                                length=num_iters)
-    return x, res
+    if tol is None:
+        (x, *_), res = jax.lax.scan(
+            lambda c, _: step(c), (x, r, z, p, rz), None,
+            length=num_iters,
+        )
+        return x, res
+    return _while_solve(step, (x, r, z, p, rz), b, num_iters, tol)

@@ -512,3 +512,37 @@ def test_polynomial_preconditioners_accelerate_cg():
 
     err = np.abs(np.asarray(x_c, np.float64) - x_ref).max()
     assert err / (np.abs(x_ref).max() + 1e-30) < 1e-2
+
+
+def test_cg_tol_early_stop():
+    # tol-mode CG stops as soon as |r|/|b| <= tol — entirely on device
+    # (lax.while_loop) — and the residual history stays shape-stable
+    # with the final norm repeated past the stopping step.
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.models import conjugate_gradient, pcg
+
+    coo, a = _spd_coo(n=48, seed=9)
+    csr = csr_encode(coo)
+    b = jnp.asarray(np.random.RandomState(1).randn(48).astype(np.float32))
+    bn = float(jnp.linalg.norm(b))
+
+    x_full, res_full = conjugate_gradient(csr, b, num_iters=60)
+    x_tol, res_tol = conjugate_gradient(csr, b, num_iters=60, tol=1e-2)
+
+    assert res_tol.shape == res_full.shape
+    # converged to tolerance, but stopped well before full accuracy
+    assert float(res_tol[-1]) <= 1e-2 * bn
+    assert float(res_tol[-1]) > 10 * float(res_full[-1])
+    # history is constant after the stopping step
+    stop = int(np.searchsorted(-np.asarray(res_tol), -1e-2 * bn))
+    tail = np.asarray(res_tol)[stop:]
+    assert np.all(tail == tail[0] if tail.size else True)
+    # the tol-mode solution really satisfies the tolerance
+    r = np.asarray(b, np.float64) - a @ np.asarray(x_tol, np.float64)
+    assert np.linalg.norm(r) <= 1.5e-2 * bn
+
+    # pcg passes tol through its pcg_precond delegation
+    diag = jnp.asarray(np.diag(a).astype(np.float32))
+    x_p, res_p = pcg(csr, b, diag, num_iters=60, tol=1e-2)
+    assert float(res_p[-1]) <= 1e-2 * bn
