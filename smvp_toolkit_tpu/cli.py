@@ -166,13 +166,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--solve",
         default=None,
-        metavar="METHOD[:ITERS]",
+        metavar="METHOD[:ITERS[:TOL]]",
         help=(
             "after benchmarking, solve A x = b with an iterative method "
             "(cg, pcg, pcg-cheb, pcg-neumann, bicgstab, gmres, minres, "
-            "chebyshev; default 100 "
-            "iterations) using the --x vector as b; logs the relative "
-            "residual and writes the solution into a SOLVE report"
+            "chebyshev; default 100 iterations; an optional third "
+            "field sets a relative-residual target with on-device "
+            "early stop for the CG family, e.g. cg:200:1e-6) using "
+            "the --x vector as b; logs the relative residual and "
+            "writes the solution into a SOLVE report"
         ),
     )
     p.add_argument(
@@ -260,12 +262,21 @@ def _validate(args) -> Optional[str]:
                 f"--solve method must be one of {', '.join(SOLVE_METHODS)} "
                 f"(got {method!r})"
             )
-        if ":" in args.solve:
+        parts = args.solve.split(":")
+        if len(parts) > 3:
+            return f"--solve takes METHOD[:ITERS[:TOL]] (got {args.solve!r})"
+        if len(parts) > 1:
             try:
-                if int(args.solve.split(":", 1)[1]) < 1:
-                    return "--solve iteration count must be >= 1"
+                if int(parts[1]) < 1:
+                    return f"bad --solve iteration count: {args.solve!r}"
             except ValueError:
                 return f"bad --solve iteration count: {args.solve!r}"
+        if len(parts) > 2:
+            try:
+                if not 0 < float(parts[2]) < 1:
+                    return f"bad --solve tolerance: {args.solve!r}"
+            except ValueError:
+                return f"bad --solve tolerance: {args.solve!r}"
     if args.decode_check and not (run_csr or run_tjds):
         return "--decode-check requires -c, -t or -a"
     return None
@@ -703,7 +714,7 @@ def _export_aot(prefix, fmt, matrix, log) -> None:
 
 
 def _run_solve(args, coo, csr, x, device, log, spmv=None):
-    """``--solve METHOD[:ITERS]``: iterative solve A x = b, b = --x vector.
+    """``--solve METHOD[:ITERS[:TOL]]``: solve A x = b, b = --x vector.
 
     Runs on the benchmarked CSR encoding with the selected jittable
     kernel (XLA/Pallas; the native ctypes kernel cannot run inside the
@@ -731,9 +742,13 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
         return 2
     if spmv is None:
         spmv = spmv_csr
-    spec = args.solve.split(":", 1)
+    spec = args.solve.split(":")
     method = spec[0].lower()
     iters = int(spec[1]) if len(spec) > 1 else 100
+    # Optional third field: relative-residual target — on-device early
+    # stop for the CG family; other methods run fixed iterations and
+    # the tolerance only annotates the report check.
+    tol = float(spec[2]) if len(spec) > 2 else None
     # Solve in the matrix's compute dtype: a complex system must carry
     # a complex b (the solver scan carries would otherwise mismatch).
     is_complex = jnp.issubdtype(csr.vals.dtype, jnp.complexfloating)
@@ -767,9 +782,11 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
 
     t0 = _time.perf_counter()
     if method == "cg":
-        xs, _ = conjugate_gradient(csr, b, num_iters=iters, spmv=spmv)
+        xs, _ = conjugate_gradient(csr, b, num_iters=iters, spmv=spmv,
+                                   tol=tol)
     elif method == "pcg":
-        xs, _ = pcg(csr, b, diagonal(coo), num_iters=iters, spmv=spmv)
+        xs, _ = pcg(csr, b, diagonal(coo), num_iters=iters, spmv=spmv,
+                    tol=tol)
     elif method in ("pcg-cheb", "pcg-neumann"):
         # Polynomial preconditioners: the apply is pure SpMV + AXPY
         # (zero inner products) — communication-avoiding under sharding.
@@ -789,7 +806,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
             m = jacobi_preconditioner(
                 csr, diagonal(coo), order=3, spmv=spmv
             )
-        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv)
+        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
+                            tol=tol)
     elif method == "bicgstab":
         xs, _ = bicgstab(csr, b, num_iters=iters, spmv=spmv)
     elif method == "minres":

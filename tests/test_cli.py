@@ -427,3 +427,42 @@ def test_solve_polynomial_preconditioned(method, tmp_path):
     solve = [r for r in recs if r["alg"].startswith("SOLVE-")]
     assert len(solve) == 1
     assert solve[0]["relative_residual"] < 1e-3
+
+
+def test_solve_tol_spec(tmp_path):
+    """--solve cg:ITERS:TOL parses, early-stops, and rejects bad tols."""
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+    from smvp_toolkit_tpu.io.mtx import write_mtx
+
+    rng = np.random.RandomState(11)
+    n = 40
+    a = np.zeros((n, n))
+    for _ in range(3 * n):
+        i, j = rng.randint(0, n, 2)
+        w = rng.rand()
+        a[i, j] += w
+        a[j, i] += w
+    a += np.diag(np.abs(a).sum(axis=1) + 1.0)
+    r, c = np.nonzero(a)
+    path = tmp_path / "spd.mtx"
+    write_mtx(str(path), r.astype(np.int32), c.astype(np.int32),
+              a[r, c], (n, n))
+
+    out = tmp_path / "m.jsonl"
+    rc = cli_main(
+        ["-c", "-n", "1", "-d", str(tmp_path),
+         "--solve", "cg:100:1e-4", "--json-out", str(out), str(path)]
+    )
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    solve = [r2 for r2 in recs if r2["alg"].startswith("SOLVE-")]
+    assert len(solve) == 1
+    assert solve[0]["relative_residual"] < 1e-3
+
+    # bad tolerance strings are usage errors (rc 2)
+    for bad in ("cg:100:0", "cg:100:2", "cg:100:x", "cg:1:2:3"):
+        assert cli_main(
+            ["-c", "-n", "1", "--no-report", "--solve", bad, str(path)]
+        ) == 2
