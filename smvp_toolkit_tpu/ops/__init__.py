@@ -21,6 +21,7 @@ from smvp_toolkit_tpu.ops.algebra import (
     col_sums,
     scale,
     add,
+    matmul,
 )
 
 __all__ = [
@@ -38,4 +39,5 @@ __all__ = [
     "col_sums",
     "scale",
     "add",
+    "matmul",
 ]

@@ -24,6 +24,7 @@ __all__ = [
     "col_sums",
     "scale",
     "add",
+    "matmul",
 ]
 
 
@@ -96,6 +97,31 @@ def _as_general(m: COOMatrix) -> COOMatrix:
         r, c, v, shape=m.shape, dtype=m.vals.dtype,
         pad_to=max(128, m.rows.shape[0]),
     )
+
+
+def matmul(a: COOMatrix, b: COOMatrix, *, pad_to: int = 128) -> COOMatrix:
+    """A @ B as a new sparse COO (SpGEMM).
+
+    The output sparsity pattern is data-dependent — its nnz cannot be
+    known before the product is formed — so no static-shape device
+    program can produce it directly. Like SELL planning, this is
+    therefore an ENCODE-TIME host operation (scipy's CSR SpGEMM); the
+    result lands back on device as a fresh COO. Use it to precompute
+    operator products (normal equations AᵀA, graph powers A²) that the
+    device SpMV/solvers then iterate on. For dense right-hand blocks
+    use the device SpMM (`ops.spmm_csr`); for applying A·B·x once,
+    compose two SpMVs instead — that needs no product matrix at all.
+
+    Symmetric/skew/hermitian operands are expanded before multiplying
+    (product symmetry is not preserved in general); explicit zeros in
+    the product are kept out by scipy's CSR algebra.
+    """
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(
+            f"inner dimensions differ: {a.shape} @ {b.shape}"
+        )
+    out = (a.to_scipy().tocsr() @ b.to_scipy().tocsr()).tocoo()
+    return COOMatrix.from_scipy(out, pad_to=pad_to)
 
 
 def add(a: COOMatrix, b: COOMatrix, beta=1.0) -> COOMatrix:

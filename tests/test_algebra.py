@@ -150,3 +150,77 @@ def test_diagonal_feeds_pcg():
     np.testing.assert_allclose(np.asarray(x),
                                np.linalg.solve(a, np.asarray(b, np.float64)),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_matmul_matches_dense():
+    from smvp_toolkit_tpu.ops.algebra import matmul
+
+    rng = np.random.RandomState(5)
+    ra, ca, va = random_coo(rng, 30, 40, 120)
+    rb, cb, vb = random_coo(rng, 40, 25, 100)
+    a = COOMatrix.from_numpy(ra, ca, va, shape=(30, 40), pad_to=64)
+    b = COOMatrix.from_numpy(rb, cb, vb, shape=(40, 25), pad_to=64)
+    p = matmul(a, b)
+    assert p.shape == (30, 25)
+    np.testing.assert_allclose(
+        p.to_dense(), a.to_dense() @ b.to_dense(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_matmul_normal_equations_feed_solver():
+    # AtA from SpGEMM is consumable by the device solvers directly.
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.models import conjugate_gradient
+    from smvp_toolkit_tpu.ops.algebra import matmul, transpose
+
+    rng = np.random.RandomState(6)
+    r, c, v = random_coo(rng, 50, 30, 200)
+    a = COOMatrix.from_numpy(r, c, v, shape=(50, 30), pad_to=64)
+    ata = matmul(transpose(a), a)
+    ad = a.to_dense()
+    np.testing.assert_allclose(
+        ata.to_dense(), ad.T @ ad, rtol=1e-5, atol=1e-6
+    )
+    # regularize to SPD and solve on device
+    from smvp_toolkit_tpu.ops.algebra import add, diagonal
+
+    n = 30
+    eye = COOMatrix.from_numpy(
+        np.arange(n, dtype=np.int32), np.arange(n, dtype=np.int32),
+        np.ones(n), shape=(n, n), pad_to=64,
+    )
+    spd = add(ata, eye)
+    csr = csr_encode(spd.pad(256))
+    bvec = jnp.asarray(rng.randn(n).astype(np.float32))
+    x, res = conjugate_gradient(csr, bvec, num_iters=60)
+    x_ref = np.linalg.solve(ad.T @ ad + np.eye(n), np.asarray(bvec, np.float64))
+    assert np.abs(np.asarray(x, np.float64) - x_ref).max() < 1e-3
+
+
+def test_matmul_shape_mismatch():
+    from smvp_toolkit_tpu.ops.algebra import matmul
+
+    rng = np.random.RandomState(7)
+    r, c, v = random_coo(rng, 10, 10, 30)
+    a = COOMatrix.from_numpy(r, c, v, shape=(10, 10), pad_to=32)
+    r2, c2, v2 = random_coo(rng, 7, 7, 20)
+    b = COOMatrix.from_numpy(r2, c2, v2, shape=(7, 7), pad_to=32)
+    with pytest.raises(ValueError, match="inner dimensions"):
+        matmul(a, b)
+
+
+def test_matmul_expands_symmetric_operand():
+    from smvp_toolkit_tpu.io.mtx import MMTypeCode
+    from smvp_toolkit_tpu.ops.algebra import matmul
+
+    r = np.array([0, 1, 2, 2], np.int32)
+    c = np.array([0, 0, 1, 2], np.int32)
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    tc = MMTypeCode(field="real", symmetry="symmetric")
+    a = COOMatrix.from_numpy(r, c, v, shape=(3, 3), typecode=tc)
+    dense = np.array([[1, 2, 0], [2, 0, 3], [0, 3, 4]], np.float64)
+    p = matmul(a, a)
+    np.testing.assert_allclose(p.to_dense(), dense @ dense,
+                               rtol=1e-5, atol=1e-6)
