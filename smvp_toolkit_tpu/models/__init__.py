@@ -30,6 +30,7 @@ from smvp_toolkit_tpu.models.graph import (
     gcn_layer,
     gcn_forward,
     gcn_train_step,
+    gcn_train_step_edges,
     gcn_init,
 )
 
@@ -54,5 +55,6 @@ __all__ = [
     "gcn_layer",
     "gcn_forward",
     "gcn_train_step",
+    "gcn_train_step_edges",
     "gcn_init",
 ]
