@@ -159,20 +159,22 @@ def conjugate_gradient(
     return _while_solve(step, (x, r, p, rs), b, num_iters, tol)
 
 
-@partial(jax.jit, static_argnames=("num_iters", "spmv"))
+@partial(jax.jit, static_argnames=("num_iters", "spmv", "tol"))
 def bicgstab(
     matrix,
     b: jax.Array,
     x0: Optional[jax.Array] = None,
     num_iters: int = 50,
     spmv: Callable = spmv_csr,
+    tol: Optional[float] = None,
 ):
     """Solve A x = b for general (nonsymmetric) A by BiCGSTAB.
 
     The nonsymmetric companion to :func:`conjugate_gradient` (the sample
     matrices pdp08-pg4/memplus are nonsymmetric). Fixed step count under
     ``lax.scan``; residual norms returned for host-side convergence
-    checks.
+    checks. ``tol`` enables on-device early stop exactly as in
+    :func:`conjugate_gradient` (each saved step saves TWO SpMVs here).
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - spmv(matrix, x)
@@ -180,7 +182,7 @@ def bicgstab(
     rho = jnp.vdot(r_hat, r)
     p = r
 
-    def step(carry, _):
+    def step(carry):
         x, r, p, rho = carry
         v = spmv(matrix, p)
         alpha = rho / jnp.where(
@@ -199,8 +201,10 @@ def bicgstab(
         p = r + beta * (p - omega * v)
         return (x, r, p, rho_new), jnp.linalg.norm(r)
 
+    if tol is not None:
+        return _while_solve(step, (x, r, p, rho), b, num_iters, tol)
     (x, r, p, rho), res_norms = jax.lax.scan(
-        step, (x, r, p, rho), None, length=num_iters
+        lambda c, _: step(c), (x, r, p, rho), None, length=num_iters
     )
     return x, res_norms
 

@@ -546,3 +546,30 @@ def test_cg_tol_early_stop():
     diag = jnp.asarray(np.diag(a).astype(np.float32))
     x_p, res_p = pcg(csr, b, diag, num_iters=60, tol=1e-2)
     assert float(res_p[-1]) <= 1e-2 * bn
+
+
+def test_bicgstab_tol_early_stop():
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.models import bicgstab
+
+    # nonsymmetric diagonally-dominant system
+    rng = np.random.RandomState(12)
+    n = 48
+    a = np.eye(n) * 5.0
+    for _ in range(4 * n):
+        i, j = rng.randint(0, n, 2)
+        a[i, j] += rng.randn() * 0.3
+    r, c = np.nonzero(a)
+    csr = csr_encode(COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), a[r, c], shape=(n, n)
+    ))
+    b = jnp.asarray(rng.randn(n).astype(np.float32))
+    bn = float(jnp.linalg.norm(b))
+    x_full, res_full = bicgstab(csr, b, num_iters=40)
+    x_tol, res_tol = bicgstab(csr, b, num_iters=40, tol=1e-2)
+    assert res_tol.shape == res_full.shape
+    assert float(res_tol[-1]) <= 1e-2 * bn
+    assert float(res_tol[-1]) > 10 * float(res_full[-1])
+    rres = np.asarray(b, np.float64) - a @ np.asarray(x_tol, np.float64)
+    assert np.linalg.norm(rres) <= 1.5e-2 * bn
