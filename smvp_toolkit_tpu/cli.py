@@ -809,7 +809,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
         xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
                             tol=tol)
     elif method == "bicgstab":
-        xs, _ = bicgstab(csr, b, num_iters=iters, spmv=spmv)
+        xs, _ = bicgstab(csr, b, num_iters=iters, spmv=spmv,
+                         tol=tol)
     elif method == "minres":
         xs, _ = minres(csr, b, num_iters=iters, spmv=spmv)
     elif method == "gmres":
