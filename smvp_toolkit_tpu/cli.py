@@ -169,7 +169,8 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="METHOD[:ITERS[:TOL]]",
         help=(
             "after benchmarking, solve A x = b with an iterative method "
-            "(cg, pcg, pcg-cheb, pcg-neumann, bicgstab, gmres, minres, "
+            "(cg, pcg, pcg-cheb, pcg-neumann, pcg-ic0, bicgstab, "
+            "bicgstab-ilu, gmres, minres, "
             "chebyshev; default 100 iterations; an optional third "
             "field sets a relative-residual target with on-device "
             "early stop for the CG family, e.g. cg:200:1e-6) using "
@@ -693,8 +694,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     return exit_code
 
 
-SOLVE_METHODS = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "bicgstab",
-                 "gmres", "minres", "chebyshev")
+SOLVE_METHODS = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
+                 "bicgstab", "bicgstab-ilu", "gmres", "minres",
+                 "chebyshev")
 
 
 def _append_json(path, record) -> None:
@@ -808,6 +810,42 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
             )
         xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
                             tol=tol)
+    elif method == "pcg-ic0":
+        # Incomplete-Cholesky PCG: host-side IC(0) factorization at
+        # solve setup (like SELL planning), fixed-sweep Neumann
+        # triangular applies on device — exactly symmetric PD at any
+        # sweep count (ops/ilu.py), so CG-safe even inexact.
+        from smvp_toolkit_tpu.models import ic0_preconditioner, pcg_precond
+        from smvp_toolkit_tpu.ops.ilu import ic0
+
+        if is_complex:
+            log("ERROR", f"--solve {method} needs a real SPD system")
+            return 2
+        # The factories keep the default XLA kernel for the factor
+        # solves: the injected ``spmv`` may be a Pallas closure bound
+        # to A (it ignores its matrix argument) and must not be asked
+        # to apply L/Lᵀ.
+        m = ic0_preconditioner(ic0(csr), sweeps=4)
+        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
+                            tol=tol)
+    elif method == "bicgstab-ilu":
+        # Right-preconditioned BiCGSTAB via the injectable kernel:
+        # solve (A·M⁻¹) u = b with the wrapped spmv, then x = M⁻¹ u.
+        # The residual b − A·M⁻¹·u the solver tracks IS the true
+        # residual of x, so tol early-stop semantics are unchanged.
+        from smvp_toolkit_tpu.models import ilu_preconditioner
+        from smvp_toolkit_tpu.ops.ilu import ilu0
+
+        if is_complex:
+            log("ERROR", f"--solve {method} supports real systems only")
+            return 2
+        # Default XLA kernel for the factor solves (see pcg-ic0 note).
+        m_apply = ilu_preconditioner(ilu0(csr), sweeps=4)
+        us, _ = bicgstab(
+            csr, b, num_iters=iters, tol=tol,
+            spmv=lambda mat, v: spmv(mat, m_apply(v)),
+        )
+        xs = m_apply(us)
     elif method == "bicgstab":
         xs, _ = bicgstab(csr, b, num_iters=iters, spmv=spmv,
                          tol=tol)

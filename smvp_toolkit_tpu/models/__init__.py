@@ -20,6 +20,8 @@ from smvp_toolkit_tpu.models.solvers import (
     pcg_precond,
     jacobi_preconditioner,
     chebyshev_preconditioner,
+    ic0_preconditioner,
+    ilu_preconditioner,
     chebyshev,
     minres,
     lanczos_eigsh,
@@ -47,6 +49,8 @@ __all__ = [
     "pcg_precond",
     "jacobi_preconditioner",
     "chebyshev_preconditioner",
+    "ic0_preconditioner",
+    "ilu_preconditioner",
     "chebyshev",
     "minres",
     "lanczos_eigsh",

@@ -668,3 +668,61 @@ def pcg_precond(
         )
         return x, res
     return _while_solve(step, (x, r, z, p, rz), b, num_iters, tol)
+
+
+def ic0_preconditioner(
+    factors, sweeps: int = 4, spmv: Callable = spmv_csr
+) -> Callable:
+    """IC(0) preconditioner factory: ``apply(r) ≈ (L·Lᵀ)⁻¹ r``.
+
+    ``factors`` comes from :func:`~smvp_toolkit_tpu.ops.ilu.ic0`
+    (host-side, encode-time). The apply is two fixed-sweep
+    truncated-Neumann triangular solves (``ops/ilu.py``) — pure
+    SpMV + VPU multiplies with a static trip count, the TPU-idiomatic
+    replacement for sequential forward/back substitution. Because both
+    solves use the SAME sweep count, the composite is exactly
+    ``P_Lᵀ·P_L``: symmetric positive definite for every ``sweeps``
+    value, so the inexact apply is rigorously CG-safe (a constant SPD
+    operator, as :func:`pcg_precond` requires).
+
+    ``sweeps`` trades apply cost (2·sweeps SpMVs on the half-pattern
+    factors) against preconditioner strength; 3-5 is the usual sweet
+    spot (Chow & Patel-style inexact-apply practice).
+    """
+    from smvp_toolkit_tpu.ops.ilu import trisolve_neumann
+
+    def apply(r: jax.Array) -> jax.Array:
+        z = trisolve_neumann(
+            factors.strict, factors.diag, r, sweeps=sweeps, spmv=spmv
+        )
+        return trisolve_neumann(
+            factors.strict_t, factors.diag, z, sweeps=sweeps, spmv=spmv
+        )
+
+    return apply
+
+
+def ilu_preconditioner(
+    factors, sweeps: int = 4, spmv: Callable = spmv_csr
+) -> Callable:
+    """ILU(0) preconditioner factory: ``apply(r) ≈ (L·U)⁻¹ r``.
+
+    ``factors`` comes from :func:`~smvp_toolkit_tpu.ops.ilu.ilu0`.
+    For GENERAL square systems — pair it with :func:`bicgstab` or
+    :func:`gmres` (the composite polynomial apply is not symmetric, so
+    it is not a CG preconditioner; use :func:`ic0_preconditioner` for
+    SPD systems). Both triangular solves are fixed-sweep
+    truncated-Neumann applies (exact once ``sweeps`` exceeds each
+    factor's nilpotency index).
+    """
+    from smvp_toolkit_tpu.ops.ilu import trisolve_neumann
+
+    def apply(r: jax.Array) -> jax.Array:
+        z = trisolve_neumann(
+            factors.l_strict, None, r, sweeps=sweeps, spmv=spmv
+        )
+        return trisolve_neumann(
+            factors.u_strict, factors.u_diag, z, sweeps=sweeps, spmv=spmv
+        )
+
+    return apply

@@ -23,6 +23,13 @@ from smvp_toolkit_tpu.ops.algebra import (
     add,
     matmul,
 )
+from smvp_toolkit_tpu.ops.ilu import (
+    ilu0,
+    ic0,
+    trisolve_neumann,
+    ILU0Factors,
+    IC0Factors,
+)
 
 __all__ = [
     "spmv_coo",
@@ -40,4 +47,9 @@ __all__ = [
     "scale",
     "add",
     "matmul",
+    "ilu0",
+    "ic0",
+    "trisolve_neumann",
+    "ILU0Factors",
+    "IC0Factors",
 ]

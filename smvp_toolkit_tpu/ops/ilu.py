@@ -1,0 +1,337 @@
+"""Incomplete factorizations (ILU(0) / IC(0)) + TPU-idiomatic triangular apply.
+
+New capability beyond the reference toolkit (whose only workload is the
+timed ``y = A·x`` loop, main-cli.c:402-420): encode-time incomplete
+factorization preconditioners for the solver family in
+``models/solvers.py``.
+
+TPU-first split of the work, same shape as the SELL planner:
+
+* **Factorization is host-side, encode-time.** ILU(0)/IC(0) are
+  inherently sequential row eliminations (each row consumes finished
+  earlier rows) — the wrong shape for the MXU and for XLA's static
+  control flow, and they run ONCE per matrix. They execute in numpy
+  float64 on the host, exactly like SELL planning and the native
+  counting-sort encoders.
+* **Application is device-side, fixed-shape.** The classic forward/back
+  substitution is also sequential, and level-scheduled solves degrade to
+  ``nrows`` steps on banded matrices (a tridiagonal matrix has one level
+  per row). Instead the apply uses a FIXED-SWEEP truncated-Neumann
+  (Jacobi) solve: for a triangular ``T = D + N`` (``N`` strictly
+  triangular, hence nilpotent),
+
+      z_s = sum_{k<s} (-D^-1 N)^k D^-1 r
+
+  computed as ``s`` SpMV + VPU-multiply sweeps — static trip count,
+  no data-dependent control flow, every FLOP on the bandwidth-optimal
+  SpMV path (injectable: XLA, Pallas SELL, or sharded). The series is
+  EXACT once ``s`` exceeds the nilpotency index, and a valid
+  preconditioner at any ``s``.
+
+  For IC(0) the composite apply with EQUAL sweep counts is exactly
+  ``P_Lᵀ·P_L`` (the transposed-solve polynomial is the transpose of the
+  forward one), i.e. symmetric positive definite for EVERY sweep count —
+  so the inexact apply is rigorously CG-safe, not just heuristically so.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import warnings
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.formats.csr import CSRMatrix, csr_encode
+from smvp_toolkit_tpu.ops.spmv_xla import spmv_csr
+
+__all__ = [
+    "ILU0Factors",
+    "IC0Factors",
+    "ilu0",
+    "ic0",
+    "trisolve_neumann",
+]
+
+_PAD = 128  # lane-width padding for the factor CSR planes
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ILU0Factors:
+    """A ≈ (I + L)·(D_u + U): unit lower + upper incomplete factors.
+
+    ``l_strict``/``u_strict`` hold the strictly-triangular parts as
+    ordinary :class:`CSRMatrix` pytrees (any SpMV kernel applies);
+    ``u_diag`` is U's diagonal. Pattern identity of ILU(0): the product
+    matches A exactly on A's sparsity pattern.
+    """
+
+    l_strict: CSRMatrix
+    u_strict: CSRMatrix
+    u_diag: jax.Array  # f32[nrows]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.l_strict.shape
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IC0Factors:
+    """A ≈ L·Lᵀ (SPD): strict lower triangle + diagonal, plus Lᵀ.
+
+    ``strict_t`` (the strictly-upper transpose) is materialized at
+    factorization time so the backward solve is a plain CSR SpMV too —
+    no device-side transpose ever runs.
+    """
+
+    strict: CSRMatrix  # strictly lower part of L
+    strict_t: CSRMatrix  # its transpose (strictly upper)
+    diag: jax.Array  # f32[nrows], diag(L) > 0
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.strict.shape
+
+
+def _csr_host(csr: CSRMatrix):
+    """(row_ptr, col_ind, vals) as trimmed host f64 arrays."""
+    rp = np.asarray(csr.row_ptr, dtype=np.int64)
+    true_nnz = int(rp[csr.shape[0]])
+    ci = np.asarray(csr.col_ind, dtype=np.int64)[:true_nnz]
+    v = np.asarray(csr.vals)[:true_nnz]
+    if np.iscomplexobj(v):
+        raise ValueError(
+            "incomplete factorizations support real matrices only"
+        )
+    return rp, ci, v.astype(np.float64)
+
+
+def _tri_csr(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n: int, dtype
+) -> CSRMatrix:
+    """Encode host triplets of a (strictly) triangular part as CSR."""
+    coo = COOMatrix.from_numpy(
+        np.asarray(rows, np.int32),
+        np.asarray(cols, np.int32),
+        np.asarray(vals, np.float64),
+        shape=(n, n),
+        dtype=dtype,
+        pad_to=_PAD,
+    )
+    return csr_encode(coo)
+
+
+def ilu0(csr: CSRMatrix) -> ILU0Factors:
+    """ILU(0): incomplete LU with zero fill-in (pattern of A).
+
+    Host-side IKJ row elimination in float64 (sequential by nature — see
+    module docstring for why this is not device work). Zero/near-zero
+    pivots are replaced by a relative floor (standard static-pivot
+    remedy) with a warning; the factorization always completes.
+
+    Cost is O(sum over rows of row_nnz · avg U-row length) — encode-time
+    work in the same spirit (and typically the same ballpark) as SELL
+    planning.
+    """
+    n, m = csr.shape
+    if n != m:
+        raise ValueError(f"ilu0 needs a square matrix, got {csr.shape}")
+    rp, ci, v = _csr_host(csr)
+
+    # Static-pivot floor, relative to the matrix scale: a tiny floor
+    # (machine-eps-like) produces 1/pivot factors that overflow f32
+    # SpMV chains on structurally-degenerate inputs (e.g. pattern
+    # matrices with empty diagonals); 1e-4·scale keeps every factor
+    # entry f32-safe and only ever distorts rows that were singular
+    # to working precision anyway.
+    scale = float(np.max(np.abs(v))) if v.size else 1.0
+    floor = max(scale, 1e-30) * 1e-4
+    # Per-row U storage (cols >= row, ascending) consumed by later rows.
+    u_cols: list[np.ndarray] = [np.empty(0, np.int64)] * n
+    u_vals: list[np.ndarray] = [np.empty(0, np.float64)] * n
+    u_diag = np.empty(n, np.float64)
+    l_rows: list[np.ndarray] = []
+    l_cols: list[np.ndarray] = []
+    l_vals: list[np.ndarray] = []
+    fixed_pivots = 0
+
+    for i in range(n):
+        lo, hi = int(rp[i]), int(rp[i + 1])
+        cols_i = ci[lo:hi]  # ascending (csr_encode sorts by (row, col))
+        work = v[lo:hi].copy()
+        pos = {int(c): t for t, c in enumerate(cols_i)}
+        for t in range(cols_i.size):
+            k = int(cols_i[t])
+            if k >= i:
+                break
+            w = work[t] / u_diag[k]
+            work[t] = w
+            uc, uv = u_cols[k], u_vals[k]
+            for s in range(uc.size):
+                tj = pos.get(int(uc[s]))
+                if tj is not None:
+                    work[tj] -= w * uv[s]
+        split = int(np.searchsorted(cols_i, i))
+        if split < cols_i.size and cols_i[split] == i:
+            piv = work[split]
+            u_lo = split + 1
+        else:  # structurally missing diagonal
+            piv = 0.0
+            u_lo = split
+        if abs(piv) < floor:
+            piv = floor if piv >= 0 else -floor
+            fixed_pivots += 1
+        u_diag[i] = piv
+        u_cols[i] = cols_i[u_lo:]
+        u_vals[i] = work[u_lo:]
+        if split:
+            l_rows.append(np.full(split, i, np.int64))
+            l_cols.append(cols_i[:split])
+            l_vals.append(work[:split])
+
+    if fixed_pivots:
+        warnings.warn(
+            f"ilu0: {fixed_pivots} zero/tiny pivot(s) replaced by a "
+            "static floor; the preconditioner stays usable but weakens "
+            "on those rows",
+            stacklevel=2,
+        )
+
+    lr = np.concatenate(l_rows) if l_rows else np.empty(0, np.int64)
+    lc = np.concatenate(l_cols) if l_cols else np.empty(0, np.int64)
+    lv = np.concatenate(l_vals) if l_vals else np.empty(0, np.float64)
+    ur = np.concatenate(
+        [np.full(c.size, i, np.int64) for i, c in enumerate(u_cols)]
+    ) if n else np.empty(0, np.int64)
+    uc_all = (
+        np.concatenate(u_cols) if n else np.empty(0, np.int64)
+    )
+    uv_all = (
+        np.concatenate(u_vals) if n else np.empty(0, np.float64)
+    )
+    dtype = csr.vals.dtype
+    return ILU0Factors(
+        l_strict=_tri_csr(lr, lc, lv, n, dtype),
+        u_strict=_tri_csr(ur, uc_all, uv_all, n, dtype),
+        u_diag=jnp.asarray(u_diag, dtype),
+    )
+
+
+def ic0(csr: CSRMatrix) -> IC0Factors:
+    """IC(0): incomplete Cholesky A ≈ L·Lᵀ on A's lower-triangle pattern.
+
+    For symmetric positive definite systems — half the storage and
+    sweeps of :func:`ilu0`, and the fixed-sweep apply is exactly
+    symmetric PD (module docstring). Breakdown (non-positive pivot,
+    possible for SPD matrices that are far from diagonally dominant) is
+    repaired with the standard local shift ``sqrt(|A_ii|)`` floor and
+    warned about.
+
+    Only the lower triangle of ``csr`` is read; the strict upper part is
+    ignored, so symmetric-stored or fully-expanded inputs factor
+    identically.
+    """
+    n, m = csr.shape
+    if n != m:
+        raise ValueError(f"ic0 needs a square matrix, got {csr.shape}")
+    rp, ci, v = _csr_host(csr)
+
+    # Breakdown repair floor: relative to the matrix scale, so a
+    # zero/negative pivot yields an O(sqrt(scale)) diagonal — a benign
+    # near-identity row in the preconditioner — instead of the 1/sqrt(eps)
+    # blow-up an absolute epsilon floor would produce.
+    scale = float(np.max(np.abs(v))) if v.size else 1.0
+    piv_floor = max(scale, 1e-30) * 1e-3
+
+    l_cols: list[np.ndarray] = [np.empty(0, np.int64)] * n
+    l_vals: list[np.ndarray] = [np.empty(0, np.float64)] * n
+    diag = np.empty(n, np.float64)
+    breakdowns = 0
+
+    for i in range(n):
+        lo, hi = int(rp[i]), int(rp[i + 1])
+        cols_i = ci[lo:hi]
+        cut = int(np.searchsorted(cols_i, i))
+        cols_lo = cols_i[:cut]
+        work = v[lo:lo + cut].copy()
+        a_ii = (
+            float(v[lo + cut])
+            if cut < cols_i.size and cols_i[cut] == i
+            else 0.0
+        )
+        my_pos = {int(c): t for t, c in enumerate(cols_lo)}
+        for t in range(cols_lo.size):
+            k = int(cols_lo[t])
+            # dot over pattern(i) ∩ pattern(k) restricted to cols < k
+            kc, kv = l_cols[k], l_vals[k]
+            s = 0.0
+            for u in range(kc.size):
+                tu = my_pos.get(int(kc[u]))
+                if tu is not None:
+                    s += work[tu] * kv[u]
+            work[t] = (work[t] - s) / diag[k]
+        pivot2 = a_ii - float(work @ work)
+        if pivot2 < piv_floor:
+            breakdowns += pivot2 <= 0.0
+            pivot2 = max(abs(a_ii), piv_floor)
+        diag[i] = math.sqrt(pivot2)
+        l_cols[i] = cols_lo
+        l_vals[i] = work
+
+    if breakdowns:
+        warnings.warn(
+            f"ic0: {breakdowns} non-positive pivot(s) repaired with a "
+            "local shift — the matrix is SPD-marginal; the factor "
+            "remains PD and usable",
+            stacklevel=2,
+        )
+
+    rows = (
+        np.concatenate(
+            [np.full(c.size, i, np.int64) for i, c in enumerate(l_cols)]
+        )
+        if n
+        else np.empty(0, np.int64)
+    )
+    cols = np.concatenate(l_cols) if n else np.empty(0, np.int64)
+    vals = np.concatenate(l_vals) if n else np.empty(0, np.float64)
+    dtype = csr.vals.dtype
+    return IC0Factors(
+        strict=_tri_csr(rows, cols, vals, n, dtype),
+        strict_t=_tri_csr(cols, rows, vals, n, dtype),
+        diag=jnp.asarray(diag, dtype),
+    )
+
+
+def trisolve_neumann(
+    strict: CSRMatrix,
+    diag: jax.Array,
+    r: jax.Array,
+    sweeps: int = 4,
+    spmv: Callable = spmv_csr,
+) -> jax.Array:
+    """Approximate ``(D + N)⁻¹ r`` by ``sweeps`` Jacobi iterations.
+
+    ``N`` (``strict``) must be strictly triangular, making the iteration
+    matrix nilpotent: the sweep-``s`` result is the truncated Neumann
+    series ``sum_{k<s} (-D⁻¹N)^k D⁻¹ r``, exact for ``s`` past the
+    nilpotency index and a nonsingular linear map for every ``s``.
+    Pass ``diag=None`` for a unit-diagonal factor. The static Python
+    loop unrolls under ``jit`` into ``sweeps`` fused SpMV stages.
+    """
+    if diag is None:
+        z = r
+        for _ in range(sweeps - 1):
+            z = r - spmv(strict, z)
+        return z
+    inv_d = 1.0 / diag
+    z = inv_d * r
+    for _ in range(sweeps - 1):
+        z = inv_d * (r - spmv(strict, z))
+    return z

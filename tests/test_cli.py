@@ -317,7 +317,8 @@ def test_json_out_records(tmp_path):
 
 
 @pytest.mark.parametrize("method", ["cg", "pcg", "bicgstab", "gmres",
-                                    "minres", "chebyshev"])
+                                    "minres", "chebyshev",
+                                    "bicgstab-ilu"])
 def test_solve_mode_runs(method, tmp_path):
     """--solve reports a finite residual and writes a SOLVE report.
 
@@ -342,6 +343,47 @@ def test_solve_mode_runs(method, tmp_path):
     assert len(solve) == 1 and np.isfinite(solve[0]["relative_residual"])
     reports = list(tmp_path.glob("*SOLVE*"))
     assert len(reports) == 1
+
+
+def test_solve_pcg_ic0_on_spd_system(tmp_path):
+    """--solve pcg-ic0 CONVERGES on an SPD input (its intended domain).
+
+    pdp08-pg4 (the plumbing fixture above) is nonsymmetric, which an
+    incomplete-Cholesky CG is not for — so this method gets a real SPD
+    system: a 2-D Poisson matrix written as a symmetric .mtx.
+    """
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    nx = 8
+    n = nx * nx
+    lines = []
+    for i in range(nx):
+        for j in range(nx):
+            k = i * nx + j
+            lines.append((k, k, 4.0))
+            if i > 0:
+                lines.append((k, k - nx, -1.0))
+            if j > 0:
+                lines.append((k, k - 1, -1.0))
+    mtx = tmp_path / "poisson.mtx"
+    mtx.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        f"{n} {n} {len(lines)}\n"
+        + "".join(f"{r + 1} {c + 1} {v}\n" for r, c, v in lines)
+    )
+    out = tmp_path / "m.jsonl"
+    rc = cli_main(
+        ["-c", "-n", "1", "-d", str(tmp_path), "--expand-symmetry",
+         "--solve", "pcg-ic0:30:1e-5", "--json-out", str(out),
+         str(mtx)]
+    )
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    solve = [r for r in recs if r["alg"] == "SOLVE-PCG-IC0"]
+    assert len(solve) == 1
+    assert solve[0]["relative_residual"] < 1e-4
 
 
 def test_solve_pallas_kernel(tmp_path):
