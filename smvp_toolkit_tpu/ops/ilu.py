@@ -127,31 +127,32 @@ def _tri_csr(
     return csr_encode(coo)
 
 
-def ilu0(csr: CSRMatrix) -> ILU0Factors:
-    """ILU(0): incomplete LU with zero fill-in (pattern of A).
+_F32_SAFE = 1e30  # factor-entry magnitude cap (f32 storage must not overflow)
 
-    Host-side IKJ row elimination in float64 (sequential by nature — see
-    module docstring for why this is not device work). Zero/near-zero
-    pivots are replaced by a relative floor (standard static-pivot
-    remedy) with a warning; the factorization always completes.
 
-    Cost is O(sum over rows of row_nnz · avg U-row length) — encode-time
-    work in the same spirit (and typically the same ballpark) as SELL
-    planning.
+def _shift_ladder(scale: float):
+    """Manteuffel shift candidates: 0, then scale·1e-3·10^k."""
+    base = max(scale, 1e-30) * 1e-3
+    return [0.0] + [base * 10.0**k for k in range(8)]
+
+
+def _factors_usable(arrays, repaired: int, n: int) -> bool:
+    """Accept a factorization pass: finite, f32-safe, few repaired pivots.
+
+    A handful of repaired pivots is a local wart; a cascade (>1% of
+    rows) means the elimination is feeding on garbage and the whole
+    factor is distorted — retry with a diagonal shift instead.
     """
-    n, m = csr.shape
-    if n != m:
-        raise ValueError(f"ilu0 needs a square matrix, got {csr.shape}")
-    rp, ci, v = _csr_host(csr)
+    if repaired > max(1, n // 100):
+        return False
+    return all(
+        a.size == 0 or (np.isfinite(a).all() and np.abs(a).max() < _F32_SAFE)
+        for a in arrays
+    )
 
-    # Static-pivot floor, relative to the matrix scale: a tiny floor
-    # (machine-eps-like) produces 1/pivot factors that overflow f32
-    # SpMV chains on structurally-degenerate inputs (e.g. pattern
-    # matrices with empty diagonals); 1e-4·scale keeps every factor
-    # entry f32-safe and only ever distorts rows that were singular
-    # to working precision anyway.
-    scale = float(np.max(np.abs(v))) if v.size else 1.0
-    floor = max(scale, 1e-30) * 1e-4
+
+def _ilu0_pass(rp, ci, v, n: int, shift: float, floor: float):
+    """One IKJ elimination sweep of A + shift·I. Returns raw factors."""
     # Per-row U storage (cols >= row, ascending) consumed by later rows.
     u_cols: list[np.ndarray] = [np.empty(0, np.int64)] * n
     u_vals: list[np.ndarray] = [np.empty(0, np.float64)] * n
@@ -179,10 +180,10 @@ def ilu0(csr: CSRMatrix) -> ILU0Factors:
                     work[tj] -= w * uv[s]
         split = int(np.searchsorted(cols_i, i))
         if split < cols_i.size and cols_i[split] == i:
-            piv = work[split]
+            piv = work[split] + shift
             u_lo = split + 1
         else:  # structurally missing diagonal
-            piv = 0.0
+            piv = shift
             u_lo = split
         if abs(piv) < floor:
             piv = floor if piv >= 0 else -floor
@@ -195,26 +196,67 @@ def ilu0(csr: CSRMatrix) -> ILU0Factors:
             l_cols.append(cols_i[:split])
             l_vals.append(work[:split])
 
-    if fixed_pivots:
+    cat = lambda lst, dt: (  # noqa: E731
+        np.concatenate(lst) if lst else np.empty(0, dt)
+    )
+    lr = cat(l_rows, np.int64)
+    lc = cat(l_cols, np.int64)
+    lv = cat(l_vals, np.float64)
+    ur = cat([np.full(c.size, i, np.int64)
+              for i, c in enumerate(u_cols)], np.int64)
+    uc_all = cat(u_cols, np.int64)
+    uv_all = cat(u_vals, np.float64)
+    return lr, lc, lv, ur, uc_all, uv_all, u_diag, fixed_pivots
+
+
+def ilu0(csr: CSRMatrix) -> ILU0Factors:
+    """ILU(0): incomplete LU with zero fill-in (pattern of A).
+
+    Host-side IKJ row elimination in float64 (sequential by nature — see
+    module docstring for why this is not device work). A handful of
+    zero/tiny pivots is repaired by a scale-relative static floor; if
+    pivot repair cascades (>1% of rows) or factor entries blow past the
+    f32-safe range — both symptoms of a structurally degenerate input —
+    the factorization restarts on ``A + αI`` with an escalating
+    Manteuffel shift and warns with the shift it settled on. The
+    shifted factors precondition the ORIGINAL system (a preconditioner
+    only needs to be a fixed nonsingular operator near A⁻¹).
+
+    Cost is O(sum over rows of row_nnz · avg U-row length) — encode-time
+    work in the same spirit (and typically the same ballpark) as SELL
+    planning.
+    """
+    n, m = csr.shape
+    if n != m:
+        raise ValueError(f"ilu0 needs a square matrix, got {csr.shape}")
+    rp, ci, v = _csr_host(csr)
+
+    scale = float(np.max(np.abs(v))) if v.size else 1.0
+    floor = max(scale, 1e-30) * 1e-4
+    with np.errstate(over="ignore", invalid="ignore"):
+        for shift in _shift_ladder(scale):
+            out = _ilu0_pass(rp, ci, v, n, shift, floor)
+            lr, lc, lv, ur, uc_all, uv_all, u_diag, fixed = out
+            if _factors_usable((lv, uv_all, u_diag), fixed, n):
+                break
+        else:
+            raise ValueError(
+                "ilu0: factorization kept producing unusable factors "
+                "even at the largest diagonal shift — the matrix is "
+                "numerically singular at working precision"
+            )
+    if shift or fixed:
+        what = []
+        if shift:
+            what.append(f"diagonal shift {shift:g}")
+        if fixed:
+            what.append(f"{fixed} static-floored pivot(s)")
         warnings.warn(
-            f"ilu0: {fixed_pivots} zero/tiny pivot(s) replaced by a "
-            "static floor; the preconditioner stays usable but weakens "
-            "on those rows",
+            "ilu0: input is far from regular; completed with "
+            + " and ".join(what)
+            + " — the preconditioner stays usable but is weakened",
             stacklevel=2,
         )
-
-    lr = np.concatenate(l_rows) if l_rows else np.empty(0, np.int64)
-    lc = np.concatenate(l_cols) if l_cols else np.empty(0, np.int64)
-    lv = np.concatenate(l_vals) if l_vals else np.empty(0, np.float64)
-    ur = np.concatenate(
-        [np.full(c.size, i, np.int64) for i, c in enumerate(u_cols)]
-    ) if n else np.empty(0, np.int64)
-    uc_all = (
-        np.concatenate(u_cols) if n else np.empty(0, np.int64)
-    )
-    uv_all = (
-        np.concatenate(u_vals) if n else np.empty(0, np.float64)
-    )
     dtype = csr.vals.dtype
     return ILU0Factors(
         l_strict=_tri_csr(lr, lc, lv, n, dtype),
@@ -223,32 +265,8 @@ def ilu0(csr: CSRMatrix) -> ILU0Factors:
     )
 
 
-def ic0(csr: CSRMatrix) -> IC0Factors:
-    """IC(0): incomplete Cholesky A ≈ L·Lᵀ on A's lower-triangle pattern.
-
-    For symmetric positive definite systems — half the storage and
-    sweeps of :func:`ilu0`, and the fixed-sweep apply is exactly
-    symmetric PD (module docstring). Breakdown (non-positive pivot,
-    possible for SPD matrices that are far from diagonally dominant) is
-    repaired with the standard local shift ``sqrt(|A_ii|)`` floor and
-    warned about.
-
-    Only the lower triangle of ``csr`` is read; the strict upper part is
-    ignored, so symmetric-stored or fully-expanded inputs factor
-    identically.
-    """
-    n, m = csr.shape
-    if n != m:
-        raise ValueError(f"ic0 needs a square matrix, got {csr.shape}")
-    rp, ci, v = _csr_host(csr)
-
-    # Breakdown repair floor: relative to the matrix scale, so a
-    # zero/negative pivot yields an O(sqrt(scale)) diagonal — a benign
-    # near-identity row in the preconditioner — instead of the 1/sqrt(eps)
-    # blow-up an absolute epsilon floor would produce.
-    scale = float(np.max(np.abs(v))) if v.size else 1.0
-    piv_floor = max(scale, 1e-30) * 1e-3
-
+def _ic0_pass(rp, ci, v, n: int, shift: float, piv_floor: float):
+    """One IC(0) sweep of A + shift·I. Returns raw factors."""
     l_cols: list[np.ndarray] = [np.empty(0, np.int64)] * n
     l_vals: list[np.ndarray] = [np.empty(0, np.float64)] * n
     diag = np.empty(n, np.float64)
@@ -264,7 +282,7 @@ def ic0(csr: CSRMatrix) -> IC0Factors:
             float(v[lo + cut])
             if cut < cols_i.size and cols_i[cut] == i
             else 0.0
-        )
+        ) + shift
         my_pos = {int(c): t for t, c in enumerate(cols_lo)}
         for t in range(cols_lo.size):
             k = int(cols_lo[t])
@@ -284,14 +302,6 @@ def ic0(csr: CSRMatrix) -> IC0Factors:
         l_cols[i] = cols_lo
         l_vals[i] = work
 
-    if breakdowns:
-        warnings.warn(
-            f"ic0: {breakdowns} non-positive pivot(s) repaired with a "
-            "local shift — the matrix is SPD-marginal; the factor "
-            "remains PD and usable",
-            stacklevel=2,
-        )
-
     rows = (
         np.concatenate(
             [np.full(c.size, i, np.int64) for i, c in enumerate(l_cols)]
@@ -301,6 +311,63 @@ def ic0(csr: CSRMatrix) -> IC0Factors:
     )
     cols = np.concatenate(l_cols) if n else np.empty(0, np.int64)
     vals = np.concatenate(l_vals) if n else np.empty(0, np.float64)
+    return rows, cols, vals, diag, breakdowns
+
+
+def ic0(csr: CSRMatrix) -> IC0Factors:
+    """IC(0): incomplete Cholesky A ≈ L·Lᵀ on A's lower-triangle pattern.
+
+    For symmetric positive definite systems — half the storage and
+    sweeps of :func:`ilu0`, and the fixed-sweep apply is exactly
+    symmetric PD (module docstring). An isolated non-positive pivot
+    (possible for SPD matrices far from diagonal dominance) is repaired
+    with a scale-relative floor; a breakdown CASCADE (>1% of rows, or
+    factor entries past the f32-safe range — the signature of an
+    indefinite input) restarts the factorization on ``A + αI`` with an
+    escalating Manteuffel shift, warning with the shift used. The
+    result is always a finite PD factor usable as a preconditioner.
+
+    Only the lower triangle of ``csr`` is read; the strict upper part is
+    ignored, so symmetric-stored or fully-expanded inputs factor
+    identically.
+    """
+    n, m = csr.shape
+    if n != m:
+        raise ValueError(f"ic0 needs a square matrix, got {csr.shape}")
+    rp, ci, v = _csr_host(csr)
+
+    # Breakdown repair floor: relative to the matrix scale, so a
+    # zero/negative pivot yields an O(sqrt(scale)) diagonal — a benign
+    # near-identity row in the preconditioner — instead of the 1/sqrt(eps)
+    # blow-up an absolute epsilon floor would produce.
+    scale = float(np.max(np.abs(v))) if v.size else 1.0
+    piv_floor = max(scale, 1e-30) * 1e-3
+
+    with np.errstate(over="ignore", invalid="ignore"):
+        for shift in _shift_ladder(scale):
+            rows, cols, vals, diag, breakdowns = _ic0_pass(
+                rp, ci, v, n, shift, piv_floor
+            )
+            if _factors_usable((vals, diag), breakdowns, n):
+                break
+        else:
+            raise ValueError(
+                "ic0: factorization kept breaking down even at the "
+                "largest diagonal shift — the matrix is nowhere near "
+                "SPD; use ilu0 + bicgstab/gmres instead"
+            )
+    if shift or breakdowns:
+        what = []
+        if shift:
+            what.append(f"diagonal shift {shift:g}")
+        if breakdowns:
+            what.append(f"{breakdowns} locally repaired pivot(s)")
+        warnings.warn(
+            "ic0: input is SPD-marginal; completed with "
+            + " and ".join(what)
+            + " — the factor remains PD and usable",
+            stacklevel=2,
+        )
     dtype = csr.vals.dtype
     return IC0Factors(
         strict=_tri_csr(rows, cols, vals, n, dtype),

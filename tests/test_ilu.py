@@ -242,3 +242,35 @@ def test_ilu0_rejects_nonsquare_and_complex():
     )
     with pytest.raises(ValueError, match="real"):
         ilu0(csr_encode(coo_c))
+
+
+def test_ic0_shift_restart_on_indefinite_pattern_matrix():
+    """pwt-class input (pattern values, indefinite): breakdown cascades
+    must trigger the Manteuffel shift restart and yield FINITE factors,
+    not an f64 overflow cascade (observed pre-fix on pwt.mtx)."""
+    rng = np.random.RandomState(4)
+    n = 60
+    a = np.zeros((n, n))
+    for _ in range(6 * n):
+        i, j = rng.randint(0, n, 2)
+        a[i, j] = a[j, i] = 1.0  # pattern matrix: all stored values 1
+    np.fill_diagonal(a, 1.0)  # NOT diagonally dominant -> indefinite
+    with pytest.warns(UserWarning, match="shift"):
+        f = ic0(csr_encode(_coo_from_dense(a)))
+    assert np.all(np.isfinite(np.asarray(f.strict.vals)))
+    assert np.all(np.asarray(f.diag) > 0)
+    low = _dense_lower_ic(f)
+    assert np.all(np.isfinite(low))
+
+
+def test_ilu0_shift_restart_keeps_factors_f32_safe():
+    """Same cascade class through ilu0: factors stay in f32 range."""
+    rng = np.random.RandomState(8)
+    n = 60
+    a = (rng.rand(n, n) < 0.1).astype(np.float64)
+    np.fill_diagonal(a, (rng.rand(n) < 0.5) * 1.0)  # many zero diagonals
+    with pytest.warns(UserWarning):
+        f = ilu0(csr_encode(_coo_from_dense(a)))
+    for arr in (f.l_strict.vals, f.u_strict.vals, f.u_diag):
+        h = np.asarray(arr)
+        assert np.all(np.isfinite(h)) and np.abs(h).max() < 1e30
