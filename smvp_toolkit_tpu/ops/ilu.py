@@ -129,6 +129,80 @@ def _tri_csr(
 
 _F32_SAFE = 1e30  # factor-entry magnitude cap (f32 storage must not overflow)
 
+_ILU_LIB = None
+_ILU_LIB_FAILED = False
+
+
+def _ilu_lib():
+    """ctypes handle to native/libilu.so (None if unavailable/disabled)."""
+    global _ILU_LIB, _ILU_LIB_FAILED
+    import ctypes
+    import os
+
+    if os.environ.get("SMVP_NATIVE_ILU") == "0":
+        return None
+    if _ILU_LIB is not None:
+        return _ILU_LIB
+    if _ILU_LIB_FAILED:
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.abspath(os.path.join(here, "..", "native", "libilu.so"))
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        _ILU_LIB_FAILED = True
+        return None
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    ll, dbl = ctypes.c_longlong, ctypes.c_double
+    lib.ilu0_pass.restype = ll
+    lib.ilu0_pass.argtypes = [i64p, i64p, ll, dbl, dbl, f64p, f64p]
+    lib.ic0_pass.restype = ll
+    lib.ic0_pass.argtypes = [i64p, i64p, f64p, ll, dbl, dbl, f64p, i64p,
+                             f64p]
+    _ILU_LIB = lib
+    return lib
+
+
+def _native_ilu0_pass():
+    """Native twin of :func:`_ilu0_pass` (bit-identical), or None."""
+    lib = _ilu_lib()
+    if lib is None:
+        return None
+
+    def pass_fn(rp, ci, v, n, shift, floor):
+        fac = np.ascontiguousarray(v, dtype=np.float64).copy()
+        u_diag = np.empty(n, np.float64)
+        fixed = lib.ilu0_pass(
+            np.ascontiguousarray(rp, np.int64),
+            np.ascontiguousarray(ci, np.int64),
+            n, shift, floor, fac, u_diag,
+        )
+        return fac, u_diag, int(fixed)
+
+    return pass_fn
+
+
+def _native_ic0_pass():
+    """Native twin of :func:`_ic0_pass` (bit-identical), or None."""
+    lib = _ilu_lib()
+    if lib is None:
+        return None
+
+    def pass_fn(rp, ci, v, n, shift, piv_floor):
+        v64 = np.ascontiguousarray(v, dtype=np.float64)
+        fac = v64.copy()
+        lo_cut = np.empty(n, np.int64)
+        diag = np.empty(n, np.float64)
+        breakdowns = lib.ic0_pass(
+            np.ascontiguousarray(rp, np.int64),
+            np.ascontiguousarray(ci, np.int64),
+            v64, n, shift, piv_floor, fac, lo_cut, diag,
+        )
+        return fac, lo_cut, diag, int(breakdowns)
+
+    return pass_fn
+
 
 def _shift_ladder(scale: float):
     """Manteuffel shift candidates: 0, then scale·1e-3·10^k."""
@@ -152,61 +226,47 @@ def _factors_usable(arrays, repaired: int, n: int) -> bool:
 
 
 def _ilu0_pass(rp, ci, v, n: int, shift: float, floor: float):
-    """One IKJ elimination sweep of A + shift·I. Returns raw factors."""
-    # Per-row U storage (cols >= row, ascending) consumed by later rows.
-    u_cols: list[np.ndarray] = [np.empty(0, np.int64)] * n
-    u_vals: list[np.ndarray] = [np.empty(0, np.float64)] * n
+    """One IKJ elimination sweep of A + shift·I, in place on A's pattern.
+
+    Returns ``(fac, u_diag, fixed_pivots)``: ``fac`` holds the factor
+    value at every CSR slot (cols < row → L, cols > row → strict U;
+    the diagonal slot keeps its pre-shift value — the canonical pivot
+    lives in ``u_diag``). The native fast path (``native/ilu.cpp``)
+    mirrors this loop operation-for-operation, so both produce
+    bit-identical arrays (tests/test_ilu.py differential test).
+    """
+    fac = v.copy()
     u_diag = np.empty(n, np.float64)
-    l_rows: list[np.ndarray] = []
-    l_cols: list[np.ndarray] = []
-    l_vals: list[np.ndarray] = []
+    # u_start[k]: first strict-U slot of finished row k.
+    u_start = np.empty(n, np.int64)
     fixed_pivots = 0
 
     for i in range(n):
         lo, hi = int(rp[i]), int(rp[i + 1])
         cols_i = ci[lo:hi]  # ascending (csr_encode sorts by (row, col))
-        work = v[lo:hi].copy()
         pos = {int(c): t for t, c in enumerate(cols_i)}
         for t in range(cols_i.size):
             k = int(cols_i[t])
             if k >= i:
                 break
-            w = work[t] / u_diag[k]
-            work[t] = w
-            uc, uv = u_cols[k], u_vals[k]
-            for s in range(uc.size):
-                tj = pos.get(int(uc[s]))
+            w = fac[lo + t] / u_diag[k]
+            fac[lo + t] = w
+            for s in range(int(u_start[k]), int(rp[k + 1])):
+                tj = pos.get(int(ci[s]))
                 if tj is not None:
-                    work[tj] -= w * uv[s]
+                    fac[lo + tj] -= w * fac[s]
         split = int(np.searchsorted(cols_i, i))
         if split < cols_i.size and cols_i[split] == i:
-            piv = work[split] + shift
-            u_lo = split + 1
+            piv = fac[lo + split] + shift
+            u_start[i] = lo + split + 1
         else:  # structurally missing diagonal
             piv = shift
-            u_lo = split
+            u_start[i] = lo + split
         if abs(piv) < floor:
             piv = floor if piv >= 0 else -floor
             fixed_pivots += 1
         u_diag[i] = piv
-        u_cols[i] = cols_i[u_lo:]
-        u_vals[i] = work[u_lo:]
-        if split:
-            l_rows.append(np.full(split, i, np.int64))
-            l_cols.append(cols_i[:split])
-            l_vals.append(work[:split])
-
-    cat = lambda lst, dt: (  # noqa: E731
-        np.concatenate(lst) if lst else np.empty(0, dt)
-    )
-    lr = cat(l_rows, np.int64)
-    lc = cat(l_cols, np.int64)
-    lv = cat(l_vals, np.float64)
-    ur = cat([np.full(c.size, i, np.int64)
-              for i, c in enumerate(u_cols)], np.int64)
-    uc_all = cat(u_cols, np.int64)
-    uv_all = cat(u_vals, np.float64)
-    return lr, lc, lv, ur, uc_all, uv_all, u_diag, fixed_pivots
+    return fac, u_diag, fixed_pivots
 
 
 def ilu0(csr: CSRMatrix) -> ILU0Factors:
@@ -233,11 +293,11 @@ def ilu0(csr: CSRMatrix) -> ILU0Factors:
 
     scale = float(np.max(np.abs(v))) if v.size else 1.0
     floor = max(scale, 1e-30) * 1e-4
+    pass_fn = _native_ilu0_pass() or _ilu0_pass
     with np.errstate(over="ignore", invalid="ignore"):
         for shift in _shift_ladder(scale):
-            out = _ilu0_pass(rp, ci, v, n, shift, floor)
-            lr, lc, lv, ur, uc_all, uv_all, u_diag, fixed = out
-            if _factors_usable((lv, uv_all, u_diag), fixed, n):
+            fac, u_diag, fixed = pass_fn(rp, ci, v, n, shift, floor)
+            if _factors_usable((fac, u_diag), fixed, n):
                 break
         else:
             raise ValueError(
@@ -257,18 +317,27 @@ def ilu0(csr: CSRMatrix) -> ILU0Factors:
             + " — the preconditioner stays usable but is weakened",
             stacklevel=2,
         )
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp[: n + 1]))
+    low = ci < rows
+    up = ci > rows
     dtype = csr.vals.dtype
     return ILU0Factors(
-        l_strict=_tri_csr(lr, lc, lv, n, dtype),
-        u_strict=_tri_csr(ur, uc_all, uv_all, n, dtype),
+        l_strict=_tri_csr(rows[low], ci[low], fac[low], n, dtype),
+        u_strict=_tri_csr(rows[up], ci[up], fac[up], n, dtype),
         u_diag=jnp.asarray(u_diag, dtype),
     )
 
 
 def _ic0_pass(rp, ci, v, n: int, shift: float, piv_floor: float):
-    """One IC(0) sweep of A + shift·I. Returns raw factors."""
-    l_cols: list[np.ndarray] = [np.empty(0, np.int64)] * n
-    l_vals: list[np.ndarray] = [np.empty(0, np.float64)] * n
+    """One IC(0) sweep of A + shift·I, in place on the lower pattern.
+
+    Returns ``(fac, lo_cut, diag, breakdowns)``: ``fac[rp[i]:lo_cut[i]]``
+    are row i's strict-lower L values (slots at/above the diagonal are
+    left untouched), ``diag`` is diag(L). Mirrored
+    operation-for-operation by ``native/ilu.cpp`` (bit-identical).
+    """
+    fac = v.copy()
+    lo_cut = np.empty(n, np.int64)  # first non-lower slot per row
     diag = np.empty(n, np.float64)
     breakdowns = 0
 
@@ -276,42 +345,31 @@ def _ic0_pass(rp, ci, v, n: int, shift: float, piv_floor: float):
         lo, hi = int(rp[i]), int(rp[i + 1])
         cols_i = ci[lo:hi]
         cut = int(np.searchsorted(cols_i, i))
-        cols_lo = cols_i[:cut]
-        work = v[lo:lo + cut].copy()
+        lo_cut[i] = lo + cut
         a_ii = (
             float(v[lo + cut])
             if cut < cols_i.size and cols_i[cut] == i
             else 0.0
         ) + shift
-        my_pos = {int(c): t for t, c in enumerate(cols_lo)}
-        for t in range(cols_lo.size):
-            k = int(cols_lo[t])
+        my_pos = {int(c): t for t, c in enumerate(cols_i[:cut])}
+        for t in range(cut):
+            k = int(cols_i[t])
             # dot over pattern(i) ∩ pattern(k) restricted to cols < k
-            kc, kv = l_cols[k], l_vals[k]
             s = 0.0
-            for u in range(kc.size):
-                tu = my_pos.get(int(kc[u]))
+            for u in range(int(rp[k]), int(lo_cut[k])):
+                tu = my_pos.get(int(ci[u]))
                 if tu is not None:
-                    s += work[tu] * kv[u]
-            work[t] = (work[t] - s) / diag[k]
-        pivot2 = a_ii - float(work @ work)
+                    s += fac[lo + tu] * fac[u]
+            fac[lo + t] = (fac[lo + t] - s) / diag[k]
+        acc = 0.0
+        for t in range(cut):
+            acc += fac[lo + t] * fac[lo + t]
+        pivot2 = a_ii - acc
         if pivot2 < piv_floor:
             breakdowns += pivot2 <= 0.0
             pivot2 = max(abs(a_ii), piv_floor)
         diag[i] = math.sqrt(pivot2)
-        l_cols[i] = cols_lo
-        l_vals[i] = work
-
-    rows = (
-        np.concatenate(
-            [np.full(c.size, i, np.int64) for i, c in enumerate(l_cols)]
-        )
-        if n
-        else np.empty(0, np.int64)
-    )
-    cols = np.concatenate(l_cols) if n else np.empty(0, np.int64)
-    vals = np.concatenate(l_vals) if n else np.empty(0, np.float64)
-    return rows, cols, vals, diag, breakdowns
+    return fac, lo_cut, diag, breakdowns
 
 
 def ic0(csr: CSRMatrix) -> IC0Factors:
@@ -343,12 +401,17 @@ def ic0(csr: CSRMatrix) -> IC0Factors:
     scale = float(np.max(np.abs(v))) if v.size else 1.0
     piv_floor = max(scale, 1e-30) * 1e-3
 
+    pass_fn = _native_ic0_pass() or _ic0_pass
     with np.errstate(over="ignore", invalid="ignore"):
         for shift in _shift_ladder(scale):
-            rows, cols, vals, diag, breakdowns = _ic0_pass(
+            fac, lo_cut, diag, breakdowns = pass_fn(
                 rp, ci, v, n, shift, piv_floor
             )
-            if _factors_usable((vals, diag), breakdowns, n):
+            rows = np.repeat(
+                np.arange(n, dtype=np.int64), np.diff(rp[: n + 1])
+            )
+            low = np.arange(ci.size, dtype=np.int64) < lo_cut[rows]
+            if _factors_usable((fac[low], diag), breakdowns, n):
                 break
         else:
             raise ValueError(
@@ -368,10 +431,11 @@ def ic0(csr: CSRMatrix) -> IC0Factors:
             + " — the factor remains PD and usable",
             stacklevel=2,
         )
+    l_rows, l_cols, l_vals = rows[low], ci[low], fac[low]
     dtype = csr.vals.dtype
     return IC0Factors(
-        strict=_tri_csr(rows, cols, vals, n, dtype),
-        strict_t=_tri_csr(cols, rows, vals, n, dtype),
+        strict=_tri_csr(l_rows, l_cols, l_vals, n, dtype),
+        strict_t=_tri_csr(l_cols, l_rows, l_vals, n, dtype),
         diag=jnp.asarray(diag, dtype),
     )
 

@@ -274,3 +274,62 @@ def test_ilu0_shift_restart_keeps_factors_f32_safe():
     for arr in (f.l_strict.vals, f.u_strict.vals, f.u_diag):
         h = np.asarray(arr)
         assert np.all(np.isfinite(h)) and np.abs(h).max() < 1e30
+
+
+def test_native_passes_bit_identical_to_numpy():
+    """native/ilu.cpp mirrors the numpy passes operation-for-operation
+    (built with -ffp-contract=off so FMA contraction cannot skew
+    rounding); outputs must be EXACTLY equal, not just close."""
+    from smvp_toolkit_tpu.ops import ilu as M
+
+    native_ilu = M._native_ilu0_pass()
+    native_ic = M._native_ic0_pass()
+    if native_ilu is None:
+        pytest.skip("libilu.so not built")
+    rng = np.random.RandomState(42)
+    for n in (17, 60, 150):
+        a = rng.randn(n, n) * (rng.rand(n, n) < 0.15)
+        np.fill_diagonal(a, np.abs(a).sum(1) + 1.0)
+        csr = csr_encode(_coo_from_dense(a))
+        rp, ci, v = M._csr_host(csr)
+        for shift in (0.0, 0.5):
+            f1, d1, x1 = M._ilu0_pass(rp, ci, v, n, shift, 1e-8)
+            f2, d2, x2 = native_ilu(rp, ci, v, n, shift, 1e-8)
+            np.testing.assert_array_equal(f1, f2)
+            np.testing.assert_array_equal(d1, d2)
+            assert x1 == x2
+            g1 = M._ic0_pass(rp, ci, v, n, shift, 1e-8)
+            g2 = native_ic(rp, ci, v, n, shift, 1e-8)
+            for a1, a2 in zip(g1, g2):
+                np.testing.assert_array_equal(np.asarray(a1),
+                                              np.asarray(a2))
+
+
+def test_python_fallback_matches_default_path():
+    """SMVP_NATIVE_ILU=0 (pure numpy) factors a system identically
+    enough to solve it: same preconditioned convergence."""
+    import os
+
+    from smvp_toolkit_tpu.ops import ilu as M
+
+    a = _poisson2d(8)
+    csr = csr_encode(_coo_from_dense(a))
+    f_default = ic0(csr)
+    old = os.environ.get("SMVP_NATIVE_ILU")
+    old_lib, old_failed = M._ILU_LIB, M._ILU_LIB_FAILED
+    os.environ["SMVP_NATIVE_ILU"] = "0"
+    M._ILU_LIB, M._ILU_LIB_FAILED = None, False
+    try:
+        f_py = ic0(csr)
+    finally:
+        M._ILU_LIB, M._ILU_LIB_FAILED = old_lib, old_failed
+        if old is None:
+            os.environ.pop("SMVP_NATIVE_ILU", None)
+        else:
+            os.environ["SMVP_NATIVE_ILU"] = old
+    np.testing.assert_array_equal(
+        np.asarray(f_default.diag), np.asarray(f_py.diag)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(f_default.strict.vals), np.asarray(f_py.strict.vals)
+    )
