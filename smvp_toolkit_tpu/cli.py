@@ -621,7 +621,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 solve_spmv = csr_fn
             else:
                 solve_spmv = None  # native/df64: default XLA kernel
-            rc = _run_solve(args, coo, csr, x, device, log, spmv=solve_spmv)
+            rc = _run_solve(args, coo, csr, x, device, log,
+                            spmv=solve_spmv, kernel_kind=kernel_kind)
             if rc:
                 return rc
 
@@ -715,7 +716,24 @@ def _export_aot(prefix, fmt, matrix, log) -> None:
     log("FILE", f"{fmt} AOT program: {path}")
 
 
-def _run_solve(args, coo, csr, x, device, log, spmv=None):
+def _factor_op_builder(kernel_kind):
+    """Per-factor operator builder for the ILU/IC trisolves.
+
+    On the Pallas path (``--kernel pallas``, or ``auto`` resolving to
+    it off-CPU) the triangular factors get their own SELL operators
+    (planned host-side from the concrete factor CSR, so the solver
+    stays jittable); every other kernel keeps the default XLA trisolve
+    path (None → factories use ``spmv_csr``).
+    """
+    if kernel_kind != "pallas":
+        return None
+    from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+    return sell_op_csr
+
+
+def _run_solve(args, coo, csr, x, device, log, spmv=None,
+               kernel_kind="xla"):
     """``--solve METHOD[:ITERS[:TOL]]``: solve A x = b, b = --x vector.
 
     Runs on the benchmarked CSR encoding with the selected jittable
@@ -821,11 +839,13 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
         if is_complex:
             log("ERROR", f"--solve {method} needs a real SPD system")
             return 2
-        # The factories keep the default XLA kernel for the factor
-        # solves: the injected ``spmv`` may be a Pallas closure bound
-        # to A (it ignores its matrix argument) and must not be asked
-        # to apply L/Lᵀ.
-        m = ic0_preconditioner(ic0(csr), sweeps=4)
+        # The injected ``spmv`` may be a Pallas closure bound to A (it
+        # ignores its matrix argument) and must not be asked to apply
+        # L/Lᵀ — the factory builds its own per-factor operators: SELL
+        # ops under --kernel pallas, the default XLA kernel otherwise.
+        m = ic0_preconditioner(
+            ic0(csr), sweeps=4, op_builder=_factor_op_builder(kernel_kind)
+        )
         xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
                             tol=tol)
     elif method == "bicgstab-ilu":
@@ -839,8 +859,10 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None):
         if is_complex:
             log("ERROR", f"--solve {method} supports real systems only")
             return 2
-        # Default XLA kernel for the factor solves (see pcg-ic0 note).
-        m_apply = ilu_preconditioner(ilu0(csr), sweeps=4)
+        # Per-factor operators, as in pcg-ic0 above.
+        m_apply = ilu_preconditioner(
+            ilu0(csr), sweeps=4, op_builder=_factor_op_builder(kernel_kind)
+        )
         us, _ = bicgstab(
             csr, b, num_iters=iters, tol=tol,
             spmv=lambda mat, v: spmv(mat, m_apply(v)),

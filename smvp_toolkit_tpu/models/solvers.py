@@ -671,7 +671,10 @@ def pcg_precond(
 
 
 def ic0_preconditioner(
-    factors, sweeps: int = 4, spmv: Callable = spmv_csr
+    factors,
+    sweeps: int = 4,
+    spmv: Callable = spmv_csr,
+    op_builder: Optional[Callable] = None,
 ) -> Callable:
     """IC(0) preconditioner factory: ``apply(r) ≈ (L·Lᵀ)⁻¹ r``.
 
@@ -688,22 +691,37 @@ def ic0_preconditioner(
     ``sweeps`` trades apply cost (2·sweeps SpMVs on the half-pattern
     factors) against preconditioner strength; 3-5 is the usual sweet
     spot (Chow & Patel-style inexact-apply practice).
+
+    ``op_builder`` puts the trisolves on a kernel's performance path:
+    it receives each concrete factor ``CSRMatrix`` once at factory time
+    and returns a closure ``op(x)`` (e.g.
+    ``ops.spmv_pallas.sell_op_csr`` — the SELL operator plans
+    host-side, so building here keeps the solver jittable).
     """
     from smvp_toolkit_tpu.ops.ilu import trisolve_neumann
 
+    spmv_l = spmv_lt = spmv
+    if op_builder is not None:
+        op_l, op_lt = op_builder(factors.strict), op_builder(factors.strict_t)
+        spmv_l = lambda _m, z: op_l(z)  # noqa: E731
+        spmv_lt = lambda _m, z: op_lt(z)  # noqa: E731
+
     def apply(r: jax.Array) -> jax.Array:
         z = trisolve_neumann(
-            factors.strict, factors.diag, r, sweeps=sweeps, spmv=spmv
+            factors.strict, factors.diag, r, sweeps=sweeps, spmv=spmv_l
         )
         return trisolve_neumann(
-            factors.strict_t, factors.diag, z, sweeps=sweeps, spmv=spmv
+            factors.strict_t, factors.diag, z, sweeps=sweeps, spmv=spmv_lt
         )
 
     return apply
 
 
 def ilu_preconditioner(
-    factors, sweeps: int = 4, spmv: Callable = spmv_csr
+    factors,
+    sweeps: int = 4,
+    spmv: Callable = spmv_csr,
+    op_builder: Optional[Callable] = None,
 ) -> Callable:
     """ILU(0) preconditioner factory: ``apply(r) ≈ (L·U)⁻¹ r``.
 
@@ -713,16 +731,23 @@ def ilu_preconditioner(
     it is not a CG preconditioner; use :func:`ic0_preconditioner` for
     SPD systems). Both triangular solves are fixed-sweep
     truncated-Neumann applies (exact once ``sweeps`` exceeds each
-    factor's nilpotency index).
+    factor's nilpotency index). ``op_builder`` — see
+    :func:`ic0_preconditioner` (performance-path trisolves).
     """
     from smvp_toolkit_tpu.ops.ilu import trisolve_neumann
 
+    spmv_l = spmv_u = spmv
+    if op_builder is not None:
+        op_l, op_u = op_builder(factors.l_strict), op_builder(factors.u_strict)
+        spmv_l = lambda _m, z: op_l(z)  # noqa: E731
+        spmv_u = lambda _m, z: op_u(z)  # noqa: E731
+
     def apply(r: jax.Array) -> jax.Array:
         z = trisolve_neumann(
-            factors.l_strict, None, r, sweeps=sweeps, spmv=spmv
+            factors.l_strict, None, r, sweeps=sweeps, spmv=spmv_l
         )
         return trisolve_neumann(
-            factors.u_strict, factors.u_diag, z, sweeps=sweeps, spmv=spmv
+            factors.u_strict, factors.u_diag, z, sweeps=sweeps, spmv=spmv_u
         )
 
     return apply

@@ -333,3 +333,28 @@ def test_python_fallback_matches_default_path():
     np.testing.assert_array_equal(
         np.asarray(f_default.strict.vals), np.asarray(f_py.strict.vals)
     )
+
+
+def test_preconditioner_on_sell_operators_matches_xla():
+    """op_builder=sell_op_csr puts the trisolves on the Pallas path;
+    the apply must match the default XLA trisolve apply."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+    a = _poisson2d(6)
+    csr = csr_encode(_coo_from_dense(a))
+    f = ic0(csr)
+    rng = np.random.RandomState(3)
+    r = rng.randn(a.shape[0]).astype(np.float32)
+    m_xla = ic0_preconditioner(f, sweeps=3)
+    m_sell = ic0_preconditioner(f, sweeps=3, op_builder=sell_op_csr)
+    np.testing.assert_allclose(
+        np.asarray(m_sell(r)), np.asarray(m_xla(r)), rtol=1e-5, atol=1e-6
+    )
+
+    fu = ilu0(csr)
+    m_xla_u = ilu_preconditioner(fu, sweeps=3)
+    m_sell_u = ilu_preconditioner(fu, sweeps=3, op_builder=sell_op_csr)
+    np.testing.assert_allclose(
+        np.asarray(m_sell_u(r)), np.asarray(m_xla_u(r)),
+        rtol=1e-5, atol=1e-6,
+    )
