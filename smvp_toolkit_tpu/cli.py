@@ -843,8 +843,13 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         # ignores its matrix argument) and must not be asked to apply
         # L/Lᵀ — the factory builds its own per-factor operators: SELL
         # ops under --kernel pallas, the default XLA kernel otherwise.
+        try:
+            factors = ic0(csr)
+        except ValueError as e:  # shift ladder exhausted — nowhere near SPD
+            log("ERROR", str(e))
+            return 2
         m = ic0_preconditioner(
-            ic0(csr), sweeps=4, op_builder=_factor_op_builder(kernel_kind)
+            factors, sweeps=4, op_builder=_factor_op_builder(kernel_kind)
         )
         xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
                             tol=tol)
@@ -860,8 +865,13 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
             log("ERROR", f"--solve {method} supports real systems only")
             return 2
         # Per-factor operators, as in pcg-ic0 above.
+        try:
+            factors = ilu0(csr)
+        except ValueError as e:  # shift ladder exhausted — singular input
+            log("ERROR", str(e))
+            return 2
         m_apply = ilu_preconditioner(
-            ilu0(csr), sweeps=4, op_builder=_factor_op_builder(kernel_kind)
+            factors, sweeps=4, op_builder=_factor_op_builder(kernel_kind)
         )
         us, _ = bicgstab(
             csr, b, num_iters=iters, tol=tol,
@@ -899,13 +909,21 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         f"relative residual {relres:.3e}",
     )
     if not np.isfinite(relres) or relres > 1.0:
+        spd_methods = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
+                       "chebyshev")
+        hint = (
+            "more iterations, a tighter preconditioner (larger ILU "
+            "sweeps), or gmres"
+            if method == "bicgstab-ilu"
+            else "bicgstab or gmres for general matrices"
+        )
         log(
             "INFO",
             f"solve did not converge — {method} assumes "
-            + ("an SPD system" if method in ("cg", "pcg", "chebyshev")
+            + ("an SPD system" if method in spd_methods
                else "a symmetric system" if method == "minres"
                else "a well-conditioned system")
-            + "; try bicgstab or gmres for general matrices",
+            + f"; try {hint}",
         )
     if args.json_out:
         _append_json(args.json_out, {

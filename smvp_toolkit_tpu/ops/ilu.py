@@ -402,15 +402,14 @@ def ic0(csr: CSRMatrix) -> IC0Factors:
     piv_floor = max(scale, 1e-30) * 1e-3
 
     pass_fn = _native_ic0_pass() or _ic0_pass
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp[: n + 1]))
+    slot = np.arange(ci.size, dtype=np.int64)
     with np.errstate(over="ignore", invalid="ignore"):
         for shift in _shift_ladder(scale):
             fac, lo_cut, diag, breakdowns = pass_fn(
                 rp, ci, v, n, shift, piv_floor
             )
-            rows = np.repeat(
-                np.arange(n, dtype=np.int64), np.diff(rp[: n + 1])
-            )
-            low = np.arange(ci.size, dtype=np.int64) < lo_cut[rows]
+            low = slot < lo_cut[rows]
             if _factors_usable((fac[low], diag), breakdowns, n):
                 break
         else:
