@@ -169,8 +169,8 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="METHOD[:ITERS[:TOL]]",
         help=(
             "after benchmarking, solve A x = b with an iterative method "
-            "(cg, pcg, pcg-cheb, pcg-neumann, pcg-ic0, bicgstab, "
-            "bicgstab-ilu, gmres, minres, "
+            "(cg, pcg, pcg-cheb, pcg-neumann, pcg-ic0, pcg-ssor, "
+            "bicgstab, bicgstab-ilu, gmres, minres, "
             "chebyshev; default 100 iterations; an optional third "
             "field sets a relative-residual target with on-device "
             "early stop for the CG family, e.g. cg:200:1e-6) using "
@@ -696,8 +696,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 SOLVE_METHODS = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
-                 "bicgstab", "bicgstab-ilu", "gmres", "minres",
-                 "chebyshev")
+                 "pcg-ssor", "bicgstab", "bicgstab-ilu", "gmres",
+                 "minres", "chebyshev")
 
 
 def _append_json(path, record) -> None:
@@ -853,6 +853,21 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         )
         xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
                             tol=tol)
+    elif method == "pcg-ssor":
+        # SSOR: zero-setup preconditioner (triangular split of A, no
+        # factorization); same fixed-sweep trisolve machinery, exactly
+        # symmetric for symmetric A at equal sweep counts.
+        from smvp_toolkit_tpu.models import pcg_precond, ssor_preconditioner
+
+        if is_complex:
+            log("ERROR", f"--solve {method} needs a real SPD system")
+            return 2
+        m = ssor_preconditioner(
+            csr, omega=1.0, sweeps=4,
+            op_builder=_factor_op_builder(kernel_kind),
+        )
+        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
+                            tol=tol)
     elif method == "bicgstab-ilu":
         # Right-preconditioned BiCGSTAB via the injectable kernel:
         # solve (A·M⁻¹) u = b with the wrapped spmv, then x = M⁻¹ u.
@@ -910,7 +925,7 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
     )
     if not np.isfinite(relres) or relres > 1.0:
         spd_methods = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
-                       "chebyshev")
+                       "pcg-ssor", "chebyshev")
         hint = (
             "more iterations, a tighter preconditioner (larger ILU "
             "sweeps), or gmres"

@@ -22,6 +22,7 @@ from smvp_toolkit_tpu.models.solvers import (
     chebyshev_preconditioner,
     ic0_preconditioner,
     ilu_preconditioner,
+    ssor_preconditioner,
     chebyshev,
     minres,
     lanczos_eigsh,
@@ -51,6 +52,7 @@ __all__ = [
     "chebyshev_preconditioner",
     "ic0_preconditioner",
     "ilu_preconditioner",
+    "ssor_preconditioner",
     "chebyshev",
     "minres",
     "lanczos_eigsh",

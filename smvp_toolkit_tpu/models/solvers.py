@@ -751,3 +751,56 @@ def ilu_preconditioner(
         )
 
     return apply
+
+
+def ssor_preconditioner(
+    matrix,
+    omega: float = 1.0,
+    sweeps: int = 4,
+    op_builder: Optional[Callable] = None,
+    spmv: Callable = spmv_csr,
+) -> Callable:
+    """SSOR preconditioner factory: ``M = (D+ωL)D⁻¹(D+ωU)/(ω(2−ω))``.
+
+    The zero-setup member of the preconditioner family: no
+    factorization at all — the triangular parts ARE submatrices of A
+    (``ops.ilu.split_triangular``), so the factory costs one host-side
+    split. The apply is the same fixed-sweep truncated-Neumann
+    triangular machinery as :func:`ic0_preconditioner`; for symmetric
+    A (``U = Lᵀ``) with equal sweep counts the composite is exactly
+    ``c·P_Lᵀ·D·P_L`` — symmetric, and PD whenever diag(A) > 0 — so the
+    inexact apply is CG-safe at any sweep count. ``omega`` in (0, 2);
+    ``omega=1`` is symmetric Gauss-Seidel.
+
+    Weaker than IC(0) per iteration but with no breakdown modes and no
+    factorization time: the right first reach for very large or
+    frequently-changing operators.
+    """
+    if not 0.0 < omega < 2.0:
+        raise ValueError(f"ssor needs 0 < omega < 2, got {omega}")
+    import dataclasses as _dc
+
+    from smvp_toolkit_tpu.ops.ilu import split_triangular, trisolve_neumann
+
+    low, d, up = split_triangular(matrix)
+    if omega != 1.0:
+        low = _dc.replace(low, vals=low.vals * omega)
+        up = _dc.replace(up, vals=up.vals * omega)
+    # Zero/near-zero diagonal entries would make the Jacobi sweeps
+    # divide by zero; patch them to 1 (identity row in M), same guard
+    # as pcg's Jacobi scaling.
+    d = jnp.where(jnp.abs(d) > 1e-30, d, jnp.ones_like(d))
+    scale = omega * (2.0 - omega)
+
+    spmv_l = spmv_u = spmv
+    if op_builder is not None:
+        op_l, op_u = op_builder(low), op_builder(up)
+        spmv_l = lambda _m, z: op_l(z)  # noqa: E731
+        spmv_u = lambda _m, z: op_u(z)  # noqa: E731
+
+    def apply(r: jax.Array) -> jax.Array:
+        y = trisolve_neumann(low, d, r, sweeps=sweeps, spmv=spmv_l)
+        w = trisolve_neumann(up, d, d * y, sweeps=sweeps, spmv=spmv_u)
+        return scale * w
+
+    return apply

@@ -54,6 +54,7 @@ __all__ = [
     "IC0Factors",
     "ilu0",
     "ic0",
+    "split_triangular",
     "trisolve_neumann",
 ]
 
@@ -436,6 +437,38 @@ def ic0(csr: CSRMatrix) -> IC0Factors:
         strict=_tri_csr(l_rows, l_cols, l_vals, n, dtype),
         strict_t=_tri_csr(l_cols, l_rows, l_vals, n, dtype),
         diag=jnp.asarray(diag, dtype),
+    )
+
+
+def split_triangular(
+    csr: CSRMatrix,
+) -> Tuple[CSRMatrix, jax.Array, CSRMatrix]:
+    """Host-side split of A into (strict lower, diagonal, strict upper).
+
+    The zero-setup-cost feed for the SSOR preconditioner
+    (:func:`~smvp_toolkit_tpu.models.solvers.ssor_preconditioner`):
+    unlike :func:`ilu0`/:func:`ic0` there is no elimination at all —
+    the parts ARE submatrices of A, returned as ordinary
+    :class:`CSRMatrix` pytrees plus a dense diagonal (structurally
+    missing diagonal entries read as 0).
+    """
+    n, m = csr.shape
+    if n != m:
+        raise ValueError(
+            f"split_triangular needs a square matrix, got {csr.shape}"
+        )
+    rp, ci, v = _csr_host(csr)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp[: n + 1]))
+    low = ci < rows
+    up = ci > rows
+    dia = ci == rows
+    d = np.zeros(n, np.float64)
+    d[rows[dia]] = v[dia]
+    dtype = csr.vals.dtype
+    return (
+        _tri_csr(rows[low], ci[low], v[low], n, dtype),
+        jnp.asarray(d, dtype),
+        _tri_csr(rows[up], ci[up], v[up], n, dtype),
     )
 
 

@@ -358,3 +358,53 @@ def test_preconditioner_on_sell_operators_matches_xla():
         np.asarray(m_sell_u(r)), np.asarray(m_xla_u(r)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_ssor_preconditioner_symmetric_and_accelerates_cg():
+    """SSOR apply is exactly symmetric PD for symmetric A (equal-sweep
+    transpose argument) and speeds CG up on Poisson without any
+    factorization setup."""
+    from smvp_toolkit_tpu.models import ssor_preconditioner
+
+    a = _poisson2d(5)
+    n = a.shape[0]
+    csr = csr_encode(_coo_from_dense(a))
+    apply_m = ssor_preconditioner(csr, omega=1.0, sweeps=3)
+    m = np.stack(
+        [np.asarray(apply_m(np.eye(n, dtype=np.float32)[j]))
+         for j in range(n)],
+        axis=1,
+    ).astype(np.float64)
+    np.testing.assert_allclose(m, m.T, rtol=1e-4, atol=1e-5)
+    assert np.linalg.eigvalsh((m + m.T) / 2).min() > 0
+
+    big = _poisson2d(14)
+    csr_b = csr_encode(_coo_from_dense(big))
+    rng = np.random.RandomState(2)
+    b = rng.randn(big.shape[0]).astype(np.float32)
+    iters = 14
+    _, res_cg = conjugate_gradient(csr_b, b, num_iters=iters)
+    mb = ssor_preconditioner(csr_b, omega=1.0, sweeps=4)
+    x, res_ssor = pcg_precond(csr_b, b, mb, num_iters=iters)
+    assert float(res_ssor[-1]) < 0.5 * float(res_cg[-1])
+    r = b - big @ np.asarray(x, np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-2
+
+
+def test_ssor_omega_validation_and_sell_path():
+    from smvp_toolkit_tpu.models import ssor_preconditioner
+    from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+    a = _poisson2d(5)
+    csr = csr_encode(_coo_from_dense(a))
+    with pytest.raises(ValueError, match="omega"):
+        ssor_preconditioner(csr, omega=2.0)
+    rng = np.random.RandomState(6)
+    r = rng.randn(a.shape[0]).astype(np.float32)
+    m_xla = ssor_preconditioner(csr, omega=1.3, sweeps=3)
+    m_sell = ssor_preconditioner(
+        csr, omega=1.3, sweeps=3, op_builder=sell_op_csr
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_sell(r)), np.asarray(m_xla(r)), rtol=1e-5, atol=1e-6
+    )
