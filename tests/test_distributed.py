@@ -504,3 +504,72 @@ def test_spmm_2d_sharding(grid):
     Y_ref = coo.to_dense() @ X.astype(np.float64)
     assert Y.shape == (coo.shape[0], 8)
     np.testing.assert_allclose(Y, Y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pcg_ic0_over_sharded_spmv():
+    """Fully-distributed preconditioned CG: the A-multiplies AND the
+    IC(0) trisolve sweeps all run as row-block sharded SpMVs.
+
+    The preconditioner factories take any ``spmv(matrix, x)``; handing
+    them the shard_map kernel makes every M⁻¹ apply ride the same
+    all-gather as the solver — the complete data-parallel
+    preconditioned-solve composition. Must match the dense solve and
+    converge faster than plain distributed CG.
+    """
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.models import (
+        conjugate_gradient,
+        ic0_preconditioner,
+        pcg_precond,
+    )
+    from smvp_toolkit_tpu.ops.ilu import ic0
+
+    nx = 8
+    n = nx * nx
+    a = np.zeros((n, n))
+    for i in range(nx):
+        for j in range(nx):
+            k = i * nx + j
+            a[k, k] = 4.0
+            if i > 0:
+                a[k, k - nx] = a[k - nx, k] = -1.0
+            if j > 0:
+                a[k, k - 1] = a[k - 1, k] = -1.0
+    r, c = np.nonzero(a)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), a[r, c], shape=(n, n),
+        pad_to=64,
+    )
+    csr = csr_encode(coo)
+    mesh = make_mesh(8)
+    s_a = shard_csr(csr, mesh)
+
+    factors = ic0(csr)
+    s_l = shard_csr(factors.strict, mesh)
+    s_lt = shard_csr(factors.strict_t, mesh)
+
+    # Per-factor sharded operators via op_builder: the factory calls it
+    # once per factor; each closure rides shard_map's collective.
+    built = {id(factors.strict): s_l, id(factors.strict_t): s_lt}
+    m = ic0_preconditioner(
+        factors, sweeps=4,
+        op_builder=lambda f: (
+            lambda z, _s=built[id(f)]: spmv_csr_sharded(_s, z, mesh)
+        ),
+    )
+
+    rng = np.random.RandomState(31)
+    b = jnp.asarray(rng.randn(n), jnp.float32)
+    iters = 16
+    x, res_p = pcg_precond(
+        s_a, b, m, num_iters=iters,
+        spmv=lambda mm, xx: spmv_csr_sharded(mm, xx, mesh),
+    )
+    _, res_cg = conjugate_gradient(
+        s_a, b, num_iters=iters,
+        spmv=lambda mm, xx: spmv_csr_sharded(mm, xx, mesh),
+    )
+    assert float(res_p[-1]) < 0.5 * float(res_cg[-1])
+    x_ref = np.linalg.solve(a, np.asarray(b, np.float64))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-3, atol=1e-3)
