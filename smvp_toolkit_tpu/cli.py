@@ -170,7 +170,7 @@ def build_parser() -> argparse.ArgumentParser:
         help=(
             "after benchmarking, solve A x = b with an iterative method "
             "(cg, pcg, pcg-cheb, pcg-neumann, pcg-ic0, pcg-ssor, "
-            "bicgstab, bicgstab-ilu, gmres, minres, "
+            "pcg-bjac, bicgstab, bicgstab-ilu, gmres, minres, "
             "chebyshev; default 100 iterations; an optional third "
             "field sets a relative-residual target with on-device "
             "early stop for the CG family, e.g. cg:200:1e-6) using "
@@ -696,8 +696,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 SOLVE_METHODS = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
-                 "pcg-ssor", "bicgstab", "bicgstab-ilu", "gmres",
-                 "minres", "chebyshev")
+                 "pcg-ssor", "pcg-bjac", "bicgstab", "bicgstab-ilu",
+                 "gmres", "minres", "chebyshev")
 
 
 def _append_json(path, record) -> None:
@@ -868,6 +868,25 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         )
         xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
                             tol=tol)
+    elif method == "pcg-bjac":
+        # Block-Jacobi: dense diagonal blocks inverted ONCE as a batched
+        # (nb, b, b) program — the MXU-native preconditioner; each apply
+        # is a single batched mat-vec.
+        from smvp_toolkit_tpu.models import (
+            block_jacobi_preconditioner,
+            pcg_precond,
+        )
+
+        if is_complex:
+            log("ERROR", f"--solve {method} needs a real SPD system")
+            return 2
+        try:
+            m = block_jacobi_preconditioner(csr, block=64)
+        except ValueError as e:  # ridge ladder exhausted
+            log("ERROR", str(e))
+            return 2
+        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
+                            tol=tol)
     elif method == "bicgstab-ilu":
         # Right-preconditioned BiCGSTAB via the injectable kernel:
         # solve (A·M⁻¹) u = b with the wrapped spmv, then x = M⁻¹ u.
@@ -925,7 +944,7 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
     )
     if not np.isfinite(relres) or relres > 1.0:
         spd_methods = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
-                       "pcg-ssor", "chebyshev")
+                       "pcg-ssor", "pcg-bjac", "chebyshev")
         hint = (
             "more iterations, a tighter preconditioner (larger ILU "
             "sweeps), or gmres"

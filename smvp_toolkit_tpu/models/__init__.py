@@ -23,6 +23,7 @@ from smvp_toolkit_tpu.models.solvers import (
     ic0_preconditioner,
     ilu_preconditioner,
     ssor_preconditioner,
+    block_jacobi_preconditioner,
     chebyshev,
     minres,
     lanczos_eigsh,
@@ -53,6 +54,7 @@ __all__ = [
     "ic0_preconditioner",
     "ilu_preconditioner",
     "ssor_preconditioner",
+    "block_jacobi_preconditioner",
     "chebyshev",
     "minres",
     "lanczos_eigsh",

@@ -804,3 +804,90 @@ def ssor_preconditioner(
         return scale * w
 
     return apply
+
+
+def block_jacobi_preconditioner(
+    matrix, block: int = 64
+) -> Callable:
+    """Block-Jacobi factory: ``M = blockdiag(A₁₁, A₂₂, …)``, blocks dense.
+
+    The MXU-native member of the preconditioner family: the diagonal
+    blocks are extracted host-side (encode-time, like the other
+    factories), inverted ONCE as a batched dense ``(nb, block, block)``
+    ``jnp.linalg.inv`` — exactly the regular, matmul-shaped work TPUs
+    are built for — and every apply is a single batched mat-vec, no
+    sweeps, no sparsity, no gather. For symmetric A each block (hence
+    its inverse) is symmetric, so the apply is a constant symmetric
+    operator — CG-safe whenever the blocks are PD (any SPD A).
+
+    Captures geometry the pointwise Jacobi misses (``block`` spanning a
+    grid line gives classic line relaxation); costs O(block²) memory
+    per block-row. Singular/ill blocks are ridged (escalating diagonal
+    shift, same policy as the ILU shift ladder) until the batched
+    inverse is finite.
+    """
+    import warnings
+
+    import numpy as np
+
+    from smvp_toolkit_tpu.ops.ilu import _csr_host
+
+    n, m = matrix.shape
+    if n != m:
+        raise ValueError(
+            f"block_jacobi needs a square matrix, got {matrix.shape}"
+        )
+    if block < 1:
+        raise ValueError(f"block must be positive, got {block}")
+    block = min(block, n)
+    rp, ci, v = _csr_host(matrix)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp[: n + 1]))
+    nb = -(-n // block)
+    blocks = np.zeros((nb, block, block), np.float64)
+    same = (rows // block) == (ci // block)
+    blocks[rows[same] // block, rows[same] % block, ci[same] % block] = (
+        v[same]
+    )
+    # Padding rows of the last block (and structurally empty diagonal
+    # slots) get identity entries so every block is invertible-shaped.
+    flat_diag = blocks.reshape(nb, -1)[:, :: block + 1]
+    pad_rows = np.arange(nb * block).reshape(nb, block) >= n
+    flat_diag[pad_rows & (flat_diag == 0.0)] = 1.0
+
+    scale = float(np.max(np.abs(v))) if v.size else 1.0
+    eye = np.eye(block)
+    ridge, binv = 0.0, None
+    for _ in range(9):
+        try:
+            with np.errstate(all="ignore"):
+                cand = np.linalg.inv(
+                    blocks + ridge * eye if ridge else blocks
+                )
+            if np.isfinite(cand).all():
+                binv = cand
+                break
+        except np.linalg.LinAlgError:
+            pass
+        ridge = (ridge * 10.0) if ridge else scale * 1e-6
+    if binv is None:
+        raise ValueError(
+            "block_jacobi: blocks remained singular under the ridge "
+            "ladder — the diagonal blocks of this matrix are degenerate"
+        )
+    if ridge:
+        warnings.warn(
+            f"block_jacobi: singular diagonal block(s); ridged with "
+            f"{ridge:g} to invert — the preconditioner is weakened on "
+            "those blocks",
+            stacklevel=2,
+        )
+    dtype = matrix.vals.dtype
+    binv_dev = jnp.asarray(binv, dtype)
+    pad = nb * block - n
+
+    def apply(r: jax.Array) -> jax.Array:
+        rb = jnp.pad(r, (0, pad)).reshape(nb, block)
+        y = jnp.einsum("nij,nj->ni", binv_dev, rb)
+        return y.reshape(-1)[:n]
+
+    return apply
