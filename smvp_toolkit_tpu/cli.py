@@ -173,7 +173,8 @@ def build_parser() -> argparse.ArgumentParser:
             "pcg-bjac, bicgstab, bicgstab-ilu, gmres, minres, "
             "chebyshev; default 100 iterations; an optional third "
             "field sets a relative-residual target with on-device "
-            "early stop for the CG family, e.g. cg:200:1e-6) using "
+            "early stop (per-iteration for the CG family and minres; "
+            "per-restart for gmres), e.g. cg:200:1e-6) using "
             "the --x vector as b; logs the relative residual and "
             "writes the solution into a SOLVE report"
         ),
@@ -916,13 +917,14 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         xs, _ = bicgstab(csr, b, num_iters=iters, spmv=spmv,
                          tol=tol)
     elif method == "minres":
-        xs, _ = minres(csr, b, num_iters=iters, spmv=spmv)
+        xs, _ = minres(csr, b, num_iters=iters, spmv=spmv, tol=tol)
     elif method == "gmres":
         restart = min(20, iters)
         num_restarts = max(1, -(-iters // restart))
         iters = restart * num_restarts  # report the true Arnoldi count
         xs, _ = gmres(
             csr, b, restart=restart, num_restarts=num_restarts, spmv=spmv,
+            tol=tol,
         )
     else:  # chebyshev — SPD systems; spectrum bounds from Lanczos
         lo, hi = _lanczos_bounds()

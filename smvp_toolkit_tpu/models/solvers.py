@@ -390,13 +390,14 @@ def chebyshev(
     return x, res_norms
 
 
-@partial(jax.jit, static_argnames=("num_iters", "spmv"))
+@partial(jax.jit, static_argnames=("num_iters", "spmv", "tol"))
 def minres(
     matrix,
     b: jax.Array,
     x0: Optional[jax.Array] = None,
     num_iters: int = 50,
     spmv: Callable = spmv_csr,
+    tol: Optional[float] = None,
 ):
     """MINRES for symmetric (possibly *indefinite*) A (Paige & Saunders).
 
@@ -404,7 +405,9 @@ def minres(
     the full Krylov basis in memory): a three-term Lanczos recurrence
     with on-the-fly Givens QR — O(1) vectors of state, safe for saddle
     systems. Returns (x, residual_norms); ``|eta|`` tracks the true
-    residual norm of the minimum-residual iterate.
+    residual norm of the minimum-residual iterate. ``tol`` enables
+    on-device early stop exactly as in :func:`conjugate_gradient`
+    (``|eta|`` is the monitored quantity).
     """
     x = jnp.zeros_like(b) if x0 is None else x0
     r0 = b - spmv(matrix, x)
@@ -441,6 +444,10 @@ def minres(
     one = jnp.asarray(1.0, b.dtype)
     snil = jnp.asarray(0.0, b.dtype)
     carry0 = (x, zero, v, snil, beta1, one, one, snil, snil, zero, zero)
+    if tol is not None:
+        return _while_solve(
+            lambda c: step(c, None), carry0, b, num_iters, tol
+        )
     (x, *_), res_norms = jax.lax.scan(step, carry0, None, length=num_iters)
     return x, res_norms
 
@@ -484,12 +491,18 @@ def gmres(
     restart: int = 20,
     num_restarts: int = 5,
     spmv: Callable = spmv_csr,
+    tol: Optional[float] = None,
 ):
     """Solve A x = b for general (nonsymmetric) A by restarted GMRES(m).
 
     Arnoldi with modified Gram-Schmidt under ``lax.scan`` (static m =
     ``restart``); the small (m+1, m) least-squares solve runs as a dense
     QR on device. Returns (x, residual_norm_per_restart).
+
+    ``tol``: optional relative-residual target checked at RESTART
+    boundaries (the natural synchronization points — each on-device
+    check saves a whole m-SpMV Arnoldi cycle once converged), via the
+    same ``lax.while_loop`` machinery as the CG family.
 
     TPU structure notes: the Krylov basis is a static (m+1, n) array
     updated with ``dynamic_update_slice`` — no Python-level growth; all
@@ -533,6 +546,13 @@ def gmres(
         res = jnp.linalg.norm(b - spmv(matrix, x))
         return x, res
 
+    if tol is not None:
+        def cycle_step(carry):
+            (x,) = carry
+            x, res = arnoldi_cycle(x, None)
+            return (x,), res
+
+        return _while_solve(cycle_step, (x,), b, num_restarts, tol)
     x, res_norms = jax.lax.scan(arnoldi_cycle, x, None, length=num_restarts)
     return x, res_norms
 

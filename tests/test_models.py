@@ -573,3 +573,37 @@ def test_bicgstab_tol_early_stop():
     assert float(res_tol[-1]) > 10 * float(res_full[-1])
     rres = np.asarray(b, np.float64) - a @ np.asarray(x_tol, np.float64)
     assert np.linalg.norm(rres) <= 1.5e-2 * bn
+
+
+def test_minres_tol_early_stop():
+    """tol stops MINRES early on device; converged residual reported."""
+    coo, a = _spd_coo(n=40, seed=23)
+    csr = csr_encode(coo)
+    b = np.random.RandomState(3).randn(40).astype(np.float32)
+    from smvp_toolkit_tpu.models import minres
+
+    x, res = minres(csr, b, num_iters=60, tol=1e-6)
+    res = np.asarray(res)
+    bn = np.linalg.norm(b)
+    assert res[-1] / bn < 1e-5  # eta tracks the true residual
+    r = b - a @ np.asarray(x, np.float64)
+    assert np.linalg.norm(r) / bn < 1e-4
+    # Early stop actually froze the tail (repeated final norm).
+    hit = np.argmax(res / bn < 1e-6)
+    assert hit < 59 and np.allclose(res[hit:], res[-1])
+
+
+def test_gmres_tol_stops_between_restarts():
+    coo, a = _spd_coo(n=40, seed=24)
+    csr = csr_encode(coo)
+    b = np.random.RandomState(4).randn(40).astype(np.float32)
+    from smvp_toolkit_tpu.models import gmres
+
+    x, res = gmres(csr, b, restart=10, num_restarts=8, tol=1e-6)
+    res = np.asarray(res)
+    bn = np.linalg.norm(b)
+    assert res[-1] / bn < 1e-6
+    r = b - a @ np.asarray(x, np.float64)
+    assert np.linalg.norm(r) / bn < 1e-5
+    hit = np.argmax(res / bn < 1e-6)
+    assert np.allclose(res[hit:], res[-1])
