@@ -173,3 +173,45 @@ def test_export_spmv_complex_signature():
         y, coo.to_dense(dtype=np.complex128) @ np.asarray(x),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_export_preconditioned_solver_program(tmp_path):
+    """The FULL preconditioned solve — IC(0) trisolve sweeps inside
+    pcg_precond — exports as one framework-free program (factors baked
+    in as constants), with on-device tol early stop included."""
+    from smvp_toolkit_tpu.models import ic0_preconditioner, pcg_precond
+    from smvp_toolkit_tpu.ops.ilu import ic0
+
+    nx = 6
+    n = nx * nx
+    a = np.zeros((n, n))
+    for i in range(nx):
+        for j in range(nx):
+            k = i * nx + j
+            a[k, k] = 4.0
+            if i > 0:
+                a[k, k - nx] = a[k - nx, k] = -1.0
+            if j > 0:
+                a[k, k - 1] = a[k - 1, k] = -1.0
+    r, c = np.nonzero(a)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), a[r, c], shape=(n, n),
+        pad_to=64,
+    )
+    csr = csr_encode(coo)
+    m = ic0_preconditioner(ic0(csr), sweeps=4)
+
+    path = str(tmp_path / "pcg_ic0.jaxexport")
+    save_program(
+        path,
+        lambda b: pcg_precond(csr, b, m, num_iters=40, tol=1e-6)[0],
+        jnp.zeros((n,), jnp.float32),
+    )
+    call = load_program(path)
+    rng = np.random.RandomState(2)
+    b = jnp.asarray(rng.randn(n), jnp.float32)
+    x = np.asarray(call(b))
+    np.testing.assert_allclose(
+        x, np.linalg.solve(a, np.asarray(b, np.float64)),
+        rtol=1e-3, atol=1e-4,
+    )
