@@ -767,9 +767,10 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
     method = spec[0].lower()
     iters = int(spec[1]) if len(spec) > 1 else 100
     # Optional third field: relative-residual target — on-device early
-    # stop for the CG family; other methods run fixed iterations and
-    # the tolerance only annotates the report check.
+    # stop for every iterative method except chebyshev (a fixed
+    # polynomial); minres/cg stop per step, gmres per restart cycle.
     tol = float(spec[2]) if len(spec) > 2 else None
+    per = 1  # reported iterations per residual-history entry
     # Solve in the matrix's compute dtype: a complex system must carry
     # a complex b (the solver scan carries would otherwise mismatch).
     is_complex = jnp.issubdtype(csr.vals.dtype, jnp.complexfloating)
@@ -803,11 +804,11 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
 
     t0 = _time.perf_counter()
     if method == "cg":
-        xs, _ = conjugate_gradient(csr, b, num_iters=iters, spmv=spmv,
-                                   tol=tol)
+        xs, res = conjugate_gradient(csr, b, num_iters=iters, spmv=spmv,
+                                     tol=tol)
     elif method == "pcg":
-        xs, _ = pcg(csr, b, diagonal(coo), num_iters=iters, spmv=spmv,
-                    tol=tol)
+        xs, res = pcg(csr, b, diagonal(coo), num_iters=iters, spmv=spmv,
+                      tol=tol)
     elif method in ("pcg-cheb", "pcg-neumann"):
         # Polynomial preconditioners: the apply is pure SpMV + AXPY
         # (zero inner products) — communication-avoiding under sharding.
@@ -827,8 +828,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
             m = jacobi_preconditioner(
                 csr, diagonal(coo), order=3, spmv=spmv
             )
-        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
-                            tol=tol)
+        xs, res = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
+                              tol=tol)
     elif method == "pcg-ic0":
         # Incomplete-Cholesky PCG: host-side IC(0) factorization at
         # solve setup (like SELL planning), fixed-sweep Neumann
@@ -852,8 +853,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         m = ic0_preconditioner(
             factors, sweeps=4, op_builder=_factor_op_builder(kernel_kind)
         )
-        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
-                            tol=tol)
+        xs, res = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
+                              tol=tol)
     elif method == "pcg-ssor":
         # SSOR: zero-setup preconditioner (triangular split of A, no
         # factorization); same fixed-sweep trisolve machinery, exactly
@@ -867,8 +868,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
             csr, omega=1.0, sweeps=4,
             op_builder=_factor_op_builder(kernel_kind),
         )
-        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
-                            tol=tol)
+        xs, res = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
+                              tol=tol)
     elif method == "pcg-bjac":
         # Block-Jacobi: dense diagonal blocks inverted ONCE as a batched
         # (nb, b, b) program — the MXU-native preconditioner; each apply
@@ -886,8 +887,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         except ValueError as e:  # ridge ladder exhausted
             log("ERROR", str(e))
             return 2
-        xs, _ = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
-                            tol=tol)
+        xs, res = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
+                              tol=tol)
     elif method == "bicgstab-ilu":
         # Right-preconditioned BiCGSTAB via the injectable kernel:
         # solve (A·M⁻¹) u = b with the wrapped spmv, then x = M⁻¹ u.
@@ -908,29 +909,44 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         m_apply = ilu_preconditioner(
             factors, sweeps=4, op_builder=_factor_op_builder(kernel_kind)
         )
-        us, _ = bicgstab(
+        us, res = bicgstab(
             csr, b, num_iters=iters, tol=tol,
             spmv=lambda mat, v: spmv(mat, m_apply(v)),
         )
         xs = m_apply(us)
     elif method == "bicgstab":
-        xs, _ = bicgstab(csr, b, num_iters=iters, spmv=spmv,
-                         tol=tol)
+        xs, res = bicgstab(csr, b, num_iters=iters, spmv=spmv,
+                           tol=tol)
     elif method == "minres":
-        xs, _ = minres(csr, b, num_iters=iters, spmv=spmv, tol=tol)
+        xs, res = minres(csr, b, num_iters=iters, spmv=spmv, tol=tol)
     elif method == "gmres":
         restart = min(20, iters)
         num_restarts = max(1, -(-iters // restart))
-        iters = restart * num_restarts  # report the true Arnoldi count
-        xs, _ = gmres(
+        iters = restart * num_restarts
+        per = restart  # one residual-history entry per restart cycle
+        xs, res = gmres(
             csr, b, restart=restart, num_restarts=num_restarts, spmv=spmv,
             tol=tol,
         )
     else:  # chebyshev — SPD systems; spectrum bounds from Lanczos
         lo, hi = _lanczos_bounds()
-        xs, _ = chebyshev(csr, b, lo, hi, num_iters=iters, spmv=spmv)
+        xs, res = chebyshev(csr, b, lo, hi, num_iters=iters, spmv=spmv)
     xs.block_until_ready()
     ms = (_time.perf_counter() - t0) * 1e3
+    if tol is not None and method != "chebyshev":
+        # Recover the ACHIEVED iteration count from the residual
+        # history: entries past the stopping step repeat the final norm
+        # (_while_solve contract), so the first entry at/below the
+        # target is the stopping step. Without this the log/json would
+        # report the requested count even when tol stopped early.
+        rn = np.asarray(res, np.float64)
+        tgt = tol * max(
+            float(np.linalg.norm(np.asarray(b, np.complex128 if
+                                            is_complex else np.float64))),
+            1e-30,
+        )
+        hit = np.nonzero(rn <= tgt)[0]
+        iters = (int(hit[0]) + 1 if hit.size else rn.shape[0]) * per
 
     res_dtype = np.complex128 if is_complex else np.float64
     r = np.asarray(b, res_dtype) - np.asarray(

@@ -842,9 +842,11 @@ def block_jacobi_preconditioner(
 
     Captures geometry the pointwise Jacobi misses (``block`` spanning a
     grid line gives classic line relaxation); costs O(block²) memory
-    per block-row. Singular/ill blocks are ridged (escalating diagonal
-    shift, same policy as the ILU shift ladder) until the batched
-    inverse is finite.
+    per block-row. Rows with no entries inside their diagonal block
+    (padding rows, structurally missing diagonals) become identity
+    rows; numerically singular blocks — and ONLY those blocks — are
+    ridged (escalating diagonal shift, same policy as the ILU shift
+    ladder) until their inverse is finite.
     """
     import warnings
 
@@ -868,37 +870,57 @@ def block_jacobi_preconditioner(
     blocks[rows[same] // block, rows[same] % block, ci[same] % block] = (
         v[same]
     )
-    # Padding rows of the last block (and structurally empty diagonal
-    # slots) get identity entries so every block is invertible-shaped.
-    flat_diag = blocks.reshape(nb, -1)[:, :: block + 1]
-    pad_rows = np.arange(nb * block).reshape(nb, block) >= n
-    flat_diag[pad_rows & (flat_diag == 0.0)] = 1.0
+    # Rows with no entries inside their diagonal block — padding rows
+    # of the last block and real rows whose diagonal is structurally
+    # missing — become identity rows: the block inverse acts as the
+    # identity there instead of tripping the ridge ladder below.
+    empty_r, empty_c = np.nonzero(~blocks.any(axis=2))
+    blocks[empty_r, empty_c, empty_c] = 1.0
 
     scale = float(np.max(np.abs(v))) if v.size else 1.0
     eye = np.eye(block)
-    ridge, binv = 0.0, None
-    for _ in range(9):
+
+    def _inv(bl):
         try:
             with np.errstate(all="ignore"):
-                cand = np.linalg.inv(
-                    blocks + ridge * eye if ridge else blocks
-                )
-            if np.isfinite(cand).all():
-                binv = cand
-                break
+                cand = np.linalg.inv(bl)
         except np.linalg.LinAlgError:
-            pass
-        ridge = (ridge * 10.0) if ridge else scale * 1e-6
+            return None
+        return cand if np.isfinite(cand).all() else None
+
+    binv = _inv(blocks)
     if binv is None:
-        raise ValueError(
-            "block_jacobi: blocks remained singular under the ridge "
-            "ladder — the diagonal blocks of this matrix are degenerate"
-        )
-    if ridge:
+        # Ridge ONLY the singular blocks (escalating diagonal shift,
+        # same policy as the ILU shift ladder); healthy blocks keep
+        # their exact inverses.
+        binv = np.empty_like(blocks)
+        bad = []
+        for bi in range(nb):
+            inv_b = _inv(blocks[bi])
+            if inv_b is None:
+                bad.append(bi)
+            else:
+                binv[bi] = inv_b
+        max_ridge = 0.0
+        for bi in bad:
+            ridge, inv_b = scale * 1e-6, None
+            for _ in range(9):
+                inv_b = _inv(blocks[bi] + ridge * eye)
+                if inv_b is not None:
+                    break
+                ridge *= 10.0
+            if inv_b is None:
+                raise ValueError(
+                    "block_jacobi: a diagonal block remained singular "
+                    "under the ridge ladder — the diagonal blocks of "
+                    "this matrix are degenerate"
+                )
+            binv[bi] = inv_b
+            max_ridge = max(max_ridge, ridge)
         warnings.warn(
-            f"block_jacobi: singular diagonal block(s); ridged with "
-            f"{ridge:g} to invert — the preconditioner is weakened on "
-            "those blocks",
+            f"block_jacobi: {len(bad)} singular diagonal block(s); "
+            f"ridged with up to {max_ridge:g} to invert — the "
+            "preconditioner is weakened on those blocks only",
             stacklevel=2,
         )
     dtype = matrix.vals.dtype

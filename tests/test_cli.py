@@ -502,6 +502,8 @@ def test_solve_tol_spec(tmp_path):
     solve = [r2 for r2 in recs if r2["alg"].startswith("SOLVE-")]
     assert len(solve) == 1
     assert solve[0]["relative_residual"] < 1e-3
+    # the ACHIEVED (early-stopped) count is recorded, not the requested
+    assert 0 < solve[0]["iterations"] < 100
 
     # bad tolerance strings are usage errors (rc 2)
     for bad in ("cg:100:0", "cg:100:2", "cg:100:x", "cg:1:2:3"):

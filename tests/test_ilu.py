@@ -441,25 +441,58 @@ def test_block_jacobi_preconditioner():
         np.testing.assert_allclose(m, m.T, rtol=1e-4, atol=1e-5)
         assert np.linalg.eigvalsh((m + m.T) / 2).min() > 0
 
-    # Line relaxation beats pointwise Jacobi on Poisson.
-    big = _poisson2d(14)
-    csr_b = csr_encode(_coo_from_dense(big))
-    b = rng.randn(big.shape[0]).astype(np.float32)
-    iters = 14
+    # Line relaxation beats pointwise Jacobi. Scale Poisson by a varied
+    # SPD congruence (S A S) so the diagonal is non-constant — on plain
+    # Poisson the diagonal is constant and pointwise Jacobi degenerates
+    # to unpreconditioned CG, which would make this comparison vacuous.
+    from smvp_toolkit_tpu.models import pcg
     from smvp_toolkit_tpu.ops.algebra import diagonal
 
-    _, res_cg = conjugate_gradient(csr_b, b, num_iters=iters)
+    big = _poisson2d(14)
+    n2 = big.shape[0]
+    s = 1.0 + np.arange(n2) / n2
+    big = big * np.outer(s, s)
+    coo_b = _coo_from_dense(big)
+    csr_b = csr_encode(coo_b)
+    b = rng.randn(n2).astype(np.float32)
+    iters = 14
+    _, res_j = pcg(csr_b, b, diagonal(coo_b), num_iters=iters)
     mb = block_jacobi_preconditioner(csr_b, block=14)
     _, res_bj = pcg_precond(csr_b, b, mb, num_iters=iters)
-    assert float(res_bj[-1]) < float(res_cg[-1])
+    assert float(res_bj[-1]) < float(res_j[-1])
+
+
+def test_block_jacobi_empty_diag_rows_are_identity():
+    """Structurally missing diagonals become identity rows, not ridge
+    casualties: the apply passes those components through unchanged and
+    no singular-block warning fires."""
+    import warnings
+
+    from smvp_toolkit_tpu.models import block_jacobi_preconditioner
+
+    a = np.array([[0.0, 1.0], [1.0, 0.0]])  # no stored diagonal at all
+    csr = csr_encode(_coo_from_dense(a, pad_to=8))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        apply_m = block_jacobi_preconditioner(csr, block=1)
+    r = np.array([2.0, 3.0], np.float32)
+    np.testing.assert_allclose(np.asarray(apply_m(r)), r)
 
 
 def test_block_jacobi_singular_block_ridged():
+    """A numerically singular STORED block is ridged — and only it: the
+    healthy block keeps its exact inverse."""
     from smvp_toolkit_tpu.models import block_jacobi_preconditioner
 
-    a = np.array([[0.0, 1.0], [1.0, 0.0]])  # singular 1x1 diagonal blocks
+    a = np.array([
+        [1.0, 1.0, 0.0, 0.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 2.0, 0.0],
+        [0.0, 0.0, 0.0, 4.0],
+    ])
     csr = csr_encode(_coo_from_dense(a, pad_to=8))
-    with pytest.warns(UserWarning, match="ridge|singular"):
-        apply_m = block_jacobi_preconditioner(csr, block=1)
-    z = np.asarray(apply_m(np.ones(2, np.float32)))
+    with pytest.warns(UserWarning, match="singular"):
+        apply_m = block_jacobi_preconditioner(csr, block=2)
+    z = np.asarray(apply_m(np.ones(4, np.float32)))
     assert np.all(np.isfinite(z))
+    np.testing.assert_allclose(z[2:], [0.5, 0.25], rtol=1e-6)
