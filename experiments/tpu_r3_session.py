@@ -256,6 +256,68 @@ def run_grad(name, *, iterations=100, label=" grad"):
           f"(compile+run {time.time()-t0:.0f}s)", flush=True)
 
 
+def run_spmm(name, *, k=8, fused=True, iterations=100, label=" spmm"):
+    """Time Y = A·X (k RHS) on the Pallas path with ONE remote compile.
+
+    ``fused=True`` runs the k-wide fused launch (value/index planes read
+    once per chunk for all k columns); ``fused=False`` pins the
+    vmap-over-columns fallback (SMVP_SELL_SPMM=0). The A/B isolates the
+    plane-traffic amortization the fused kernel claims — at SELL
+    occupancies the planes dominate HBM traffic, so fused should
+    approach k× the per-launch SpMV rate.
+    """
+    t0 = time.time()
+    if QUICK:
+        iterations = 3
+    coo = _coo(name)
+    r, c, v = coo.to_numpy()
+    op = sp.SellSpMV.from_coo(coo, interpret=None if QUICK else False)
+    rng = np.random.default_rng(0)
+    Xh = rng.standard_normal((coo.shape[1], k)).astype(np.float32)
+    X = jnp.asarray(Xh)
+    if not fused:
+        os.environ["SMVP_SELL_SPMM"] = "0"
+    try:
+
+        @jax.jit
+        def loop(XX):
+            def body(_, acc):
+                # Never-taken select: keeps each iteration data-dependent
+                # on the carry so XLA cannot hoist the SpMM.
+                Xi = jnp.where(acc[0, 0] > 1e30, XX + 1.0, XX)
+                return acc + op.matmat(Xi)
+
+            zero = jnp.zeros((coo.shape[0], k), jnp.float32)
+            return jax.lax.fori_loop(0, iterations, body, zero)
+
+        acc = jax.block_until_ready(loop(X))  # compile + warmup
+        times = []
+        for _ in range(3):
+            t1 = time.time()
+            jax.block_until_ready(loop(X))
+            times.append((time.time() - t1) / iterations)
+        Y = np.asarray(acc, np.float64) / iterations
+        rn, cn, vn = r[: coo.nnz], c[: coo.nnz], v[: coo.nnz]
+        Y_ref = np.zeros((coo.shape[0], k))
+        np.add.at(Y_ref, rn, vn[:, None] * Xh.astype(np.float64)[cn])
+        err = np.abs(Y - Y_ref).max() / (np.abs(Y_ref).max() + 1e-30)
+        avg = min(times)
+        nnzs = k * coo.nnz / avg  # k RHS served per launch
+        rec = {
+            "ts": time.time(), "name": name, "label": label.strip(),
+            "kind": "spmm", "k": k, "fused": fused, "nnz": int(coo.nnz),
+            "err": float(err), "avg_us": float(avg * 1e6),
+            "gnnz_s_krhs": float(nnzs / 1e9), "iterations": iterations,
+            "device": jax.devices()[0].device_kind,
+        }
+        _record(rec)
+        print(f"{name}{label}: err={err:.2e}  {avg*1e6:8.2f} us/iter  "
+              f"{nnzs/1e9:6.2f} Gnnz/s(x{k}rhs) "
+              f"(compile+run {time.time()-t0:.0f}s)", flush=True)
+    finally:
+        os.environ.pop("SMVP_SELL_SPMM", None)
+
+
 def main():
     t0 = time.time()
     dev = jax.devices()[0]
@@ -341,6 +403,20 @@ def main():
             run_grad(gname, **gkw)
         except Exception as e:
             print(f"{gname} grad FAILED: {str(e)[:300]}", flush=True)
+
+    # Fused SpMM vs the vmap fallback (k right-hand sides per launch) —
+    # the GCN-training hot op; fused should approach k× the SpMV rate.
+    for sname, skw in [
+        ("memplus", dict(k=8, fused=True, label=" spmm8-fused")),
+        ("memplus", dict(k=8, fused=False, label=" spmm8-vmap")),
+        ("pwt", dict(k=8, fused=True, label=" spmm8-fused")),
+        ("pwt", dict(k=8, fused=False, label=" spmm8-vmap")),
+        ("memplus", dict(k=16, fused=True, label=" spmm16-fused")),
+    ]:
+        try:
+            run_spmm(sname, **skw)
+        except Exception as e:
+            print(f"{sname} spmm FAILED: {str(e)[:300]}", flush=True)
 
     # Post-session: calibrate the autotuner cost model on the chunk-sweep
     # records and check pick_plan against the measured best.

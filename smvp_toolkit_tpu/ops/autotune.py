@@ -155,6 +155,9 @@ def _usable(records: Iterable[dict]) -> list:
         r for r in records
         if r.get("avg_us") and r.get("err", 1.0) < 1e-2
         and not r.get("env_compat") and not r.get("env_nowindow")
+        # only plain SpMV stages carry the plan geometry the cost terms
+        # need — grad/spmm records (kind != None) have no "S"/"WT"
+        and "S" in r and "WT" in r
     ]
 
 

@@ -71,6 +71,29 @@ def _table_select(rel_ref, x_win, wt, precision, bf16_values, reduce2):
     )
 
 
+def _gather_tile(table, lidx, k):
+    """In-tile x gather: one VPU lane shuffle per 128-lane column block.
+
+    SpMV (``k == 1``) is the plain 2-D ``take_along_axis`` the kernel
+    has always used. SpMM widens ``table`` to ``(S, k*128)`` — column j
+    of the dense block lives in lanes ``j*128:(j+1)*128`` — and every
+    block gathers with the SAME lane indices, so the k-loop unrolls to
+    k copies of the proven 2-D shuffle shape (no >128-lane dynamic
+    gather for Mosaic to choke on).
+    """
+    if k == 1:
+        return jnp.take_along_axis(table, lidx, axis=1)
+    return jnp.concatenate(
+        [
+            jnp.take_along_axis(
+                table[:, j * LANES:(j + 1) * LANES], lidx, axis=1
+            )
+            for j in range(k)
+        ],
+        axis=1,
+    )
+
+
 def _seg_reduce(prod, sl_ref, sb, nsw, precision, reduce2):
     """Row reduce: sum sublanes into their slice (one-hot MXU matmul).
 
@@ -155,13 +178,19 @@ def _make_sell_kernel(precision, ns, nsw, wt, bf16_values, reduce2=False):
 
 
 def _make_sell_kernel_resident(precision, ns, nsw, wt, bf16_values,
-                               reduce2=False):
+                               reduce2=False, k=1):
     """Kernel variant with the full x tile array resident in VMEM.
 
     The per-chunk (wt, 128) x window is a dynamic sublane slice of the
     resident block, started at ``bases[0, chunk]`` read from SMEM — no
     host-side window stack, no duplicated x traffic: x crosses HBM once.
     ``bases[1, chunk]`` is the slice-window start for the reduce.
+
+    ``k > 1`` is the fused SpMM: the x block widens to ``(…, k*128)``
+    (dense column j in lanes ``j*128:(j+1)*128``) and the select +
+    reduce matmuls simply run k× wider — the packed value/index planes,
+    the dominant HBM traffic at SELL occupancies, are read ONCE for all
+    k columns instead of once per column as the vmap fallback does.
     """
 
     def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
@@ -172,14 +201,16 @@ def _make_sell_kernel_resident(precision, ns, nsw, wt, bf16_values,
         def _init():
             y_ref[:] = jnp.zeros_like(y_ref)
 
-        x_win = x_ref[pl.ds(bases_ref[0, step], wt), :]  # (wt, LANES)
+        x_win = x_ref[pl.ds(bases_ref[0, step], wt), :]  # (wt, k*LANES)
         table = _table_select(
             rel_ref, x_win, wt, precision, bf16_values, reduce2
         )
-        g = jnp.take_along_axis(
-            table, lidx_ref[:].astype(jnp.int32), axis=1
-        )
-        prod = val_ref[:].astype(jnp.float32) * g
+        g = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
+        vals = val_ref[:].astype(jnp.float32)
+        # k > 1: replicate the value plane across the k lane blocks with
+        # the same concatenate idiom as the gather (one Mosaic pattern).
+        prod = (vals if k == 1
+                else jnp.concatenate([vals] * k, axis=1)) * g
         _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
                       precision, reduce2)
 
@@ -187,7 +218,7 @@ def _make_sell_kernel_resident(precision, ns, nsw, wt, bf16_values,
 
 
 def _make_sell_kernel_prefetch(precision, ns, nsw, wt, bf16_values,
-                               reduce2):
+                               reduce2, k=1):
     """Kernel variant fed per-chunk x windows by scalar-prefetch DMA.
 
     ``tile_base`` rides as a scalar-prefetch argument so the x-window
@@ -196,7 +227,7 @@ def _make_sell_kernel_prefetch(precision, ns, nsw, wt, bf16_values,
     planner) — x stays in HBM and each window is DMA'd once per chunk.
     This replaces the host-side windowed stack (which duplicates x
     ~WT-fold in HBM) for matrices whose x tile array exceeds the VMEM
-    residency budget.
+    residency budget. ``k > 1``: fused SpMM, see the resident variant.
     """
 
     def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref, sl_ref,
@@ -210,10 +241,12 @@ def _make_sell_kernel_prefetch(precision, ns, nsw, wt, bf16_values,
         table = _table_select(
             rel_ref, x_ref[:], wt, precision, bf16_values, reduce2
         )
-        g = jnp.take_along_axis(
-            table, lidx_ref[:].astype(jnp.int32), axis=1
-        )
-        prod = val_ref[:].astype(jnp.float32) * g
+        g = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
+        vals = val_ref[:].astype(jnp.float32)
+        # k > 1: replicate the value plane across the k lane blocks with
+        # the same concatenate idiom as the gather (one Mosaic pattern).
+        prod = (vals if k == 1
+                else jnp.concatenate([vals] * k, axis=1)) * g
         _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
                       precision, reduce2)
 
@@ -419,20 +452,29 @@ def _sell_vals_grad_call(
     jax.jit,
     static_argnames=("n_chunks", "chunk", "ns", "nsw", "wt", "interpret",
                      "precision", "resident", "onehot_dense", "reduce2",
-                     "prefetch", "nsb"),
+                     "prefetch", "nsb", "k"),
 )
 def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, bases, *, n_chunks, chunk,
     ns, nsw, wt, interpret, precision=jax.lax.Precision.HIGHEST,
     resident=True, onehot_dense=False, reduce2=False, prefetch=True,
-    nsb=0,
+    nsb=0, k=1,
 ):
     """Dispatch one SELL launch. ``bases`` is i32 (2, n_chunks):
     row 0 = per-chunk x tile-window starts, row 1 = per-chunk y
     slice-window starts (both 16-aligned; see sell_plan). Streamed-y
     plans (``nsb > 0``) carry a third row — per-chunk y block ids —
-    and ``slice_of``/row 1 hold block-LOCAL slice positions."""
+    and ``slice_of``/row 1 hold block-LOCAL slice positions.
+
+    ``k > 1`` is the fused SpMM launch (x_tiles/y carry k*128 lanes);
+    only the resident and scalar-prefetch variants support it — the
+    caller (``SellSpMV.matmat``) routes streamed-y/compat plans to the
+    vmap fallback instead."""
     bf16_values = vals.dtype == jnp.bfloat16
+    if k > 1 and (nsb > 0 or onehot_dense):
+        raise ValueError(
+            "fused SpMM supports the resident/prefetch kernels only"
+        )
     if nsb > 0:
         # v7 flush-behind: y streams through VMEM one (nsb, 128) block
         # at a time; the scalar-prefetched bases drive both the x window
@@ -513,19 +555,19 @@ def _sell_spmv_call(
         ct = x_tiles.shape[0]
         return pl.pallas_call(
             _make_sell_kernel_resident(
-                precision, ns, nsw, wt, bf16_values, reduce2
+                precision, ns, nsw, wt, bf16_values, reduce2, k
             ),
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
-                pl.BlockSpec((ct, LANES), lambda i: (0, 0)),  # resident x
+                pl.BlockSpec((ct, k * LANES), lambda i: (0, 0)),  # res. x
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
                 pl.BlockSpec((1, chunk), lambda i: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            out_specs=pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
         )(bases, x_tiles, vals, lidx, rel_tile, slice_of)
 
@@ -537,25 +579,29 @@ def _sell_spmv_call(
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (pl.Element(wt), LANES), lambda i, b: (b[0, i], 0)
+                    (pl.Element(wt), k * LANES), lambda i, b: (b[0, i], 0)
                 ),
                 pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
                 pl.BlockSpec((chunk, 1), lambda i, b: (i, 0)),
                 pl.BlockSpec((1, chunk), lambda i, b: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((ns, LANES), lambda i, b: (0, 0)),
+            out_specs=pl.BlockSpec((ns, k * LANES), lambda i, b: (0, 0)),
         )
         return pl.pallas_call(
             _make_sell_kernel_prefetch(precision, ns, nsw, wt,
-                                       bf16_values, reduce2),
+                                       bf16_values, reduce2, k),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
         )(bases, x_tiles, vals, lidx, rel_tile, slice_of)
 
     # Fallback: per-chunk x windows as a handful of overlapping dynamic
     # slices (XLA host of the pallas_call; n_chunks is small and static).
+    if k > 1:
+        raise ValueError(
+            "fused SpMM supports the resident/prefetch kernels only"
+        )
     xw = jnp.stack(
         [
             jax.lax.dynamic_slice(x_tiles, (bases[0, i], 0), (wt, LANES))
@@ -686,9 +732,100 @@ class SellSpMV:
         return self._t_op
 
     def matmat(self, X: jax.Array) -> jax.Array:
-        """Y = A·X for a dense block X (ncols, k) — SpMM on the Pallas
-        kernel via vmap over columns (Pallas supports batching)."""
-        return jax.vmap(self, in_axes=1, out_axes=1)(X)
+        """Y = A·X for a dense block X (ncols, k) — fused SpMM.
+
+        The fused kernel widens the x/y lanes to ``k*128`` (column j in
+        lanes ``j*128:(j+1)*128``) so the packed value/index planes —
+        the dominant HBM traffic at SELL occupancies — are read ONCE
+        per chunk for all k columns; the vmap-over-columns fallback
+        replays them k times. Columns are grouped into launches whose
+        (NS, group*128) y block stays VMEM-resident (default group 8,
+        ``SMVP_SELL_SPMM_GROUP``); streamed-y plans, compat mode, and
+        ``SMVP_SELL_SPMM=0`` take the vmap fallback.
+        """
+        plan = self.plan
+        k = int(X.shape[1])
+        if k == 1:
+            return self(X[:, 0])[:, None]
+        compat = (
+            getattr(self, "onehot_dense", False)
+            or os.environ.get("SMVP_SELL_COMPAT") == "1"
+        )
+        group = int(os.environ.get("SMVP_SELL_SPMM_GROUP", "8"))
+        y_bytes = plan.n_slices * LANES * 4
+        group = min(group, _RESIDENT_Y_LIMIT // max(y_bytes, 1))
+        if (
+            os.environ.get("SMVP_SELL_SPMM") == "0"
+            or plan.y_block_slices
+            or compat
+            or group < 2
+        ):
+            return jax.vmap(self, in_axes=1, out_axes=1)(X)
+        outs = [
+            self._matmat_group(X[:, g0:g0 + group])
+            for g0 in range(0, k, group)
+        ]
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+    def _matmat_group(self, X: jax.Array) -> jax.Array:
+        """One fused SpMM launch over a column group that fits VMEM."""
+        plan = self.plan
+        kg = int(X.shape[1])
+        ncols_pad = plan.n_coltiles * LANES
+        X = X.astype(self.value_dtype)
+        if X.shape[0] < ncols_pad:
+            X = jnp.pad(X, ((0, ncols_pad - X.shape[0]), (0, 0)))
+        # Lane layout: X_tiles[t, j*128 + l] = X[t*128 + l, j].
+        x_tiles = (
+            X.T.reshape(kg, plan.n_coltiles, LANES)
+            .transpose(1, 0, 2)
+            .reshape(plan.n_coltiles, kg * LANES)
+        )
+        resident = (
+            plan.n_coltiles * kg * LANES * x_tiles.dtype.itemsize
+            <= _RESIDENT_X_LIMIT
+        )
+        prefetch = (
+            not resident and os.environ.get("SMVP_SELL_PREFETCH") != "0"
+        )
+        if not resident and not prefetch:
+            # No windowed-stack SpMM variant; vmap the SpMV fallback.
+            return jax.vmap(self, in_axes=1, out_axes=1)(
+                X[: self.shape[1]]
+            )
+        reduce2 = os.environ.get("SMVP_SELL_REDUCE2") == "1"
+        nsw = (
+            plan.n_slices
+            if os.environ.get("SMVP_SELL_NOWINDOW") == "1"
+            else self.nsw
+        )
+        y = _sell_spmv_call(
+            x_tiles,
+            self.vals.astype(self.value_dtype),
+            self.lidx,
+            self.rel_tile,
+            self.slice_of,
+            self.bases,
+            n_chunks=plan.n_chunks,
+            chunk=plan.chunk,
+            ns=plan.n_slices,
+            nsw=nsw,
+            wt=plan.window_tiles,
+            interpret=self.interpret,
+            precision=self.precision,
+            resident=resident,
+            onehot_dense=False,
+            reduce2=reduce2,
+            prefetch=prefetch,
+            nsb=0,
+            k=kg,
+        )  # (NS, kg*LANES)
+        y = (
+            y.reshape(plan.n_slices, kg, LANES)
+            .transpose(0, 2, 1)
+            .reshape(plan.n_slices * LANES, kg)
+        )
+        return y[: self.shape[0]]
 
     def differentiable(self):
         """A jax-differentiable ``f(x) = A·x`` (vjp via the Aᵀ operator).
@@ -710,6 +847,32 @@ class SellSpMV:
 
         def bwd(_, g):
             return (op_t(g),)
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    def differentiable_mat(self):
+        """A jax-differentiable ``f(X) = A·X`` on the fused SpMM launch.
+
+        Same construction as :meth:`differentiable` one k-block wider:
+        the cotangent of the linear map is ``Aᵀ·G``, supplied through
+        the transpose operator's own fused ``matmat``. Drops into the
+        ``spmm=`` seams of :func:`gcn_train_step` / :func:`block_cg`
+        as ``spmm=lambda m, X: f(X)`` — the whole GCN training step
+        (forward and backward aggregation) then runs on the Pallas path.
+        """
+        op_t = self.transpose()
+        this = self
+
+        @jax.custom_vjp
+        def f(X):
+            return this.matmat(X)
+
+        def fwd(X):
+            return this.matmat(X), None
+
+        def bwd(_, G):
+            return (op_t.matmat(G),)
 
         f.defvjp(fwd, bwd)
         return f

@@ -312,3 +312,24 @@ def test_compiled_ic0_precondition_apply(tpu_device):
 
     ref = neumann(low.T, d, neumann(low, d, rr.astype(np.float64)))
     assert np.abs(z - ref).max() / (np.abs(ref).max() + 1e-30) < 1e-4
+
+
+def test_compiled_fused_spmm_memplus(tpu_device):
+    """The fused SpMM launch (k*128-lane select/gather/reduce) Mosaic-
+    compiles and matches the per-column reference for a k above and
+    below the group size."""
+    import jax.numpy as jnp
+
+    coo, trip, op = _op("memplus")
+    rng = np.random.default_rng(7)
+    r, c, v = trip
+    for k in (6, 12):  # one launch; and groups of 8 + 4
+        X = rng.standard_normal((coo.shape[1], k)).astype(np.float32)
+        Y = np.asarray(op.matmat(jnp.asarray(X))).astype(np.float64)
+        Y_ref = np.zeros((coo.shape[0], k))
+        np.add.at(
+            Y_ref, r, np.asarray(v)[:, None].astype(np.float64)
+            * X[c].astype(np.float64),
+        )
+        scale = np.abs(Y_ref).max() + 1e-30
+        assert np.abs(Y - Y_ref).max() / scale < 1e-5
