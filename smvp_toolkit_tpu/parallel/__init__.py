@@ -33,6 +33,7 @@ from smvp_toolkit_tpu.parallel.spmv_2d import (
 from smvp_toolkit_tpu.parallel.sell_dist import (
     ShardedSell,
     shard_sell,
+    spmm_sell_sharded,
     spmv_sell_sharded,
 )
 
@@ -55,5 +56,6 @@ __all__ = [
     "spmm_csr_2d",
     "ShardedSell",
     "shard_sell",
+    "spmm_sell_sharded",
     "spmv_sell_sharded",
 ]

@@ -31,7 +31,9 @@ from smvp_toolkit_tpu.ops.sell_plan import (
 from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call, _use_interpret
 from smvp_toolkit_tpu.parallel.mesh import DP_AXIS
 
-__all__ = ["ShardedSell", "shard_sell", "spmv_sell_sharded"]
+__all__ = [
+    "ShardedSell", "shard_sell", "spmv_sell_sharded", "spmm_sell_sharded",
+]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -273,4 +275,119 @@ def _spmv_sell_sharded(
     # concatenate shards in row order and trim global row padding.
     ns_true = sh.rows_per_shard // LANES
     y = y_blocks[:, :ns_true, :].reshape(-1)
+    return y[: sh.shape[0]]
+
+
+def spmm_sell_sharded(sh: ShardedSell, X: jax.Array, mesh: Mesh) -> jax.Array:
+    """Y = A·X (k RHS) — the fused SELL SpMM under ``shard_map``.
+
+    Mirrors ``SellSpMV.matmat``: every device runs one k-wide launch
+    over its row block, reading its value/index planes ONCE for all k
+    columns (the distributed GCN-training hot op). X is replicated;
+    columns group into launches of up to 8 (``SMVP_SELL_SPMM_GROUP``),
+    matching the single-chip VMEM policy. Compat mode and
+    ``SMVP_SELL_SPMM=0`` fall back to per-column ``spmv_sell_sharded``.
+    """
+    import os as _os
+
+    k = int(X.shape[1])
+    compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
+    if k == 1:
+        return spmv_sell_sharded(sh, X[:, 0], mesh)[:, None]
+    if compat or _os.environ.get("SMVP_SELL_SPMM") == "0":
+        cols = [spmv_sell_sharded(sh, X[:, j], mesh) for j in range(k)]
+        return jnp.stack(cols, axis=1)
+    reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
+    prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
+    nowindow = _os.environ.get("SMVP_SELL_NOWINDOW") == "1"
+    group = int(_os.environ.get("SMVP_SELL_SPMM_GROUP", "8"))
+    outs = [
+        _spmm_sell_sharded(sh, X[:, g0:g0 + group], mesh, reduce2,
+                           prefetch, nowindow)
+        for g0 in range(0, k, group)
+    ]
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "reduce2", "prefetch", "nowindow"),
+)
+def _spmm_sell_sharded(
+    sh: ShardedSell, X: jax.Array, mesh: Mesh, reduce2: bool,
+    prefetch: bool, nowindow: bool,
+) -> jax.Array:
+    kg = X.shape[1]
+    ncols_pad = sh.CT * LANES
+    X = X.astype(sh.vals.dtype)
+    from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
+
+    resident = sh.CT * LANES * X.dtype.itemsize * kg <= _RESIDENT_X_LIMIT
+    precision = (
+        jax.lax.Precision.HIGH
+        if sh.vals.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    if X.shape[0] < ncols_pad:
+        X = jnp.pad(X, ((0, ncols_pad - X.shape[0]), (0, 0)))
+    # Lane layout (as SellSpMV._matmat_group): column j of the group in
+    # lanes j*128:(j+1)*128 of each coltile row.
+    x_tiles = (
+        X.T.reshape(kg, sh.CT, LANES)
+        .transpose(1, 0, 2)
+        .reshape(sh.CT, kg * LANES)
+    )
+    interpret = _use_interpret()
+    n_chunks = sh.S // sh.chunk
+
+    def local(vals, lidx, rel, slc, tbase, xt):
+        y = _sell_spmv_call(
+            xt,
+            vals[0],
+            lidx[0],
+            rel[0],
+            slc[0],
+            tbase[0],
+            n_chunks=n_chunks,
+            chunk=sh.chunk,
+            ns=sh.NSl,
+            nsw=(
+                sh.NSl
+                if sh.slice_window <= 0 or nowindow
+                else sh.slice_window
+            ),
+            wt=sh.WT,
+            interpret=interpret,
+            precision=precision,
+            resident=resident,
+            onehot_dense=False,
+            reduce2=reduce2,
+            prefetch=prefetch,
+            k=kg,
+        )
+        return y[None]  # (1, NSl, kg*LANES)
+
+    y_blocks = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(),
+        ),
+        out_specs=P(DP_AXIS),
+        check_vma=False,
+    )(sh.vals, sh.lidx, sh.rel_tile, sh.slice_of, sh.tile_base, x_tiles)
+    # Per shard: drop slice padding, unpack lanes back to (rows, kg),
+    # then concatenate shards in row order and trim global row padding.
+    ns_true = sh.rows_per_shard // LANES
+    y = (
+        y_blocks[:, :ns_true, :]
+        .reshape(sh.n_shards, ns_true, kg, LANES)
+        .transpose(0, 1, 3, 2)
+        .reshape(sh.n_shards * ns_true * LANES, kg)
+    )
     return y[: sh.shape[0]]

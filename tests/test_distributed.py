@@ -573,3 +573,52 @@ def test_pcg_ic0_over_sharded_spmv():
     assert float(res_p[-1]) < 0.5 * float(res_cg[-1])
     x_ref = np.linalg.solve(a, np.asarray(b, np.float64))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("k", [3, 8, 11])
+def test_sharded_fused_spmm(k):
+    """spmm_sell_sharded: the k-wide fused launch per device matches
+    the dense reference and the per-column sharded SpMV (k=11 splits
+    into groups of 8 + 3)."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.parallel.sell_dist import (
+        shard_sell,
+        spmm_sell_sharded,
+        spmv_sell_sharded,
+    )
+
+    coo = _coo(seed=21, nrows=260, ncols=200, nnz=1500)
+    mesh = make_mesh(4)
+    sh = shard_sell(coo, mesh)
+    rng = np.random.RandomState(6)
+    X = np.asarray(rng.randn(coo.shape[1], k), dtype=np.float32)
+    Y = np.asarray(spmm_sell_sharded(sh, jnp.asarray(X), mesh))
+    Y_ref = coo.to_dense() @ X.astype(np.float64)
+    np.testing.assert_allclose(Y, Y_ref, rtol=1e-4, atol=1e-5)
+    cols = np.stack(
+        [np.asarray(spmv_sell_sharded(sh, X[:, j], mesh)) for j in range(k)],
+        axis=1,
+    )
+    np.testing.assert_allclose(Y, cols, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_fused_spmm_fallback(monkeypatch):
+    """SMVP_SELL_SPMM=0 routes the sharded SpMM through the per-column
+    path with identical results."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.parallel.sell_dist import (
+        shard_sell,
+        spmm_sell_sharded,
+    )
+
+    coo = _coo(seed=22, nrows=130, ncols=130, nnz=700)
+    mesh = make_mesh(2)
+    sh = shard_sell(coo, mesh)
+    rng = np.random.RandomState(7)
+    X = np.asarray(rng.randn(coo.shape[1], 4), dtype=np.float32)
+    Y_fused = np.asarray(spmm_sell_sharded(sh, jnp.asarray(X), mesh))
+    monkeypatch.setenv("SMVP_SELL_SPMM", "0")
+    Y_vmap = np.asarray(spmm_sell_sharded(sh, jnp.asarray(X), mesh))
+    np.testing.assert_allclose(Y_fused, Y_vmap, rtol=1e-5, atol=1e-6)
