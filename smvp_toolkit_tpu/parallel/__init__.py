@@ -32,8 +32,11 @@ from smvp_toolkit_tpu.parallel.spmv_2d import (
 )
 from smvp_toolkit_tpu.parallel.sell_dist import (
     ShardedSell,
+    differentiable_spmm_sharded,
     shard_sell,
+    shard_sell_transpose,
     spmm_sell_sharded,
+    spmm_sell_sharded_t,
     spmv_sell_sharded,
 )
 
@@ -55,7 +58,10 @@ __all__ = [
     "spmv_csr_2d",
     "spmm_csr_2d",
     "ShardedSell",
+    "differentiable_spmm_sharded",
     "shard_sell",
+    "shard_sell_transpose",
     "spmm_sell_sharded",
+    "spmm_sell_sharded_t",
     "spmv_sell_sharded",
 ]

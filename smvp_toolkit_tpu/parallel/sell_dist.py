@@ -32,7 +32,9 @@ from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call, _use_interpret
 from smvp_toolkit_tpu.parallel.mesh import DP_AXIS
 
 __all__ = [
-    "ShardedSell", "shard_sell", "spmv_sell_sharded", "spmm_sell_sharded",
+    "ShardedSell", "shard_sell", "shard_sell_transpose",
+    "spmv_sell_sharded", "spmm_sell_sharded", "spmm_sell_sharded_t",
+    "differentiable_spmm_sharded",
 ]
 
 
@@ -96,21 +98,65 @@ def shard_sell(
     nrows, ncols = coo.shape
     rows_blk = _round_up(nrows, n * LANES) // n  # multiple of 128
     r, c, v = coo.to_numpy()
-
-    # One planner pass per shard, then an O(S) rewindow to the common
-    # maximum so one compiled kernel (and one clamping rule) serves
-    # every shard (bit-identical to the former probe-then-rebuild
-    # double pass — tested). Window alignment (tile window + slice
-    # window + base re-clamp) is the shared common_window rule in
-    # ops/sell_plan.py, same as the streamed-y stacker.
     parts = []
     for k in range(n):
         lo, hi = k * rows_blk, (k + 1) * rows_blk
         sel = (r >= lo) & (r < hi)
         parts.append((r[sel] - lo, c[sel], v[sel]))
+    return _stack_shard_plans(
+        parts, (rows_blk, ncols), coo.shape, coo.nnz, mesh,
+        chunk=chunk, value_dtype=value_dtype, rows_per_shard=rows_blk,
+    )
+
+
+def shard_sell_transpose(
+    coo: COOMatrix,
+    mesh: Mesh,
+    *,
+    chunk: int = 1024,
+    value_dtype=None,
+) -> ShardedSell:
+    """Per-device plans of (row-block of A)ᵀ — the backward operator.
+
+    Device k owns rows ``[k·rows_blk, (k+1)·rows_blk)`` of A on the
+    forward path; its transpose block A_kᵀ is (ncols, rows_blk), and
+    ``Aᵀ·G = Σ_k A_kᵀ·G_k`` — each device multiplies its own y-rows
+    slice of the cotangent and a psum assembles the sum. ``shape``
+    records Aᵀ (ncols, nrows); ``rows_per_shard`` still describes the
+    FORWARD row split (the G_k slice width).
+    """
+    n = mesh.devices.size
+    nrows, ncols = coo.shape
+    rows_blk = _round_up(nrows, n * LANES) // n
+    r, c, v = coo.to_numpy()
+    parts = []
+    for k in range(n):
+        lo, hi = k * rows_blk, (k + 1) * rows_blk
+        sel = (r >= lo) & (r < hi)
+        parts.append((c[sel], r[sel] - lo, v[sel]))
+    return _stack_shard_plans(
+        parts, (ncols, rows_blk), (ncols, nrows), coo.nnz, mesh,
+        chunk=chunk, value_dtype=value_dtype, rows_per_shard=rows_blk,
+    )
+
+
+def _stack_shard_plans(
+    parts, local_shape, global_shape, nnz, mesh, *, chunk, value_dtype,
+    rows_per_shard,
+) -> ShardedSell:
+    """Plan each shard's triplets and pad to common static shapes.
+
+    One planner pass per shard, then an O(S) rewindow to the common
+    maximum so one compiled kernel (and one clamping rule) serves
+    every shard (bit-identical to the former probe-then-rebuild
+    double pass — tested). Window alignment (tile window + slice
+    window + base re-clamp) is the shared common_window rule in
+    ops/sell_plan.py, same as the streamed-y stacker.
+    """
+    n = mesh.devices.size
     plans = [
         build_sell_plan(
-            pr, pc, pv, (rows_blk, ncols), chunk=chunk,
+            pr, pc, pv, local_shape, chunk=chunk,
             allow_small_chunk=False,
         )
         for pr, pc, pv in parts
@@ -173,11 +219,11 @@ def shard_sell(
         rel_tile=jax.device_put(jnp.asarray(rel), blk),
         slice_of=jax.device_put(jnp.asarray(slc), blk),
         tile_base=jax.device_put(jnp.asarray(tbase), blk),
-        shape=coo.shape,
-        nnz=coo.nnz,
+        shape=global_shape,
+        nnz=nnz,
         chunk=chunk,
         n_shards=n,
-        rows_per_shard=rows_blk,
+        rows_per_shard=rows_per_shard,
         n_coltiles=CT,
         window_tiles=WT,
         n_slices_local=NSl,
@@ -391,3 +437,142 @@ def _spmm_sell_sharded(
         .reshape(sh.n_shards * ns_true * LANES, kg)
     )
     return y[: sh.shape[0]]
+
+
+def spmm_sell_sharded_t(sh_t: ShardedSell, G: jax.Array,
+                        mesh: Mesh) -> jax.Array:
+    """Z = Aᵀ·G from per-device transpose plans (shard_sell_transpose).
+
+    The cotangent G arrives replicated with the forward output's row
+    layout; device k multiplies its OWN forward-rows slice — one fused
+    k-wide launch of A_kᵀ·G_k — and a psum over the shard axis
+    assembles ``Σ_k A_kᵀ·G_k = Aᵀ·G``. Returns the replicated
+    (ncols, k) result. Together with ``spmm_sell_sharded`` this is the
+    VJP pair for distributed training on the Pallas path.
+    """
+    import os as _os
+
+    k = int(G.shape[1])
+    reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
+    prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
+    nowindow = _os.environ.get("SMVP_SELL_NOWINDOW") == "1"
+    group = int(_os.environ.get("SMVP_SELL_SPMM_GROUP", "8"))
+    outs = [
+        _spmm_sell_sharded_t(sh_t, G[:, g0:g0 + group], mesh, reduce2,
+                             prefetch, nowindow)
+        for g0 in range(0, k, group)
+    ]
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "reduce2", "prefetch", "nowindow"),
+)
+def _spmm_sell_sharded_t(
+    sh_t: ShardedSell, G: jax.Array, mesh: Mesh, reduce2: bool,
+    prefetch: bool, nowindow: bool,
+) -> jax.Array:
+    kg = G.shape[1]
+    rows_blk = sh_t.rows_per_shard  # forward row split = G slice width
+    ncols_pad = sh_t.CT * LANES  # transpose x side covers rows_blk
+    G = G.astype(sh_t.vals.dtype)
+    rows_full = sh_t.n_shards * rows_blk
+    if G.shape[0] < rows_full:
+        G = jnp.pad(G, ((0, rows_full - G.shape[0]), (0, 0)))
+    from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
+
+    resident = sh_t.CT * LANES * G.dtype.itemsize * kg <= _RESIDENT_X_LIMIT
+    precision = (
+        jax.lax.Precision.HIGH
+        if sh_t.vals.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    interpret = _use_interpret()
+    n_chunks = sh_t.S // sh_t.chunk
+
+    def local(vals, lidx, rel, slc, tbase, g_full):
+        idx = jax.lax.axis_index(DP_AXIS)
+        gk = jax.lax.dynamic_slice(
+            g_full, (idx * rows_blk, jnp.zeros((), jnp.int32)),
+            (rows_blk, kg),
+        )
+        if gk.shape[0] < ncols_pad:
+            gk = jnp.pad(gk, ((0, ncols_pad - gk.shape[0]), (0, 0)))
+        x_tiles = (
+            gk.T.reshape(kg, sh_t.CT, LANES)
+            .transpose(1, 0, 2)
+            .reshape(sh_t.CT, kg * LANES)
+        )
+        y = _sell_spmv_call(
+            x_tiles,
+            vals[0],
+            lidx[0],
+            rel[0],
+            slc[0],
+            tbase[0],
+            n_chunks=n_chunks,
+            chunk=sh_t.chunk,
+            ns=sh_t.NSl,
+            nsw=(
+                sh_t.NSl
+                if sh_t.slice_window <= 0 or nowindow
+                else sh_t.slice_window
+            ),
+            wt=sh_t.WT,
+            interpret=interpret,
+            precision=precision,
+            resident=resident,
+            onehot_dense=False,
+            reduce2=reduce2,
+            prefetch=prefetch,
+            k=kg,
+        )  # (NSl, kg*LANES) — partial sum for this shard's rows of A
+        return jax.lax.psum(y, DP_AXIS)
+
+    y = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(DP_AXIS),
+            P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )(sh_t.vals, sh_t.lidx, sh_t.rel_tile, sh_t.slice_of, sh_t.tile_base, G)
+    z = (
+        y.reshape(sh_t.NSl, kg, LANES)
+        .transpose(0, 2, 1)
+        .reshape(sh_t.NSl * LANES, kg)
+    )
+    return z[: sh_t.shape[0]]
+
+
+def differentiable_spmm_sharded(sh: ShardedSell, sh_t: ShardedSell,
+                                mesh: Mesh):
+    """A jax-differentiable ``f(X) = A·X`` on the sharded Pallas path.
+
+    The Pallas kernel carries no AD rules, so the linear-map cotangent
+    ``Aᵀ·G`` is supplied explicitly via the transpose-shard operator
+    (``shard_sell_transpose`` + psum). Drops into the ``spmm=`` seam of
+    :func:`smvp_toolkit_tpu.models.graph.gcn_train_step` as
+    ``spmm=lambda m, X: f(X)`` — the distributed GCN training step then
+    aggregates on the fused SELL kernel in BOTH directions.
+    """
+
+    @jax.custom_vjp
+    def f(X):
+        return spmm_sell_sharded(sh, X, mesh)
+
+    def fwd(X):
+        return spmm_sell_sharded(sh, X, mesh), None
+
+    def bwd(_, G):
+        return (spmm_sell_sharded_t(sh_t, G, mesh),)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -622,3 +622,69 @@ def test_sharded_fused_spmm_fallback(monkeypatch):
     monkeypatch.setenv("SMVP_SELL_SPMM", "0")
     Y_vmap = np.asarray(spmm_sell_sharded(sh, jnp.asarray(X), mesh))
     np.testing.assert_allclose(Y_fused, Y_vmap, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_spmm_transpose():
+    """spmm_sell_sharded_t computes Aᵀ·G via per-device transpose
+    blocks + psum, matching the dense oracle."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.parallel.sell_dist import (
+        shard_sell_transpose,
+        spmm_sell_sharded_t,
+    )
+
+    coo = _coo(seed=23, nrows=260, ncols=200, nnz=1500)
+    mesh = make_mesh(4)
+    sh_t = shard_sell_transpose(coo, mesh)
+    rng = np.random.RandomState(8)
+    G = np.asarray(rng.randn(coo.shape[0], 5), dtype=np.float32)
+    Z = np.asarray(spmm_sell_sharded_t(sh_t, jnp.asarray(G), mesh))
+    Z_ref = coo.to_dense().T @ G.astype(np.float64)
+    np.testing.assert_allclose(Z, Z_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_spmm_differentiable_gcn_training():
+    """Distributed GCN training on the Pallas path: the fused sharded
+    SpMM with its transpose-psum cotangent produces the same step as
+    the XLA sharded SpMM."""
+    import jax
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.models.graph import gcn_init, gcn_train_step
+    from smvp_toolkit_tpu.parallel import shard_csr, spmm_csr_sharded
+    from smvp_toolkit_tpu.parallel.sell_dist import (
+        differentiable_spmm_sharded,
+        shard_sell,
+        shard_sell_transpose,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 140
+    coo = _coo(seed=24, nrows=n, ncols=n, nnz=900)
+    csr = csr_encode(coo)
+    mesh = make_mesh(4)
+    sh = shard_sell(coo, mesh)
+    sh_t = shard_sell_transpose(coo, mesh)
+    f = differentiable_spmm_sharded(sh, sh_t, mesh)
+    fused = lambda m, X: f(X)  # noqa: E731
+
+    s_csr = shard_csr(csr, mesh)
+    xla = lambda m, X: spmm_csr_sharded(s_csr, X, mesh)  # noqa: E731
+
+    h = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 3, n))
+    mask = jnp.asarray((rng.rand(n) > 0.5))
+    params = gcn_init(jax.random.PRNGKey(2), [4, 6, 3])
+    p_fused, loss_fused = gcn_train_step(csr, params, h, labels, mask,
+                                         spmm=fused)
+    p_xla, loss_xla = gcn_train_step(csr, params, h, labels, mask,
+                                     spmm=xla)
+    np.testing.assert_allclose(float(loss_fused), float(loss_xla),
+                               rtol=1e-5)
+    for (wf, bf), (wx, bx) in zip(p_fused, p_xla):
+        np.testing.assert_allclose(np.asarray(wf), np.asarray(wx),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bf), np.asarray(bx),
+                                   rtol=1e-4, atol=1e-5)
