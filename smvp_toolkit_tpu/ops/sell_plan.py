@@ -162,6 +162,7 @@ class SellPlan:
     def traffic_bytes(
         self, value_bytes: int = 4, lidx_bytes: Optional[int] = None,
         x_bytes: int = 4, x_resident: Optional[bool] = None,
+        k: int = 1,
     ) -> int:
         """HBM bytes one kernel launch actually moves (honest roofline).
 
@@ -180,6 +181,12 @@ class SellPlan:
         ``x_resident`` is None it is derived from the operator's VMEM
         limit so ``--analyze`` and the autotune cost model charge the
         path that will actually run.
+
+        ``k > 1`` accounts one fused SpMM launch (SellSpMV.matmat):
+        x/y scale by k while the packed planes are read ONCE — divide by
+        ``k * traffic(k=1)`` to see the amortization the fused kernel
+        buys over the vmap fallback. The k·VMEM footprint also shifts
+        the resident-x decision, mirroring the operator.
         """
         if lidx_bytes is None:
             lidx_bytes = (
@@ -192,9 +199,9 @@ class SellPlan:
             from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
 
             x_resident = (
-                self.n_coltiles * LANES * x_bytes <= _RESIDENT_X_LIMIT
+                self.n_coltiles * LANES * x_bytes * k <= _RESIDENT_X_LIMIT
             )
-        x_traffic = (
+        x_traffic = k * (
             self.n_coltiles * LANES * x_bytes       # resident: x once
             if x_resident
             else self.n_chunks * self.window_tiles * LANES * x_bytes
@@ -206,7 +213,7 @@ class SellPlan:
             + s * 4                                 # slice_of (i32)
             + self.n_chunks * 4                     # tile_base
             + x_traffic
-            + self.n_slices * LANES * 4             # y
+            + k * self.n_slices * LANES * 4         # y
         )
 
     # Dense one-hot views (debug/tests only — the kernel builds these

@@ -220,3 +220,17 @@ def test_spmm_differentiable_mat_gcn_training():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(bf), np.asarray(bx),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_traffic_accounting():
+    """traffic_bytes(k): planes charged once, x/y scaled by k — the
+    fused launch must always beat k independent SpMV launches."""
+    rng = np.random.RandomState(9)
+    coo, _ = _random_case(rng, 500, 400, 4000)
+    plan = sp.SellSpMV.from_coo(coo).plan
+    one = plan.traffic_bytes()
+    for k in (2, 8, 16):
+        assert plan.traffic_bytes(k=k) < k * one
+    # exact decomposition: planes once + k * (x + y)
+    xy = plan.traffic_bytes(k=2) - plan.traffic_bytes(k=1)
+    assert plan.traffic_bytes(k=5) == plan.traffic_bytes(k=1) + 4 * xy
