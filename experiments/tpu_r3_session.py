@@ -275,6 +275,7 @@ def run_spmm(name, *, k=8, fused=True, iterations=100, label=" spmm"):
     rng = np.random.default_rng(0)
     Xh = rng.standard_normal((coo.shape[1], k)).astype(np.float32)
     X = jnp.asarray(Xh)
+    prior_spmm = os.environ.get("SMVP_SELL_SPMM")  # restore, don't pop
     if not fused:
         os.environ["SMVP_SELL_SPMM"] = "0"
     try:
@@ -315,7 +316,10 @@ def run_spmm(name, *, k=8, fused=True, iterations=100, label=" spmm"):
               f"{nnzs/1e9:6.2f} Gnnz/s(x{k}rhs) "
               f"(compile+run {time.time()-t0:.0f}s)", flush=True)
     finally:
-        os.environ.pop("SMVP_SELL_SPMM", None)
+        if prior_spmm is None:
+            os.environ.pop("SMVP_SELL_SPMM", None)
+        else:
+            os.environ["SMVP_SELL_SPMM"] = prior_spmm
 
 
 def main():

@@ -182,12 +182,29 @@ class SellPlan:
         limit so ``--analyze`` and the autotune cost model charge the
         path that will actually run.
 
-        ``k > 1`` accounts one fused SpMM launch (SellSpMV.matmat):
-        x/y scale by k while the packed planes are read ONCE — divide by
-        ``k * traffic(k=1)`` to see the amortization the fused kernel
-        buys over the vmap fallback. The k·VMEM footprint also shifts
-        the resident-x decision, mirroring the operator.
+        ``k > 1`` accounts a fused SpMM call (SellSpMV.matmat): x/y
+        scale by k while the packed planes are read once PER LAUNCH —
+        and matmat splits k across launches of at most
+        ``SMVP_SELL_SPMM_GROUP`` (default 8) columns, so the planes are
+        re-read ``ceil(k/group)`` times, exactly as the operator runs
+        it. Divide by ``k * traffic(k=1)`` for the amortization vs the
+        vmap fallback. The per-launch k·VMEM footprint also shifts the
+        resident-x decision, mirroring the operator.
         """
+        group = max(
+            1, int(os.environ.get("SMVP_SELL_SPMM_GROUP", "8"))
+        )
+        if k > group:
+            full, rem = divmod(k, group)
+            return full * self.traffic_bytes(
+                value_bytes, lidx_bytes, x_bytes, x_resident, group
+            ) + (
+                self.traffic_bytes(
+                    value_bytes, lidx_bytes, x_bytes, x_resident, rem
+                )
+                if rem
+                else 0
+            )
         if lidx_bytes is None:
             lidx_bytes = (
                 1

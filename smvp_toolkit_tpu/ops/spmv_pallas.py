@@ -71,6 +71,27 @@ def _table_select(rel_ref, x_win, wt, precision, bf16_values, reduce2):
     )
 
 
+def pack_columns(X: jax.Array, ct: int, kg: int) -> jax.Array:
+    """Pack a dense (ct*128, kg) block into the fused-SpMM lane layout.
+
+    Column j of the block lives in lanes ``j*128:(j+1)*128`` of each
+    column tile: ``out[t, j*128 + l] = X[t*128 + l, j]``. The single
+    definition shared by ``SellSpMV._matmat_group`` and both sharded
+    SpMM paths — the kernel's gather/reduce assume exactly this layout.
+    """
+    return (
+        X.T.reshape(kg, ct, LANES).transpose(1, 0, 2).reshape(ct, kg * LANES)
+    )
+
+
+def unpack_columns(y: jax.Array, ns: int, kg: int) -> jax.Array:
+    """Inverse of :func:`pack_columns` on the output side:
+    (ns, kg*128) → (ns*128, kg) rows-by-columns."""
+    return (
+        y.reshape(ns, kg, LANES).transpose(0, 2, 1).reshape(ns * LANES, kg)
+    )
+
+
 def _gather_tile(table, lidx, k):
     """In-tile x gather: one VPU lane shuffle per 128-lane column block.
 
@@ -775,12 +796,7 @@ class SellSpMV:
         X = X.astype(self.value_dtype)
         if X.shape[0] < ncols_pad:
             X = jnp.pad(X, ((0, ncols_pad - X.shape[0]), (0, 0)))
-        # Lane layout: X_tiles[t, j*128 + l] = X[t*128 + l, j].
-        x_tiles = (
-            X.T.reshape(kg, plan.n_coltiles, LANES)
-            .transpose(1, 0, 2)
-            .reshape(plan.n_coltiles, kg * LANES)
-        )
+        x_tiles = pack_columns(X, plan.n_coltiles, kg)
         resident = (
             plan.n_coltiles * kg * LANES * x_tiles.dtype.itemsize
             <= _RESIDENT_X_LIMIT
@@ -820,12 +836,7 @@ class SellSpMV:
             nsb=0,
             k=kg,
         )  # (NS, kg*LANES)
-        y = (
-            y.reshape(plan.n_slices, kg, LANES)
-            .transpose(0, 2, 1)
-            .reshape(plan.n_slices * LANES, kg)
-        )
-        return y[: self.shape[0]]
+        return unpack_columns(y, plan.n_slices, kg)[: self.shape[0]]
 
     def differentiable(self):
         """A jax-differentiable ``f(x) = A·x`` (vjp via the Aᵀ operator).

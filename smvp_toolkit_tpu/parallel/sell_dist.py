@@ -324,15 +324,44 @@ def _spmv_sell_sharded(
     return y[: sh.shape[0]]
 
 
+
+def _spmm_group(NSl: int, CT: int, itemsize: int) -> int:
+    """Per-launch column group for the sharded fused SpMM.
+
+    Mirrors the single-chip VMEM policy (``SellSpMV.matmat``): the
+    (NSl, group*128) f32 y block must stay VMEM-resident, and with the
+    prefetch escape hatch off (``SMVP_SELL_PREFETCH=0``, no windowed x
+    for k > 1) the group's x block must be resident too. A group of 1
+    degrades gracefully to per-column launches — the same VMEM shape
+    the sharded SpMV always runs.
+    """
+    import os as _os
+
+    from smvp_toolkit_tpu.ops.spmv_pallas import (
+        _RESIDENT_X_LIMIT,
+        _RESIDENT_Y_LIMIT,
+    )
+
+    group = max(1, int(_os.environ.get("SMVP_SELL_SPMM_GROUP", "8")))
+    y_bytes = NSl * LANES * 4
+    group = max(1, min(group, _RESIDENT_Y_LIMIT // max(y_bytes, 1)))
+    if _os.environ.get("SMVP_SELL_PREFETCH") == "0":
+        x_launch = CT * LANES * itemsize
+        if x_launch * group > _RESIDENT_X_LIMIT:
+            group = max(1, _RESIDENT_X_LIMIT // max(x_launch, 1))
+    return group
+
+
 def spmm_sell_sharded(sh: ShardedSell, X: jax.Array, mesh: Mesh) -> jax.Array:
     """Y = A·X (k RHS) — the fused SELL SpMM under ``shard_map``.
 
     Mirrors ``SellSpMV.matmat``: every device runs one k-wide launch
     over its row block, reading its value/index planes ONCE for all k
     columns (the distributed GCN-training hot op). X is replicated;
-    columns group into launches of up to 8 (``SMVP_SELL_SPMM_GROUP``),
-    matching the single-chip VMEM policy. Compat mode and
-    ``SMVP_SELL_SPMM=0`` fall back to per-column ``spmv_sell_sharded``.
+    columns group into launches sized by the single-chip VMEM policy
+    (default 8, ``SMVP_SELL_SPMM_GROUP``; see :func:`_spmm_group`).
+    Compat mode and ``SMVP_SELL_SPMM=0`` fall back to per-column
+    ``spmv_sell_sharded``.
     """
     import os as _os
 
@@ -346,7 +375,7 @@ def spmm_sell_sharded(sh: ShardedSell, X: jax.Array, mesh: Mesh) -> jax.Array:
     reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
     prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
     nowindow = _os.environ.get("SMVP_SELL_NOWINDOW") == "1"
-    group = int(_os.environ.get("SMVP_SELL_SPMM_GROUP", "8"))
+    group = _spmm_group(sh.NSl, sh.CT, jnp.dtype(sh.vals.dtype).itemsize)
     outs = [
         _spmm_sell_sharded(sh, X[:, g0:g0 + group], mesh, reduce2,
                            prefetch, nowindow)
@@ -363,11 +392,15 @@ def _spmm_sell_sharded(
     sh: ShardedSell, X: jax.Array, mesh: Mesh, reduce2: bool,
     prefetch: bool, nowindow: bool,
 ) -> jax.Array:
+    from smvp_toolkit_tpu.ops.spmv_pallas import (
+        _RESIDENT_X_LIMIT,
+        pack_columns,
+        unpack_columns,
+    )
+
     kg = X.shape[1]
     ncols_pad = sh.CT * LANES
     X = X.astype(sh.vals.dtype)
-    from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
-
     resident = sh.CT * LANES * X.dtype.itemsize * kg <= _RESIDENT_X_LIMIT
     precision = (
         jax.lax.Precision.HIGH
@@ -376,13 +409,7 @@ def _spmm_sell_sharded(
     )
     if X.shape[0] < ncols_pad:
         X = jnp.pad(X, ((0, ncols_pad - X.shape[0]), (0, 0)))
-    # Lane layout (as SellSpMV._matmat_group): column j of the group in
-    # lanes j*128:(j+1)*128 of each coltile row.
-    x_tiles = (
-        X.T.reshape(kg, sh.CT, LANES)
-        .transpose(1, 0, 2)
-        .reshape(sh.CT, kg * LANES)
-    )
+    x_tiles = pack_columns(X, sh.CT, kg)
     interpret = _use_interpret()
     n_chunks = sh.S // sh.chunk
 
@@ -430,11 +457,10 @@ def _spmm_sell_sharded(
     # Per shard: drop slice padding, unpack lanes back to (rows, kg),
     # then concatenate shards in row order and trim global row padding.
     ns_true = sh.rows_per_shard // LANES
-    y = (
-        y_blocks[:, :ns_true, :]
-        .reshape(sh.n_shards, ns_true, kg, LANES)
-        .transpose(0, 1, 3, 2)
-        .reshape(sh.n_shards * ns_true * LANES, kg)
+    y = unpack_columns(
+        y_blocks[:, :ns_true, :].reshape(sh.n_shards * ns_true, kg * LANES),
+        sh.n_shards * ns_true,
+        kg,
     )
     return y[: sh.shape[0]]
 
@@ -449,17 +475,28 @@ def spmm_sell_sharded_t(sh_t: ShardedSell, G: jax.Array,
     assembles ``Σ_k A_kᵀ·G_k = Aᵀ·G``. Returns the replicated
     (ncols, k) result. Together with ``spmm_sell_sharded`` this is the
     VJP pair for distributed training on the Pallas path.
+
+    The escape hatches stay SYMMETRIC with the forward: compat mode and
+    ``SMVP_SELL_SPMM=0`` run per-column launches (compat on the dense
+    one-hot kernel), so a toolchain workaround applied to the forward
+    is never silently dropped from the backward.
     """
     import os as _os
 
     k = int(G.shape[1])
+    compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
     reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
     prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
     nowindow = _os.environ.get("SMVP_SELL_NOWINDOW") == "1"
-    group = int(_os.environ.get("SMVP_SELL_SPMM_GROUP", "8"))
+    if compat or _os.environ.get("SMVP_SELL_SPMM") == "0":
+        group = 1  # per-column; compat rides the dense one-hot kernel
+    else:
+        group = _spmm_group(
+            sh_t.NSl, sh_t.CT, jnp.dtype(sh_t.vals.dtype).itemsize
+        )
     outs = [
         _spmm_sell_sharded_t(sh_t, G[:, g0:g0 + group], mesh, reduce2,
-                             prefetch, nowindow)
+                             prefetch, nowindow, compat)
         for g0 in range(0, k, group)
     ]
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
@@ -467,12 +504,18 @@ def spmm_sell_sharded_t(sh_t: ShardedSell, G: jax.Array,
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "reduce2", "prefetch", "nowindow"),
+    static_argnames=("mesh", "reduce2", "prefetch", "nowindow", "compat"),
 )
 def _spmm_sell_sharded_t(
     sh_t: ShardedSell, G: jax.Array, mesh: Mesh, reduce2: bool,
-    prefetch: bool, nowindow: bool,
+    prefetch: bool, nowindow: bool, compat: bool = False,
 ) -> jax.Array:
+    from smvp_toolkit_tpu.ops.spmv_pallas import (
+        _RESIDENT_X_LIMIT,
+        pack_columns,
+        unpack_columns,
+    )
+
     kg = G.shape[1]
     rows_blk = sh_t.rows_per_shard  # forward row split = G slice width
     ncols_pad = sh_t.CT * LANES  # transpose x side covers rows_blk
@@ -480,8 +523,6 @@ def _spmm_sell_sharded_t(
     rows_full = sh_t.n_shards * rows_blk
     if G.shape[0] < rows_full:
         G = jnp.pad(G, ((0, rows_full - G.shape[0]), (0, 0)))
-    from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
-
     resident = sh_t.CT * LANES * G.dtype.itemsize * kg <= _RESIDENT_X_LIMIT
     precision = (
         jax.lax.Precision.HIGH
@@ -499,11 +540,7 @@ def _spmm_sell_sharded_t(
         )
         if gk.shape[0] < ncols_pad:
             gk = jnp.pad(gk, ((0, ncols_pad - gk.shape[0]), (0, 0)))
-        x_tiles = (
-            gk.T.reshape(kg, sh_t.CT, LANES)
-            .transpose(1, 0, 2)
-            .reshape(sh_t.CT, kg * LANES)
-        )
+        x_tiles = pack_columns(gk, sh_t.CT, kg)
         y = _sell_spmv_call(
             x_tiles,
             vals[0],
@@ -523,7 +560,7 @@ def _spmm_sell_sharded_t(
             interpret=interpret,
             precision=precision,
             resident=resident,
-            onehot_dense=False,
+            onehot_dense=compat,
             reduce2=reduce2,
             prefetch=prefetch,
             k=kg,
@@ -544,12 +581,7 @@ def _spmm_sell_sharded_t(
         out_specs=P(),
         check_vma=False,
     )(sh_t.vals, sh_t.lidx, sh_t.rel_tile, sh_t.slice_of, sh_t.tile_base, G)
-    z = (
-        y.reshape(sh_t.NSl, kg, LANES)
-        .transpose(0, 2, 1)
-        .reshape(sh_t.NSl * LANES, kg)
-    )
-    return z[: sh_t.shape[0]]
+    return unpack_columns(y, sh_t.NSl, kg)[: sh_t.shape[0]]
 
 
 def differentiable_spmm_sharded(sh: ShardedSell, sh_t: ShardedSell,

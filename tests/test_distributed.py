@@ -688,3 +688,55 @@ def test_sharded_spmm_differentiable_gcn_training():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(bf), np.asarray(bx),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_spmm_escape_hatches(monkeypatch):
+    """The sharded SpMM honors every kernel escape hatch symmetrically
+    (forward AND backward): compat mode, SMVP_SELL_PREFETCH=0 with
+    non-resident X, SMVP_SELL_SPMM_GROUP=0, and a tiny VMEM y budget
+    all degrade to smaller/per-column launches with identical results."""
+    import jax.numpy as jnp
+
+    import smvp_toolkit_tpu.ops.spmv_pallas as spp
+    from smvp_toolkit_tpu.parallel.sell_dist import (
+        shard_sell,
+        shard_sell_transpose,
+        spmm_sell_sharded,
+        spmm_sell_sharded_t,
+    )
+
+    coo = _coo(seed=25, nrows=260, ncols=200, nnz=1500)
+    mesh = make_mesh(4)
+    sh = shard_sell(coo, mesh)
+    sh_t = shard_sell_transpose(coo, mesh)
+    rng = np.random.RandomState(10)
+    X = jnp.asarray(rng.randn(coo.shape[1], 5).astype(np.float32))
+    G = jnp.asarray(rng.randn(coo.shape[0], 5).astype(np.float32))
+    Y_ref = coo.to_dense() @ np.asarray(X, np.float64)
+    Z_ref = coo.to_dense().T @ np.asarray(G, np.float64)
+
+    def check():
+        np.testing.assert_allclose(
+            np.asarray(spmm_sell_sharded(sh, X, mesh)), Y_ref,
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(spmm_sell_sharded_t(sh_t, G, mesh)), Z_ref,
+            rtol=1e-4, atol=1e-5,
+        )
+
+    monkeypatch.setenv("SMVP_SELL_COMPAT", "1")
+    check()
+    monkeypatch.delenv("SMVP_SELL_COMPAT")
+
+    monkeypatch.setenv("SMVP_SELL_PREFETCH", "0")
+    monkeypatch.setattr(spp, "_RESIDENT_X_LIMIT", 1024)
+    check()
+    monkeypatch.undo()
+
+    monkeypatch.setenv("SMVP_SELL_SPMM_GROUP", "0")
+    check()
+    monkeypatch.delenv("SMVP_SELL_SPMM_GROUP")
+
+    monkeypatch.setattr(spp, "_RESIDENT_Y_LIMIT", 1024)
+    check()
