@@ -360,7 +360,8 @@ def _make_sell_kernel_onehot(precision, ns, wt):
     return _sell_kernel
 
 
-def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident):
+def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident,
+                           k=1):
     """Backward kernel for d(loss)/d(packed values plane).
 
     SpMV is bilinear: with g the output cotangent,
@@ -378,6 +379,11 @@ def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident):
     ``resident``: True slices the chunk's x window out of the resident
     (CT, LANES) x block; False receives pre-windowed (1, wt, LANES)
     blocks (the same escape-hatch split as the forward kernel).
+
+    ``k > 1`` is the SpMM cotangent ``Σ_j G_j[row]·X_j[col]``: x/g
+    widen to k*128 lanes (fused-SpMM layout) and the per-column
+    products accumulate into the same (chunk, LANES) grad block — the
+    packed index planes are read once for all k columns.
     """
 
     def _kernel(bases_ref, x_ref, g_ref, lidx_ref, rel_ref, sl_ref,
@@ -390,11 +396,9 @@ def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident):
         table = _table_select(
             rel_ref, x_win, wt, precision, bf16_values, False
         )
-        xg = jnp.take_along_axis(
-            table, lidx_ref[:].astype(jnp.int32), axis=1
-        )
+        xg = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
         sb = bases_ref[1, step]
-        g_win = g_ref[pl.ds(sb, nsw), :]          # (nsw, LANES)
+        g_win = g_ref[pl.ds(sb, nsw), :]          # (nsw, k*LANES)
         rel_s = sl_ref[:] - sb                    # (1, chunk)
         nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
         seg = (nsw_iota == rel_s).astype(jnp.float32)  # (nsw, chunk)
@@ -402,8 +406,12 @@ def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident):
             seg, g_win, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,   # exact 1-hot select
-        )                                          # (chunk, LANES)
-        out_ref[:] = gsel * xg
+        )                                          # (chunk, k*LANES)
+        prod = gsel * xg
+        acc = prod[:, :LANES]
+        for j in range(1, k):
+            acc = acc + prod[:, j * LANES:(j + 1) * LANES]
+        out_ref[:] = acc
 
     return _kernel
 
@@ -411,11 +419,11 @@ def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident):
 @partial(
     jax.jit,
     static_argnames=("chunk", "ns", "nsw", "wt", "interpret",
-                     "precision", "resident", "bf16_values"),
+                     "precision", "resident", "bf16_values", "k"),
 )
 def _sell_vals_grad_call(
     x_tiles, g2d, lidx, rel_tile, slice_of, bases, *, chunk, ns, nsw, wt,
-    interpret, precision, resident, bf16_values,
+    interpret, precision, resident, bf16_values, k=1,
 ):
     """Dispatch the packed-values backward kernel; returns (S, LANES)."""
     n_chunks = slice_of.shape[0]
@@ -426,18 +434,18 @@ def _sell_vals_grad_call(
         xw = jnp.stack(
             [
                 jax.lax.dynamic_slice(x_tiles, (bases[0, i], 0),
-                                      (wt, LANES))
+                                      (wt, k * LANES))
                 for i in range(n_chunks)
             ]
         )
         return pl.pallas_call(
             _make_vals_grad_kernel(nsw, wt, precision, bf16_values,
-                                   resident=False),
+                                   resident=False, k=k),
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
-                pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
+                pl.BlockSpec((1, wt, k * LANES), lambda i: (i, 0, 0)),
+                pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
                 pl.BlockSpec((1, chunk), lambda i: (i, 0)),
@@ -451,12 +459,12 @@ def _sell_vals_grad_call(
     ct = x_tiles.shape[0]
     return pl.pallas_call(
         _make_vals_grad_kernel(nsw, wt, precision, bf16_values,
-                               resident=True),
+                               resident=True, k=k),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ct, LANES), lambda i: (0, 0)),   # resident x
-            pl.BlockSpec((ns, LANES), lambda i: (0, 0)),   # resident g
+            pl.BlockSpec((ct, k * LANES), lambda i: (0, 0)),  # res. x
+            pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),  # res. g
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
             pl.BlockSpec((1, chunk), lambda i: (i, 0)),
@@ -752,7 +760,8 @@ class SellSpMV:
             )
         return self._t_op
 
-    def matmat(self, X: jax.Array) -> jax.Array:
+    def matmat(self, X: jax.Array, vals: jax.Array | None = None
+               ) -> jax.Array:
         """Y = A·X for a dense block X (ncols, k) — fused SpMM.
 
         The fused kernel widens the x/y lanes to ``k*128`` (column j in
@@ -765,9 +774,11 @@ class SellSpMV:
         ``SMVP_SELL_SPMM=0`` take the vmap fallback.
         """
         plan = self.plan
+        if vals is None:
+            vals = self.vals
         k = int(X.shape[1])
         if k == 1:
-            return self(X[:, 0])[:, None]
+            return self._apply(X[:, 0], vals)[:, None]
         compat = (
             getattr(self, "onehot_dense", False)
             or os.environ.get("SMVP_SELL_COMPAT") == "1"
@@ -781,14 +792,16 @@ class SellSpMV:
             or compat
             or group < 2
         ):
-            return jax.vmap(self, in_axes=1, out_axes=1)(X)
+            return jax.vmap(
+                lambda xx: self._apply(xx, vals), in_axes=1, out_axes=1
+            )(X)
         outs = [
-            self._matmat_group(X[:, g0:g0 + group])
+            self._matmat_group(X[:, g0:g0 + group], vals)
             for g0 in range(0, k, group)
         ]
         return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
-    def _matmat_group(self, X: jax.Array) -> jax.Array:
+    def _matmat_group(self, X: jax.Array, vals: jax.Array) -> jax.Array:
         """One fused SpMM launch over a column group that fits VMEM."""
         plan = self.plan
         kg = int(X.shape[1])
@@ -806,9 +819,9 @@ class SellSpMV:
         )
         if not resident and not prefetch:
             # No windowed-stack SpMM variant; vmap the SpMV fallback.
-            return jax.vmap(self, in_axes=1, out_axes=1)(
-                X[: self.shape[1]]
-            )
+            return jax.vmap(
+                lambda xx: self._apply(xx, vals), in_axes=1, out_axes=1
+            )(X[: self.shape[1]])
         reduce2 = os.environ.get("SMVP_SELL_REDUCE2") == "1"
         nsw = (
             plan.n_slices
@@ -817,7 +830,7 @@ class SellSpMV:
         )
         y = _sell_spmv_call(
             x_tiles,
-            self.vals.astype(self.value_dtype),
+            vals.astype(self.value_dtype),
             self.lidx,
             self.rel_tile,
             self.slice_of,
@@ -930,6 +943,70 @@ class SellSpMV:
             bf16_values=self.value_dtype == jnp.dtype(jnp.bfloat16),
         )
 
+    def vjp_vals_mat(self, X: jax.Array, G: jax.Array) -> jax.Array:
+        """SpMM cotangent w.r.t. the packed values plane: (S, LANES).
+
+        ``d(loss)/d(vals[s, l]) = Σ_j G_j[row(s, l)] · X_j[col(s, l)]``
+        — the k-wide generalization of :meth:`vjp_vals`, computed by
+        the same backward kernel with x/g in the fused-SpMM lane layout
+        and the per-column products accumulated in-kernel. Columns
+        group into launches under the usual VMEM policy; the packed
+        index planes are read once per launch for all its columns.
+        """
+        plan = self.plan
+        if plan.y_block_slices:
+            raise ValueError(
+                "vals-grad needs a resident-y plan; streamed-y operators "
+                "(> ~2M rows) train via the XLA kernels instead"
+            )
+        k = int(X.shape[1])
+        if k == 1:
+            return self.vjp_vals(X[:, 0], G[:, 0])
+        group = max(1, int(os.environ.get("SMVP_SELL_SPMM_GROUP", "8")))
+        # The (NS, group*128) g block must stay VMEM-resident, same
+        # budget rule as the forward's y block.
+        g_bytes = plan.n_slices * LANES * 4
+        group = max(1, min(group, _RESIDENT_Y_LIMIT // max(g_bytes, 1)))
+        out = None
+        for g0 in range(0, k, group):
+            part = self._vjp_vals_group(
+                X[:, g0:g0 + group], G[:, g0:g0 + group]
+            )
+            out = part if out is None else out + part
+        return out
+
+    def _vjp_vals_group(self, X: jax.Array, G: jax.Array) -> jax.Array:
+        """One k-wide vals-grad launch over a VMEM-sized column group."""
+        plan = self.plan
+        kg = int(X.shape[1])
+        ncols_pad = plan.n_coltiles * LANES
+        X = X.astype(self.value_dtype)
+        if X.shape[0] < ncols_pad:
+            X = jnp.pad(X, ((0, ncols_pad - X.shape[0]), (0, 0)))
+        x_tiles = pack_columns(X, plan.n_coltiles, kg)
+        nrows_pad = plan.n_slices * LANES
+        G = G.astype(jnp.float32)
+        if G.shape[0] < nrows_pad:
+            G = jnp.pad(G, ((0, nrows_pad - G.shape[0]), (0, 0)))
+        g2d = pack_columns(G, plan.n_slices, kg)
+        resident = (
+            plan.n_coltiles * LANES * x_tiles.dtype.itemsize * kg
+            <= _RESIDENT_X_LIMIT
+        )
+        return _sell_vals_grad_call(
+            x_tiles, g2d, self.lidx, self.rel_tile, self.slice_of,
+            self.bases,
+            chunk=plan.chunk,
+            ns=plan.n_slices,
+            nsw=self.nsw,
+            wt=plan.window_tiles,
+            interpret=self.interpret,
+            precision=self.precision,
+            resident=resident,
+            bf16_values=self.value_dtype == jnp.dtype(jnp.bfloat16),
+            k=kg,
+        )
+
     def slot_map(self) -> np.ndarray:
         """Flat slot index (into ``vals.reshape(-1)``) of each triplet.
 
@@ -1019,6 +1096,48 @@ class SellSpMV:
             vals_t = _scatter(v, slots_t, n_slot_t).reshape(-1, LANES)
             gx = op_t._apply(g, vals_t)[: x.shape[0]].astype(x.dtype)
             return gv.astype(v.dtype), gx
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    def differentiable_edges_mat(self):
+        """``f(v, X) = A(v)·X``, differentiable in both arguments.
+
+        The SpMM generalization of :meth:`differentiable_edges`: one
+        nnz-vector of trainable edge values drives the fused forward
+        SpMM, the d/dX cotangent (Aᵀ·G through the transpose operator's
+        fused matmat), and the d/dv cotangent (:meth:`vjp_vals_mat`) —
+        GCN edge-weight training over full feature matrices, every pass
+        on the Pallas path.
+        """
+        plan = self.plan
+        op_t = self.transpose()
+        slots = jnp.asarray(self.slot_map())
+        slots_t = jnp.asarray(op_t.slot_map())
+        n_slot = plan.n_sublanes * LANES
+        n_slot_t = op_t.plan.n_sublanes * LANES
+        vdt = self.value_dtype
+        this = self
+
+        def _scatter(v, slot_idx, n):
+            return (
+                jnp.zeros((n,), vdt).at[slot_idx].set(v.astype(vdt))
+            )
+
+        @jax.custom_vjp
+        def f(v, X):
+            vals = _scatter(v, slots, n_slot).reshape(-1, LANES)
+            return this.matmat(X, vals=vals)
+
+        def fwd(v, X):
+            return f(v, X), (v, X)
+
+        def bwd(res, G):
+            v, X = res
+            gv = this.vjp_vals_mat(X, G).reshape(-1)[slots]
+            vals_t = _scatter(v, slots_t, n_slot_t).reshape(-1, LANES)
+            gX = op_t.matmat(G, vals=vals_t)[: X.shape[0]].astype(X.dtype)
+            return gv.astype(v.dtype), gX
 
         f.defvjp(fwd, bwd)
         return f

@@ -234,3 +234,46 @@ def test_spmm_traffic_accounting():
     # exact decomposition: planes once + k * (x + y)
     xy = plan.traffic_bytes(k=2) - plan.traffic_bytes(k=1)
     assert plan.traffic_bytes(k=5) == plan.traffic_bytes(k=1) + 4 * xy
+
+
+def test_spmm_edge_training_gradients():
+    """differentiable_edges_mat: forward A(v)·X plus BOTH cotangents
+    (d/dv via the k-wide vals-grad kernel, d/dX via the transpose fused
+    matmat) match the dense oracle; vjp_vals_mat splits k>group into
+    multiple accumulated launches."""
+    import jax
+
+    rng = np.random.RandomState(11)
+    n, m, k = 200, 160, 6
+    r = rng.randint(0, n, 1200).astype(np.int32)
+    c = rng.randint(0, m, 1200).astype(np.int32)
+    v = rng.randn(1200).astype(np.float32)
+    _, keep = np.unique(np.stack([r, c]), axis=1, return_index=True)
+    r, c, v = r[keep], c[keep], v[keep]  # dedupe: 1 param per edge
+    coo = COOMatrix.from_numpy(r, c, v, shape=(n, m), pad_to=64)
+    op = sp.SellSpMV.from_coo(coo)
+    f = op.differentiable_edges_mat()
+
+    X = jnp.asarray(rng.randn(m, k).astype(np.float32))
+    W = jnp.asarray(rng.randn(n, k).astype(np.float32))
+    vj = jnp.asarray(v)
+    gv, gX = jax.grad(
+        lambda vv, XX: jnp.sum(W * f(vv, XX)), argnums=(0, 1)
+    )(vj, X)
+    Wn, Xn = np.asarray(W, np.float64), np.asarray(X, np.float64)
+    dense = np.zeros((n, m))
+    dense[r, c] = v
+    gv_ref = (Wn[r] * Xn[c]).sum(axis=1)
+    gX_ref = dense.T @ Wn
+    np.testing.assert_allclose(np.asarray(gv), gv_ref, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gX), gX_ref, rtol=1e-4,
+                               atol=1e-5)
+
+    # k=17 exercises the multi-launch accumulation path
+    X17 = jnp.asarray(rng.randn(m, 17).astype(np.float32))
+    W17 = jnp.asarray(rng.randn(n, 17).astype(np.float32))
+    gvm = np.asarray(op.vjp_vals_mat(X17, W17)).reshape(-1)[op.slot_map()]
+    ref = (np.asarray(W17, np.float64)[r]
+           * np.asarray(X17, np.float64)[c]).sum(axis=1)
+    np.testing.assert_allclose(gvm, ref, rtol=1e-4, atol=1e-5)

@@ -333,3 +333,25 @@ def test_compiled_fused_spmm_memplus(tpu_device):
         )
         scale = np.abs(Y_ref).max() + 1e-30
         assert np.abs(Y - Y_ref).max() / scale < 1e-5
+
+
+def test_compiled_spmm_vals_grad_memplus(tpu_device):
+    """The k-wide vals-grad kernel (SpMM edge cotangent) compiles and
+    matches the sum of per-column SpMV cotangents."""
+    import jax.numpy as jnp
+
+    coo, trip, op = _op("memplus")
+    rng = np.random.default_rng(8)
+    k = 4
+    X = jnp.asarray(
+        rng.standard_normal((coo.shape[1], k)).astype(np.float32)
+    )
+    G = jnp.asarray(
+        rng.standard_normal((coo.shape[0], k)).astype(np.float32)
+    )
+    got = np.asarray(op.vjp_vals_mat(X, G), np.float64)
+    want = np.zeros_like(got)
+    for j in range(k):
+        want += np.asarray(op.vjp_vals(X[:, j], G[:, j]), np.float64)
+    scale = np.abs(want).max() + 1e-30
+    assert np.abs(got - want).max() / scale < 1e-5
