@@ -40,3 +40,31 @@ def train(p):
 
 params, losses = train(params)
 print(f"loss: {float(losses[0]):.3f} -> {float(losses[-1]):.3f}")
+
+# Same training on the Pallas performance path: the fused SpMM serves
+# all feature columns per kernel launch (value/index planes read once)
+# and differentiable_mat supplies the Aᵀ·G cotangent, so forward AND
+# backward aggregation run on the SELL kernel.
+from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+op = sell_op_csr(s)  # SELL plan of the NORMALIZED operator
+f = op.differentiable_mat()
+params2 = gcn_init(jax.random.PRNGKey(0), [8, 16, 2])
+
+
+@jax.jit
+def train_pallas(p):
+    def body(p, _):
+        p, loss = gcn_train_step(
+            s, p, h, labels, mask, lr=0.1, spmm=lambda m, X: f(X)
+        )
+        return p, loss
+
+    return jax.lax.scan(body, p, None, length=100)
+
+
+params2, losses2 = train_pallas(params2)
+print(
+    f"loss (Pallas fused SpMM): {float(losses2[0]):.3f} -> "
+    f"{float(losses2[-1]):.3f}"
+)
