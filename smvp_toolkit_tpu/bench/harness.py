@@ -214,12 +214,11 @@ def bench_spmv_fused(
     import jax
     import jax.numpy as jnp
 
-    nrows = matrix.shape[0]
-
-    # The kernel's output dtype sets the accumulator dtype: e.g. the
+    # The kernel's output shape/dtype set the accumulator: e.g. the
     # Pallas SELL kernel returns float32 even for bfloat16 x, and a
-    # fori_loop carry must keep one dtype across iterations.
-    acc_dtype = jax.eval_shape(lambda xx: spmv(matrix, xx), x).dtype
+    # fori_loop carry must keep one dtype across iterations. Works for
+    # SpMM too (x/y may be (n, k) blocks).
+    out = jax.eval_shape(lambda xx: spmv(matrix, xx), x)
 
     # The matrix is a closure constant, NOT a traced argument: SpMV
     # implementations may do host-side planning on it (the Pallas path
@@ -230,13 +229,13 @@ def bench_spmv_fused(
             # acc-dependent perturbation that is always exactly 0.0 at
             # runtime but defeats loop-invariant code motion.
             xi = x.at[0].add(
-                jnp.where(i < 0, acc[0], 0.0).astype(x.dtype)
+                jnp.where(i < 0, acc.reshape(-1)[0], 0.0).astype(x.dtype)
             )
             y = spmv(matrix, xi)
-            return acc + y.astype(acc_dtype)
+            return acc + y.astype(out.dtype)
 
         return jax.lax.fori_loop(
-            0, iterations, body, jnp.zeros((nrows,), acc_dtype)
+            0, iterations, body, jnp.zeros(out.shape, out.dtype)
         )
 
     acc = run(x)

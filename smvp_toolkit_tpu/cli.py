@@ -180,6 +180,19 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--spmm",
+        type=int,
+        default=None,
+        metavar="K",
+        help=(
+            "additionally benchmark the multi-vector SpMM Y = A·X with "
+            "K right-hand sides on the CSR encoding (fused SELL launch "
+            "on the pallas kernel — the value/index planes are read "
+            "once for all K columns; XLA segment-sum SpMM otherwise). "
+            "Requires the CSR algorithm (-c or -a)."
+        ),
+    )
+    p.add_argument(
         "--json-out",
         default=None,
         metavar="FILE",
@@ -255,6 +268,11 @@ def _validate(args) -> Optional[str]:
         return "--save-encoded requires -c, -t or -a"
     if args.export_aot and not (run_csr or run_tjds):
         return "--export-aot requires -c, -t or -a"
+    if args.spmm is not None:
+        if args.spmm < 1:
+            return "--spmm K must be >= 1"
+        if not run_csr:
+            return "--spmm requires the CSR algorithm (-c or -a)"
     if args.solve:
         if not run_csr:
             return "--solve requires the CSR encoding (-c or -a)"
@@ -607,6 +625,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.export_aot:
             _export_aot(args.export_aot, "CSR", csr, log)
         _run(ALG_CSR, csr, csr_fn, spmv_bytes_csr(coo.nnz, coo.shape[0], vbytes))
+        if args.spmm:
+            _run_spmm(args, coo, csr, kernel_kind, device, log)
         if args.solve:
             if kernel_kind == "pallas":
                 # The solvers jit over the matrix argument, but the
@@ -1007,6 +1027,66 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         )
         log("FILE", f"Solve report saved as:\n\t{path}")
     return 0
+
+
+def _run_spmm(args, coo, csr, kernel_kind, device, log) -> None:
+    """``--spmm K``: benchmark Y = A·X with K right-hand sides.
+
+    On the pallas kernel this times the fused SELL SpMM launch
+    (value/index planes read once per chunk for all K columns); other
+    kernel selections run the XLA segment-sum SpMM. Aggregate rate is
+    K·nnz per launch.
+    """
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.bench import bench_spmv, bench_spmv_fused
+
+    k = args.spmm
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(
+        rng.standard_normal((coo.shape[1], k)).astype(np.float32)
+    )
+    if kernel_kind == "pallas":
+        from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+        op = sell_op_csr(csr)
+        spmm_fn = lambda _m, XX: op.matmat(XX)  # noqa: E731
+        run_kernel = "pallas-fused"
+    else:
+        from smvp_toolkit_tpu.ops.spmv_xla import spmm_csr
+
+        spmm_fn = spmm_csr
+        run_kernel = "xla"
+        if kernel_kind not in ("xla",):
+            log("INFO", "--spmm runs on the XLA kernel "
+                "(no native/df64 SpMM variant).")
+    log("INFO", f"Benchmarking CSR SpMM ({run_kernel} kernel), "
+        f"K={k} right-hand sides, {args.iter} iterations.")
+    if args.fused:
+        stats = bench_spmv_fused(
+            spmm_fn, csr, X, iterations=args.iter, repeats=3
+        )
+    else:
+        stats = bench_spmv(spmm_fn, csr, X, iterations=args.iter)
+    nnzs = stats.nnz_per_s(k * coo.nnz)  # K RHS served per launch
+    log(
+        "DATA",
+        f"SPMM k={k}: avg {stats.avg_ms:.6f} ms  "
+        f"({nnzs/1e9:.3f} Gnnz/s across {k} RHS)",
+    )
+    if args.json_out:
+        _append_json(args.json_out, {
+            "alg": "SPMM-CSR",
+            "file": args.file,
+            "nnz": coo.nnz,
+            "k": k,
+            "iterations": args.iter,
+            "kernel": run_kernel,
+            "device": f"{device.device_kind} ({device.platform})",
+            "avg_ms": stats.avg_ms,
+            "nnz_per_s_krhs": nnzs,
+        })
+        log("FILE", f"JSON record appended: {args.json_out}")
 
 
 def _decode_check(alg, decoded, coo, log):

@@ -510,3 +510,28 @@ def test_solve_tol_spec(tmp_path):
         assert cli_main(
             ["-c", "-n", "1", "--no-report", "--solve", bad, str(path)]
         ) == 2
+
+
+def test_spmm_flag(tmp_path):
+    """--spmm K benchmarks the multi-RHS SpMM and records a JSON line;
+    bad K or a missing CSR selection are usage errors."""
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    f = os.path.join(SAMPLE_DIR, "curtis54.mtx")
+    out = tmp_path / "spmm.jsonl"
+    rc = cli_main(["-c", "-n", "2", "--spmm", "4", "--no-report",
+                   "--json-out", str(out), f])
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    spmm = [r for r in recs if r["alg"] == "SPMM-CSR"]
+    assert len(spmm) == 1 and spmm[0]["k"] == 4
+    assert spmm[0]["nnz_per_s_krhs"] > 0
+
+    # fused timing mode composes
+    assert cli_main(["-c", "-n", "2", "--spmm", "2", "--fused",
+                     "--no-report", f]) == 0
+    # usage errors
+    assert cli_main(["-t", "-n", "1", "--spmm", "4", "--no-report", f]) == 2
+    assert cli_main(["-c", "-n", "1", "--spmm", "0", "--no-report", f]) == 2
