@@ -3,14 +3,16 @@
 
 Shows the whole family on one SPD problem: plain CG, Jacobi scaling,
 truncated-Neumann polynomial, SSOR, block-Jacobi (batched dense block
-inverses), and IC(0) (host-factored, fixed-sweep Neumann trisolves).
+inverses), IC(0) (host-factored, fixed-sweep Neumann trisolves), and
+smoothed-aggregation AMG (host-built hierarchy, fixed-shape V-cycle).
 Every preconditioner cuts the plain-CG iteration count to a 1e-6
-relative residual (124 → as low as 42 for IC(0)), but the ordering is
-not strictly monotone down the ladder: block-Jacobi (97) trails SSOR
-(47) on this stencil because a 5-point Poisson row couples two grid
-lines while each dense block spans only one. See PERFORMANCE.md for
-the measured table and ARCHITECTURE.md §5b for why the applies are
-shaped this way for TPU.
+relative residual (124 → 42 for IC(0), → 9 for AMG — and AMG's count
+stays ~9 as the grid grows, where every one-level method degrades).
+The one-level ordering is not strictly monotone down the ladder:
+block-Jacobi (97) trails SSOR (47) on this stencil because a 5-point
+Poisson row couples two grid lines while each dense block spans only
+one. See PERFORMANCE.md for the measured table and ARCHITECTURE.md
+§5b for why the applies are shaped this way for TPU.
 """
 import os
 import sys
@@ -22,6 +24,7 @@ import numpy as np
 from smvp_toolkit_tpu import csr_encode
 from smvp_toolkit_tpu.formats.coo import COOMatrix
 from smvp_toolkit_tpu.models import (
+    amg_preconditioner,
     block_jacobi_preconditioner,
     conjugate_gradient,
     ic0_preconditioner,
@@ -64,6 +67,7 @@ ladder = {
     "ssor s4": ssor_preconditioner(csr, sweeps=4),
     "block-jacobi 48": block_jacobi_preconditioner(csr, block=NX),
     "ic0 s4": ic0_preconditioner(ic0(csr), sweeps=4),
+    "amg v(1,1)": amg_preconditioner(csr),
 }
 print(f"2-D Poisson {NX}x{NX} (n={n}) -> relative residual {TOL}")
 for name, m in ladder.items():

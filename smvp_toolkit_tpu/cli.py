@@ -169,8 +169,8 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="METHOD[:ITERS[:TOL]]",
         help=(
             "after benchmarking, solve A x = b with an iterative method "
-            "(cg, pcg, pcg-cheb, pcg-neumann, pcg-ic0, pcg-ssor, "
-            "pcg-bjac, bicgstab, bicgstab-ilu, gmres, minres, "
+            "(cg, pcg, pcg-amg, pcg-cheb, pcg-neumann, pcg-ic0, "
+            "pcg-ssor, pcg-bjac, bicgstab, bicgstab-ilu, gmres, minres, "
             "chebyshev; default 100 iterations; an optional third "
             "field sets a relative-residual target with on-device "
             "early stop (per-iteration for the CG family and minres; "
@@ -716,7 +716,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     return exit_code
 
 
-SOLVE_METHODS = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
+SOLVE_METHODS = ("cg", "pcg", "pcg-amg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
                  "pcg-ssor", "pcg-bjac", "bicgstab", "bicgstab-ilu",
                  "gmres", "minres", "chebyshev")
 
@@ -875,6 +875,21 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         )
         xs, res = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
                               tol=tol)
+    elif method == "pcg-amg":
+        # Smoothed-aggregation multigrid: host-side hierarchy setup
+        # (strength graph → aggregation → smoothed P → Galerkin coarse
+        # operators), fixed-shape V-cycle applies on device — iteration
+        # counts independent of problem size on elliptic systems.
+        from smvp_toolkit_tpu.models import amg_preconditioner, pcg_precond
+
+        if is_complex:
+            log("ERROR", f"--solve {method} needs a real SPD system")
+            return 2
+        m = amg_preconditioner(
+            csr, sweeps=1, op_builder=_factor_op_builder(kernel_kind)
+        )
+        xs, res = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
+                              tol=tol)
     elif method == "pcg-ssor":
         # SSOR: zero-setup preconditioner (triangular split of A, no
         # factorization); same fixed-sweep trisolve machinery, exactly
@@ -981,8 +996,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         f"relative residual {relres:.3e}",
     )
     if not np.isfinite(relres) or relres > 1.0:
-        spd_methods = ("cg", "pcg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
-                       "pcg-ssor", "pcg-bjac", "chebyshev")
+        spd_methods = ("cg", "pcg", "pcg-amg", "pcg-cheb", "pcg-neumann",
+                       "pcg-ic0", "pcg-ssor", "pcg-bjac", "chebyshev")
         hint = (
             "more iterations, a tighter preconditioner (larger ILU "
             "sweeps), or gmres"

@@ -29,6 +29,11 @@ from smvp_toolkit_tpu.models.solvers import (
     lanczos_eigsh,
     block_cg,
 )
+from smvp_toolkit_tpu.models.amg import (
+    AMGLevel,
+    amg_preconditioner,
+    amg_setup,
+)
 from smvp_toolkit_tpu.models.graph import (
     gcn_norm,
     gcn_layer,
@@ -39,6 +44,9 @@ from smvp_toolkit_tpu.models.graph import (
 )
 
 __all__ = [
+    "AMGLevel",
+    "amg_preconditioner",
+    "amg_setup",
     "power_iteration",
     "pagerank",
     "conjugate_gradient",

@@ -1,0 +1,275 @@
+"""Smoothed-aggregation algebraic multigrid (AMG) preconditioner.
+
+The strongest member of the preconditioner ladder for elliptic/SPD
+systems: where IC(0) cuts Poisson iteration counts ~3x, a V-cycle cuts
+them to O(10) *independent of problem size*.
+
+TPU shape of the design (same split as SELL planning and ILU):
+
+* **Setup is host-side, encode-time** (numpy/scipy): strength graph,
+  greedy aggregation, smoothed prolongator ``P = (I − ω D⁻¹A) P₀``,
+  Galerkin coarse operators ``A_{l+1} = Pᵀ A_l P`` via SpGEMM — all
+  data-dependent sparsity that no static-shape device program can
+  produce (reference analog: the toolkit's other host-side planners).
+* **The apply is a fixed-shape device program**: every level's A, P and
+  Pᵀ are ordinary encoded CSR operators (SELL on the Pallas path via
+  ``op_builder``), the smoother is damped Jacobi (diagonal multiplies —
+  no trisolves, communication-free under sharding), and the coarsest
+  level is one dense (n_c × n_c) inverse — MXU work. The V-cycle
+  recursion unrolls at trace time over the static level count, so the
+  whole apply jits into one program and composes with ``pcg_precond``'s
+  ``lax.while_loop``.
+
+CG safety: damped Jacobi's error propagator ``I − ωD⁻¹A`` is
+A-self-adjoint for SPD A, so the symmetric V(ν,ν) cycle (equal pre/post
+sweeps) is a symmetric positive-definite preconditioner — the standard
+smoothed-aggregation/CG pairing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smvp_toolkit_tpu.ops.spmv_xla import spmv_csr
+
+__all__ = ["AMGLevel", "amg_setup", "amg_preconditioner"]
+
+
+@dataclasses.dataclass
+class AMGLevel:
+    """One level of the hierarchy (host handles; device arrays inside).
+
+    The coarsest level has ``coarse_inv`` set and no P/Pt/A operators.
+    """
+
+    n: int
+    a_csr: object = None        # encoded CSRMatrix of A_l
+    p_csr: object = None        # prolongator (n_l, n_{l+1})
+    pt_csr: object = None       # restriction (n_{l+1}, n_l)
+    inv_diag: jax.Array = None  # (n_l,) f32, zeros patched to 1
+    omega: float = 0.0          # damped-Jacobi weight 4/(3ρ(D⁻¹A))
+    coarse_inv: jax.Array = None  # dense (n_c, n_c) inverse (last level)
+
+
+def _scipy_csr(matrix):
+    """Encoded CSRMatrix → scipy csr (float64, trimmed of padding)."""
+    import scipy.sparse as sp
+
+    from smvp_toolkit_tpu.ops.ilu import _csr_host
+
+    rp, ci, v = _csr_host(matrix)
+    n, m = matrix.shape
+    return sp.csr_matrix(
+        (np.asarray(v, np.float64), ci, rp[: n + 1]), shape=(n, m)
+    )
+
+
+def _strength_graph(a, theta):
+    """Symmetric strength-of-connection: |a_ij| ≥ θ·√(a_ii·a_jj)."""
+    import scipy.sparse as sp
+
+    d = np.abs(a.diagonal())
+    d = np.where(d > 0, d, 1.0)
+    coo = a.tocoo()
+    off = coo.row != coo.col
+    r, c, v = coo.row[off], coo.col[off], coo.data[off]
+    strong = np.abs(v) >= theta * np.sqrt(d[r] * d[c])
+    s = sp.csr_matrix(
+        (np.ones(strong.sum()), (r[strong], c[strong])), shape=a.shape
+    )
+    return (s + s.T).tocsr()  # symmetrize: aggregation needs both sides
+
+
+def _aggregate(s) -> np.ndarray:
+    """Greedy standard aggregation over the strength graph.
+
+    Pass 1 seeds an aggregate at every node whose strong neighborhood
+    is untouched; pass 2 attaches leftovers to an adjacent aggregate;
+    pass 3 makes singletons of the rest. Sequential by nature (the
+    classic algorithm) — a few seconds of host time at 1M rows, the
+    same budget class as the C++ SELL planner.
+    """
+    n = s.shape[0]
+    indptr, indices = s.indptr, s.indices
+    agg = np.full(n, -1, np.int64)
+    nxt = 0
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        if (agg[nbrs] == -1).all():
+            agg[i] = nxt
+            agg[nbrs] = nxt
+            nxt += 1
+    for i in range(n):
+        if agg[i] == -1:
+            nbrs = indices[indptr[i]:indptr[i + 1]]
+            owned = nbrs[agg[nbrs] != -1]
+            if owned.size:
+                agg[i] = agg[owned[0]]
+    for i in range(n):
+        if agg[i] == -1:
+            agg[i] = nxt
+            nxt += 1
+    return agg, nxt
+
+
+def _rho_dinv_a(a, iters=15):
+    """Power-iteration estimate of ρ(D⁻¹A) (host, float64)."""
+    d = a.diagonal()
+    d = np.where(np.abs(d) > 1e-30, d, 1.0)
+    x = np.random.default_rng(0).standard_normal(a.shape[0])
+    x /= np.linalg.norm(x)
+    rho = 2.0
+    for _ in range(iters):
+        y = (a @ x) / d
+        nrm = np.linalg.norm(y)
+        if nrm < 1e-30:
+            break
+        rho, x = nrm, y / nrm
+    return max(float(rho), 1e-12)
+
+
+def amg_setup(
+    matrix,
+    *,
+    theta: float = 0.08,
+    coarse_size: int = 128,
+    max_levels: int = 12,
+    pad_to: int = 128,
+) -> List[AMGLevel]:
+    """Build the smoothed-aggregation hierarchy (host-side).
+
+    ``matrix`` is an encoded CSRMatrix (SPD assumed, as for the other
+    SPD preconditioners). Coarsening stops at ``coarse_size`` rows (the
+    dense-inverse level) or when aggregation stalls.
+    """
+    import scipy.sparse as sp
+
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+
+    n, m = matrix.shape
+    if n != m:
+        raise ValueError(f"amg needs a square matrix, got {matrix.shape}")
+
+    def _encode(mat):
+        coo = mat.tocoo()
+        return csr_encode(COOMatrix.from_numpy(
+            coo.row.astype(np.int32), coo.col.astype(np.int32),
+            coo.data.astype(np.float32), shape=mat.shape, pad_to=pad_to,
+        ))
+
+    a = _scipy_csr(matrix)
+    levels: List[AMGLevel] = []
+    for _ in range(max_levels - 1):
+        if a.shape[0] <= coarse_size:
+            break
+        rho = _rho_dinv_a(a)
+        omega = 4.0 / (3.0 * rho)
+        agg, nc = _aggregate(_strength_graph(a, theta))
+        if nc >= a.shape[0]:  # aggregation stalled — stop coarsening
+            break
+        p0 = sp.csr_matrix(
+            (np.ones(a.shape[0]), (np.arange(a.shape[0]), agg)),
+            shape=(a.shape[0], nc),
+        )
+        d = a.diagonal()
+        d = np.where(np.abs(d) > 1e-30, d, 1.0)
+        dinv_a = sp.diags(1.0 / d) @ a
+        p = (p0 - omega * (dinv_a @ p0)).tocsr()
+        p.eliminate_zeros()
+        d_j = np.asarray(a.diagonal())
+        d_j = np.where(np.abs(d_j) > 1e-30, d_j, 1.0)
+        levels.append(AMGLevel(
+            n=a.shape[0],
+            a_csr=_encode(a),
+            p_csr=_encode(p),
+            pt_csr=_encode(p.T.tocsr()),
+            inv_diag=jnp.asarray(1.0 / d_j, jnp.float32),
+            omega=float(omega),
+        ))
+        a = (p.T @ a @ p).tocsr()
+        a.eliminate_zeros()
+    dense = np.asarray(a.todense(), np.float64)
+    # Tiny ridge keeps a semi-definite coarse operator invertible
+    # (e.g. a pure-Neumann block); negligible for definite ones.
+    ridge = 1e-12 * max(np.abs(dense).max(), 1.0)
+    coarse_inv = np.linalg.inv(dense + ridge * np.eye(a.shape[0]))
+    levels.append(AMGLevel(
+        n=a.shape[0],
+        coarse_inv=jnp.asarray(coarse_inv, jnp.float32),
+    ))
+    return levels
+
+
+def amg_preconditioner(
+    matrix,
+    *,
+    sweeps: int = 1,
+    cycles: int = 1,
+    op_builder: Optional[Callable] = None,
+    spmv: Callable = spmv_csr,
+    levels: Optional[List[AMGLevel]] = None,
+    **setup_kw,
+) -> Callable:
+    """AMG V-cycle preconditioner factory for :func:`pcg_precond`.
+
+    ``sweeps`` damped-Jacobi smoothing sweeps before AND after coarse
+    correction at every level (symmetric V(ν,ν) — CG-safe); ``cycles``
+    stacks V-cycles per apply. ``op_builder`` puts every level's A, P
+    and Pᵀ on the Pallas SELL path (same contract as the ILU/SSOR
+    factories); the default is the XLA CSR kernel. Pass a prebuilt
+    ``levels`` (from :func:`amg_setup`) to reuse one hierarchy across
+    factories; extra keywords go to :func:`amg_setup`.
+    """
+    if sweeps < 1 or cycles < 1:
+        raise ValueError("amg needs sweeps >= 1 and cycles >= 1")
+    if levels is None:
+        levels = amg_setup(matrix, **setup_kw)
+
+    def _op(csr):
+        if op_builder is not None:
+            return op_builder(csr)
+        return lambda xx: spmv(csr, xx)
+
+    ops = [
+        (None if lv.a_csr is None else _op(lv.a_csr),
+         None if lv.p_csr is None else _op(lv.p_csr),
+         None if lv.pt_csr is None else _op(lv.pt_csr))
+        for lv in levels
+    ]
+
+    def _vcycle(li: int, b: jax.Array) -> jax.Array:
+        lv = levels[li]
+        if lv.coarse_inv is not None:
+            return lv.coarse_inv @ b
+        a_op, p_op, pt_op = ops[li]
+        wd = lv.omega * lv.inv_diag
+        x = wd * b  # first sweep from x = 0
+        for _ in range(sweeps - 1):
+            x = x + wd * (b - a_op(x))
+        r = b - a_op(x)
+        xc = _vcycle(li + 1, pt_op(r)[: levels[li + 1].n])
+        x = x + p_op(xc)[: lv.n]
+        for _ in range(sweeps):
+            x = x + wd * (b - a_op(x))
+        return x
+
+    n0 = levels[0].n
+
+    def apply(r: jax.Array) -> jax.Array:
+        b = r[:n0].astype(jnp.float32)
+        z = _vcycle(0, b)
+        for _ in range(cycles - 1):
+            z = z + _vcycle(0, b - ops[0][0](z))
+        if r.shape[0] > n0:
+            z = jnp.pad(z, (0, r.shape[0] - n0))
+        return z.astype(r.dtype)
+
+    return apply

@@ -1,0 +1,173 @@
+"""Smoothed-aggregation AMG: hierarchy structure, CG safety, and the
+headline property — iteration counts independent of problem size."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.formats.csr import csr_encode
+from smvp_toolkit_tpu.models import (
+    amg_preconditioner,
+    amg_setup,
+    conjugate_gradient,
+    pcg_precond,
+)
+
+
+def _poisson2d(nx):
+    n = nx * nx
+    a = np.zeros((n, n))
+    for i in range(nx):
+        for j in range(nx):
+            k = i * nx + j
+            a[k, k] = 4.0
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < nx and 0 <= jj < nx:
+                    a[k, ii * nx + jj] = -1.0
+    return a
+
+
+def _encode(a, pad_to=128):
+    r, c = np.nonzero(a)
+    return csr_encode(COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32),
+        a[r, c].astype(np.float32), shape=a.shape, pad_to=pad_to,
+    ))
+
+
+def _iters_to(res, b, tol):
+    rn = np.asarray(res)
+    tgt = tol * np.linalg.norm(np.asarray(b))
+    hit = np.nonzero(rn <= tgt)[0]
+    return int(hit[0]) + 1 if hit.size else len(rn)
+
+
+def test_amg_hierarchy_structure():
+    """Levels coarsen strictly; every non-coarsest level has operators;
+    the coarsest carries the dense inverse."""
+    csr = _encode(_poisson2d(24))
+    levels = amg_setup(csr, coarse_size=64)
+    sizes = [lv.n for lv in levels]
+    assert sizes[0] == 24 * 24
+    assert all(a > b for a, b in zip(sizes, sizes[1:]))
+    assert sizes[-1] <= 64
+    for lv in levels[:-1]:
+        assert lv.a_csr is not None and lv.p_csr is not None
+        assert lv.pt_csr is not None and lv.coarse_inv is None
+        assert 0.0 < lv.omega < 2.0
+    assert levels[-1].coarse_inv is not None
+    assert levels[-1].coarse_inv.shape == (sizes[-1], sizes[-1])
+
+
+def test_amg_grid_independent_iterations():
+    """The AMG headline: PCG iteration counts stay O(10) as the grid
+    grows, while plain CG grows with the grid."""
+    tol = 1e-6
+    amg_counts, cg_counts = [], []
+    for nx in (16, 32, 48):
+        a = _poisson2d(nx)
+        csr = _encode(a)
+        m = amg_preconditioner(csr)
+        rng = np.random.RandomState(0)
+        b = jnp.asarray(rng.randn(a.shape[0]).astype(np.float32))
+        _, res_cg = conjugate_gradient(csr, b, num_iters=400, tol=tol)
+        x, res = pcg_precond(csr, b, m, num_iters=60, tol=tol)
+        cg_counts.append(_iters_to(res_cg, b, tol))
+        amg_counts.append(_iters_to(res, b, tol))
+        relres = np.linalg.norm(
+            a @ np.asarray(x, np.float64) - np.asarray(b)
+        ) / np.linalg.norm(np.asarray(b))
+        assert relres < 1e-5
+    assert max(amg_counts) <= 15
+    assert cg_counts[-1] > 3 * amg_counts[-1]
+    # grid independence: count must not grow with the grid (±2 noise)
+    assert amg_counts[-1] <= amg_counts[0] + 2
+
+
+def test_amg_apply_is_spd():
+    """The symmetric V(ν,ν) cycle is a symmetric PD operator (CG-safe)."""
+    a = _poisson2d(8)
+    n = a.shape[0]
+    csr = _encode(a, pad_to=64)
+    m_apply = amg_preconditioner(csr, sweeps=2)
+    m = np.stack(
+        [np.asarray(m_apply(jnp.eye(n, dtype=jnp.float32)[j]))
+         for j in range(n)],
+        axis=1,
+    ).astype(np.float64)
+    np.testing.assert_allclose(m, m.T, rtol=1e-4, atol=1e-5)
+    assert np.linalg.eigvalsh((m + m.T) / 2).min() > 0
+
+
+def test_amg_tiny_matrix_direct():
+    """A matrix at/below coarse_size becomes a single dense-solve level:
+    the apply is the (ridged) exact inverse."""
+    rng = np.random.RandomState(3)
+    n = 20
+    a = rng.randn(n, n)
+    a = a @ a.T + n * np.eye(n)
+    csr = _encode(a, pad_to=32)
+    levels = amg_setup(csr, coarse_size=128)
+    assert len(levels) == 1 and levels[0].coarse_inv is not None
+    m = amg_preconditioner(csr, levels=levels)
+    r = rng.randn(n).astype(np.float32)
+    z = np.asarray(m(jnp.asarray(r)), np.float64)
+    np.testing.assert_allclose(z, np.linalg.solve(a, r), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_amg_sell_op_builder():
+    """The Pallas path: every level operator built via sell_op_csr
+    matches the XLA-path apply."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+    a = _poisson2d(12)
+    csr = _encode(a)
+    levels = amg_setup(csr)
+    rng = np.random.RandomState(4)
+    r = jnp.asarray(rng.randn(a.shape[0]).astype(np.float32))
+    z_xla = np.asarray(amg_preconditioner(csr, levels=levels)(r))
+    z_sell = np.asarray(
+        amg_preconditioner(csr, levels=levels, op_builder=sell_op_csr)(r)
+    )
+    np.testing.assert_allclose(z_sell, z_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_amg_validation():
+    rect = COOMatrix.from_numpy(
+        np.array([0], np.int32), np.array([1], np.int32),
+        np.array([1.0], np.float32), shape=(2, 3), pad_to=8,
+    )
+    with pytest.raises(ValueError, match="square"):
+        amg_setup(csr_encode(rect))
+    csr = _encode(_poisson2d(6), pad_to=32)
+    with pytest.raises(ValueError, match="sweeps"):
+        amg_preconditioner(csr, sweeps=0)
+
+
+def test_amg_cli_solve(tmp_path):
+    """--solve pcg-amg end to end, early-stopped iteration count."""
+    import json
+    import os
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+    from smvp_toolkit_tpu.io.mtx import write_mtx
+
+    a = _poisson2d(16)
+    r, c = np.nonzero(a)
+    path = tmp_path / "poisson.mtx"
+    write_mtx(str(path), r.astype(np.int32), c.astype(np.int32),
+              a[r, c], a.shape)
+    out = tmp_path / "m.jsonl"
+    rc = cli_main(["-c", "-n", "1", "--no-report",
+                   "--solve", "pcg-amg:60:1e-6",
+                   "--json-out", str(out), str(path)])
+    assert rc == 0
+    recs = [json.loads(ln) for ln in out.read_text().splitlines()]
+    solve = [x for x in recs if x["alg"] == "SOLVE-PCG-AMG"]
+    assert len(solve) == 1
+    assert solve[0]["relative_residual"] < 1e-5
+    assert solve[0]["iterations"] <= 15
