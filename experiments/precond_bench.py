@@ -82,6 +82,11 @@ def run_spd(nx):
     t0 = time.perf_counter()
     f_ic = ic0(csr)
     setups["pcg-ic0"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    from smvp_toolkit_tpu.models import amg_preconditioner
+
+    m_amg = amg_preconditioner(csr)
+    setups["pcg-amg"] = time.perf_counter() - t0
 
     import jax
 
@@ -101,10 +106,13 @@ def run_spd(nx):
             csr, bb, m_ssor, num_iters=MAX_ITERS, tol=TOL)),
         "pcg-ic0 s4": jax.jit(lambda bb: pcg_precond(
             csr, bb, m_ic, num_iters=MAX_ITERS, tol=TOL)),
+        "pcg-amg v(1,1)": jax.jit(lambda bb: pcg_precond(
+            csr, bb, m_amg, num_iters=MAX_ITERS, tol=TOL)),
     }
     print(f"\n== 2-D Poisson {nx}x{nx} (n={n}, nnz={coo.nnz}) "
           f"to rel.res {TOL} ==")
-    print(f"  (ic0 setup: {setups['pcg-ic0'] * 1e3:.1f} ms host-side)")
+    print(f"  (ic0 setup: {setups['pcg-ic0'] * 1e3:.1f} ms, "
+          f"amg setup: {setups['pcg-amg'] * 1e3:.1f} ms — host-side)")
     for name, fn in cases.items():
         x, res = fn(b)  # compile
         jax.block_until_ready(x)
