@@ -6,8 +6,9 @@ truncated-Neumann polynomial, SSOR, block-Jacobi (batched dense block
 inverses), IC(0) (host-factored, fixed-sweep Neumann trisolves), and
 smoothed-aggregation AMG (host-built hierarchy, fixed-shape V-cycle).
 Every preconditioner cuts the plain-CG iteration count to a 1e-6
-relative residual (124 → 42 for IC(0), → 9 for AMG — and AMG's count
-stays ~9 as the grid grows, where every one-level method degrades).
+relative residual (124 → 42 for IC(0), → 10 for AMG — and AMG's
+count stays ~10 as the grid grows, where every one-level method
+degrades).
 The one-level ordering is not strictly monotone down the ladder:
 block-Jacobi (97) trails SSOR (47) on this stencil because a 5-point
 Poisson row couples two grid lines while each dense block spans only

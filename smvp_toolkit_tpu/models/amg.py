@@ -39,6 +39,10 @@ from smvp_toolkit_tpu.ops.spmv_xla import spmv_csr
 
 __all__ = ["AMGLevel", "amg_setup", "amg_preconditioner"]
 
+# Largest coarse level the setup will densify/invert (64 MB f32 at
+# 4096²); past this, a stalled aggregation is an error, not an OOM.
+_DENSE_LIMIT = 4096
+
 
 @dataclasses.dataclass
 class AMGLevel:
@@ -85,7 +89,7 @@ def _strength_graph(a, theta):
     return (s + s.T).tocsr()  # symmetrize: aggregation needs both sides
 
 
-def _aggregate(s) -> np.ndarray:
+def _aggregate(s):
     """Greedy standard aggregation over the strength graph.
 
     Pass 1 seeds an aggregate at every node whose strong neighborhood
@@ -132,7 +136,10 @@ def _rho_dinv_a(a, iters=15):
         if nrm < 1e-30:
             break
         rho, x = nrm, y / nrm
-    return max(float(rho), 1e-12)
+    # Power iteration converges to rho FROM BELOW; omega = 4/(3 rho)
+    # would cross the Jacobi stability bound 2/rho if rho were
+    # underestimated by >33%, so inflate the estimate (pyamg practice).
+    return 1.1 * max(float(rho), 1e-12)
 
 
 def amg_setup(
@@ -167,7 +174,7 @@ def amg_setup(
 
     a = _scipy_csr(matrix)
     levels: List[AMGLevel] = []
-    for _ in range(max_levels - 1):
+    for li in range(max_levels - 1):
         if a.shape[0] <= coarse_size:
             break
         rho = _rho_dinv_a(a)
@@ -184,18 +191,27 @@ def amg_setup(
         dinv_a = sp.diags(1.0 / d) @ a
         p = (p0 - omega * (dinv_a @ p0)).tocsr()
         p.eliminate_zeros()
-        d_j = np.asarray(a.diagonal())
-        d_j = np.where(np.abs(d_j) > 1e-30, d_j, 1.0)
         levels.append(AMGLevel(
             n=a.shape[0],
-            a_csr=_encode(a),
+            # Level 0 reuses the caller's encoded matrix (the dominant
+            # operator would otherwise exist twice on device, and the
+            # SELL operator cache for it would never hit).
+            a_csr=matrix if li == 0 else _encode(a),
             p_csr=_encode(p),
             pt_csr=_encode(p.T.tocsr()),
-            inv_diag=jnp.asarray(1.0 / d_j, jnp.float32),
+            inv_diag=jnp.asarray(1.0 / d, jnp.float32),
             omega=float(omega),
         ))
         a = (p.T @ a @ p).tocsr()
         a.eliminate_zeros()
+    if a.shape[0] > max(coarse_size, _DENSE_LIMIT):
+        raise ValueError(
+            f"amg coarsening stalled at n={a.shape[0]} (dense coarse "
+            "solve would not fit): too few strong connections for "
+            "smoothed aggregation — lower theta, or use a one-level "
+            "preconditioner (jacobi/ssor/ic0); strongly diagonally "
+            "dominant systems rarely need multigrid at all"
+        )
     dense = np.asarray(a.todense(), np.float64)
     # Tiny ridge keeps a semi-definite coarse operator invertible
     # (e.g. a pure-Neumann block); negligible for definite ones.
@@ -232,6 +248,17 @@ def amg_preconditioner(
         raise ValueError("amg needs sweeps >= 1 and cycles >= 1")
     if levels is None:
         levels = amg_setup(matrix, **setup_kw)
+    else:
+        if setup_kw:
+            raise ValueError(
+                "setup keywords have no effect with a prebuilt "
+                f"levels: {sorted(setup_kw)}"
+            )
+        if matrix is not None and levels[0].n != matrix.shape[0]:
+            raise ValueError(
+                f"prebuilt hierarchy is for n={levels[0].n}, "
+                f"matrix has n={matrix.shape[0]}"
+            )
 
     def _op(csr):
         if op_builder is not None:
@@ -263,10 +290,14 @@ def amg_preconditioner(
 
     n0 = levels[0].n
 
+    # A coarse-only hierarchy solves exactly in one pass; extra cycles
+    # would need an A operator the coarse level doesn't carry.
+    n_cycles = cycles if levels[0].coarse_inv is None else 1
+
     def apply(r: jax.Array) -> jax.Array:
         b = r[:n0].astype(jnp.float32)
         z = _vcycle(0, b)
-        for _ in range(cycles - 1):
+        for _ in range(n_cycles - 1):
             z = z + _vcycle(0, b - ops[0][0](z))
         if r.shape[0] > n0:
             z = jnp.pad(z, (0, r.shape[0] - n0))

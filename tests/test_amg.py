@@ -218,3 +218,50 @@ def test_pcg_amg_over_sharded_spmv():
     ) / np.linalg.norm(np.asarray(b))
     assert relres < 1e-5
     assert _iters_to(res, b, 1e-6) <= 15
+
+
+def test_amg_review_guards():
+    """Round-3 review fixes: stalled aggregation raises (no huge dense
+    inverse), extra cycles on a coarse-only hierarchy don't crash, and
+    a prebuilt hierarchy rejects setup keywords / mismatched matrices."""
+    # Strongly diagonally dominant: no strong connections -> the
+    # coarsening stalls immediately; with n above the dense cap this
+    # must be a clear error, not an n^2 densify.
+    import smvp_toolkit_tpu.models.amg as amg_mod
+
+    rng = np.random.RandomState(6)
+    n = 300
+    a = np.eye(n) * 100.0
+    for _ in range(3 * n):
+        i, j = rng.randint(0, n, 2)
+        if i != j:
+            a[i, j] = a[j, i] = 1e-4
+    csr = _encode(a)
+    old = amg_mod._DENSE_LIMIT
+    amg_mod._DENSE_LIMIT = 128
+    try:
+        with pytest.raises(ValueError, match="stalled"):
+            amg_setup(csr, coarse_size=64)
+    finally:
+        amg_mod._DENSE_LIMIT = old
+    # ...while within the dense cap the stall degrades to direct solve.
+    levels = amg_setup(csr, coarse_size=64)
+    assert levels[-1].coarse_inv is not None
+
+    # cycles >= 2 on a coarse-only hierarchy: exact solve, no crash.
+    small = _poisson2d(5)
+    csr_s = _encode(small, pad_to=32)
+    m = amg_preconditioner(csr_s, cycles=3)
+    r = rng.randn(small.shape[0]).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(m(jnp.asarray(r)), np.float64),
+        np.linalg.solve(small, r), rtol=1e-4, atol=1e-4,
+    )
+
+    # prebuilt levels: setup keywords and mismatched shapes are errors.
+    lv = amg_setup(csr_s)
+    with pytest.raises(ValueError, match="prebuilt"):
+        amg_preconditioner(csr_s, levels=lv, theta=0.25)
+    other = _encode(_poisson2d(7), pad_to=32)
+    with pytest.raises(ValueError, match="n="):
+        amg_preconditioner(other, levels=lv)
