@@ -355,3 +355,41 @@ def test_compiled_spmm_vals_grad_memplus(tpu_device):
         want += np.asarray(op.vjp_vals(X[:, j], G[:, j]), np.float64)
     scale = np.abs(want).max() + 1e-30
     assert np.abs(got - want).max() / scale < 1e-5
+
+
+def test_compiled_amg_vcycle_poisson(tpu_device):
+    """The AMG V-cycle (SELL level operators + dense coarse inverse)
+    Mosaic-compiles as one program and preconditions CG to a
+    grid-independent count."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.formats.csr import csr_encode
+    from smvp_toolkit_tpu.models import amg_preconditioner, pcg_precond
+    from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+    import scipy.sparse as sp
+
+    nx = 64
+    n = nx * nx
+    eye = sp.eye(nx)
+    t = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (nx, nx))
+    a = (sp.kron(eye, t) + sp.kron(t, eye)).tocoo()
+    coo = COOMatrix.from_numpy(
+        a.row.astype(np.int32), a.col.astype(np.int32),
+        a.data.astype(np.float32), shape=(n, n), pad_to=128,
+    )
+    csr = csr_encode(coo)
+    m = amg_preconditioner(csr, op_builder=sell_op_csr)
+    rng = np.random.default_rng(9)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x, res = pcg_precond(csr, b, m, num_iters=30, tol=1e-6)
+    rn = np.asarray(res)
+    tgt = 1e-6 * np.linalg.norm(np.asarray(b))
+    hit = np.nonzero(rn <= tgt)[0]
+    assert hit.size and int(hit[0]) + 1 <= 15
+    dense = np.asarray(a.todense())
+    relres = np.linalg.norm(
+        dense @ np.asarray(x, np.float64) - np.asarray(b)
+    ) / np.linalg.norm(np.asarray(b))
+    assert relres < 1e-5
