@@ -27,6 +27,7 @@ from smvp_toolkit_tpu.models.solvers import (
     chebyshev,
     minres,
     lanczos_eigsh,
+    lobpcg,
     block_cg,
 )
 from smvp_toolkit_tpu.models.amg import (
@@ -66,6 +67,7 @@ __all__ = [
     "chebyshev",
     "minres",
     "lanczos_eigsh",
+    "lobpcg",
     "block_cg",
     "gcn_norm",
     "gcn_layer",

@@ -484,6 +484,83 @@ def lanczos_eigsh(
     return ritz[:k], ritz[-k:]
 
 
+def lobpcg(
+    matrix,
+    X0: jax.Array,
+    num_iters: int = 40,
+    *,
+    m: Optional[Callable] = None,
+    spmm: Optional[Callable] = None,
+    largest: bool = False,
+):
+    """LOBPCG: k extremal eigenpairs of symmetric A, preconditioned.
+
+    Locally-optimal block preconditioned CG (Knyazev) — THE eigensolver
+    shape for this engine: the per-step work is two SpMMs over the
+    (n, k) block (the fused SELL launch via ``spmm=``), one tall-skinny
+    QR and one (3k, 3k) dense eigenproblem (MXU work), and the optional
+    preconditioner ``m`` (e.g. :func:`amg_preconditioner` — AMG turns
+    the smallest-eigenpair problem grid-independent exactly as it does
+    linear solves). Runs a fixed ``num_iters`` under ``lax.scan``.
+
+    ``X0`` is the (n, k) initial block (random is fine); ``m`` maps one
+    residual VECTOR to its preconditioned image (the factory contract
+    shared by the pcg family) and is applied per column. Returns
+    ``(theta, X, res)``: Ritz values (k,) ascending (descending for
+    ``largest=True``), eigenvector block (n, k), per-iteration residual
+    norms (num_iters, k).
+    """
+    if spmm is None:
+        from smvp_toolkit_tpu.ops.spmv_xla import spmm_csr as _spmm
+
+        spmm = _spmm
+    n, k = X0.shape
+
+    def a_mul(X):
+        return spmm(matrix, X)
+
+    def m_mul(R):
+        if m is None:
+            return R
+        return jnp.stack([m(R[:, j]) for j in range(k)], axis=1)
+
+    X0 = X0.astype(jnp.float32)
+    q0, _ = jnp.linalg.qr(X0)
+    theta0 = jnp.sum(q0 * a_mul(q0), axis=0)
+    # P starts as a random block independent of X: the first Rayleigh-
+    # Ritz then searches span[X, W, P] at full rank (a zero P would make
+    # the QR basis arbitrary in its trailing columns).
+    p0 = jnp.linalg.qr(
+        jax.random.normal(jax.random.PRNGKey(7), (n, k), jnp.float32)
+    )[0]
+
+    def step(carry, _):
+        X, P, theta = carry
+        AX = a_mul(X)
+        R = AX - X * theta[None, :]
+        res = jnp.linalg.norm(R, axis=0)
+        W = m_mul(R)
+        S = jnp.concatenate([X, W, P], axis=1)  # (n, 3k)
+        Q, _ = jnp.linalg.qr(S)
+        AQ = a_mul(Q)
+        T = Q.T @ AQ
+        T = (T + T.T) * 0.5
+        evals, C = jnp.linalg.eigh(T)  # ascending
+        Ck = C[:, -k:][:, ::-1] if largest else C[:, :k]
+        thetan = (evals[-k:][::-1] if largest else evals[:k])
+        Xn = Q @ Ck
+        # The locally-optimal direction: the W/P contribution to the new
+        # block, renormalized so the next basis stays well-conditioned.
+        Pn = Q[:, k:] @ Ck[k:, :]
+        Pn = Pn / (jnp.linalg.norm(Pn, axis=0, keepdims=True) + 1e-30)
+        return (Xn, Pn, thetan), res
+
+    (X, _, theta), res = jax.lax.scan(
+        step, (q0, p0, theta0), None, length=num_iters
+    )
+    return theta, X, res
+
+
 def gmres(
     matrix,
     b: jax.Array,

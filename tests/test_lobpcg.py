@@ -1,0 +1,92 @@
+"""LOBPCG block eigensolver: accuracy vs dense eigendecomposition, the
+AMG-preconditioned acceleration, and the fused-SpMM seam."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.formats.csr import csr_encode
+from smvp_toolkit_tpu.models import amg_preconditioner, lobpcg
+
+
+def _poisson(nx):
+    import scipy.sparse as sp
+
+    n = nx * nx
+    eye = sp.eye(nx)
+    t = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (nx, nx))
+    a = (sp.kron(eye, t) + sp.kron(t, eye)).tocoo()
+    coo = COOMatrix.from_numpy(
+        a.row.astype(np.int32), a.col.astype(np.int32),
+        a.data.astype(np.float32), shape=(n, n), pad_to=128,
+    )
+    return csr_encode(coo), np.asarray(a.todense())
+
+
+def test_lobpcg_smallest_eigenpairs():
+    csr, dense = _poisson(20)
+    true = np.linalg.eigvalsh(dense)
+    k = 4
+    X0 = jnp.asarray(
+        np.random.RandomState(0).randn(dense.shape[0], k).astype(np.float32)
+    )
+    theta, X, res = lobpcg(csr, X0, num_iters=60)
+    np.testing.assert_allclose(np.asarray(theta), true[:k], rtol=5e-3,
+                               atol=1e-4)
+    # eigenvector residuals ||A x − θ x|| shrink below the start
+    assert np.asarray(res)[-1].max() < 0.1 * np.asarray(res)[0].max()
+    # Ritz block is orthonormal
+    g = np.asarray(X).T @ np.asarray(X)
+    np.testing.assert_allclose(g, np.eye(k), atol=1e-4)
+
+
+def test_lobpcg_amg_preconditioned():
+    """AMG preconditioning reaches far tighter residuals at equal
+    iteration counts — the grid-independence story for eigenproblems."""
+    csr, dense = _poisson(24)
+    true = np.linalg.eigvalsh(dense)
+    k = 4
+    X0 = jnp.asarray(
+        np.random.RandomState(1).randn(dense.shape[0], k).astype(np.float32)
+    )
+    theta_p, _, res_p = lobpcg(
+        csr, X0, num_iters=40, m=amg_preconditioner(csr)
+    )
+    _, _, res = lobpcg(csr, X0, num_iters=40)
+    assert np.asarray(res_p)[-1].max() < 0.1 * np.asarray(res)[-1].max()
+    np.testing.assert_allclose(np.asarray(theta_p), true[:k], rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_lobpcg_largest():
+    csr, dense = _poisson(16)
+    true = np.linalg.eigvalsh(dense)
+    k = 3
+    X0 = jnp.asarray(
+        np.random.RandomState(2).randn(dense.shape[0], k).astype(np.float32)
+    )
+    theta, _, _ = lobpcg(csr, X0, num_iters=60, largest=True)
+    np.testing.assert_allclose(np.asarray(theta), true[-k:][::-1],
+                               rtol=1e-3)
+
+
+def test_lobpcg_fused_spmm_seam():
+    """The fused SELL SpMM drops into the spmm= seam with matching
+    Ritz values."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+    csr, dense = _poisson(12)
+    k = 3
+    X0 = jnp.asarray(
+        np.random.RandomState(3).randn(dense.shape[0], k).astype(np.float32)
+    )
+    op = sell_op_csr(csr)
+    theta_fused, _, _ = lobpcg(
+        csr, X0, num_iters=30, spmm=lambda m, X: op.matmat(X)
+    )
+    theta_xla, _, _ = lobpcg(csr, X0, num_iters=30)
+    np.testing.assert_allclose(np.asarray(theta_fused),
+                               np.asarray(theta_xla), rtol=1e-4,
+                               atol=1e-5)
