@@ -57,6 +57,7 @@ class AMGLevel:
     pt_csr: object = None       # restriction (n_{l+1}, n_l)
     inv_diag: jax.Array = None  # (n_l,) f32, zeros patched to 1
     omega: float = 0.0          # damped-Jacobi weight 4/(3ρ(D⁻¹A))
+    rho: float = 0.0            # inflated ρ(D⁻¹A) estimate (smoothers)
     coarse_inv: jax.Array = None  # dense (n_c, n_c) inverse (last level)
 
 
@@ -201,6 +202,7 @@ def amg_setup(
             pt_csr=_encode(p.T.tocsr()),
             inv_diag=jnp.asarray(1.0 / d, jnp.float32),
             omega=float(omega),
+            rho=float(rho),
         ))
         a = (p.T @ a @ p).tocsr()
         a.eliminate_zeros()
@@ -229,6 +231,7 @@ def amg_preconditioner(
     *,
     sweeps: int = 1,
     cycles: int = 1,
+    smoother: str = "jacobi",
     op_builder: Optional[Callable] = None,
     spmv: Callable = spmv_csr,
     levels: Optional[List[AMGLevel]] = None,
@@ -236,16 +239,26 @@ def amg_preconditioner(
 ) -> Callable:
     """AMG V-cycle preconditioner factory for :func:`pcg_precond`.
 
-    ``sweeps`` damped-Jacobi smoothing sweeps before AND after coarse
-    correction at every level (symmetric V(ν,ν) — CG-safe); ``cycles``
-    stacks V-cycles per apply. ``op_builder`` puts every level's A, P
-    and Pᵀ on the Pallas SELL path (same contract as the ILU/SSOR
-    factories); the default is the XLA CSR kernel. Pass a prebuilt
-    ``levels`` (from :func:`amg_setup`) to reuse one hierarchy across
-    factories; extra keywords go to :func:`amg_setup`.
+    ``sweeps`` smoothing sweeps before AND after coarse correction at
+    every level (symmetric V(ν,ν) — CG-safe); ``cycles`` stacks
+    V-cycles per apply. ``smoother`` picks damped Jacobi (default) or
+    ``"chebyshev"`` — the standard accelerator-AMG smoother: a degree-
+    ``sweeps`` polynomial in D⁻¹A targeting [ρ/30, ρ], stronger per
+    sweep than Jacobi at identical cost shape (SpMV + diagonal
+    multiplies, zero inner products). Both smoothers' error propagators
+    are polynomials in D⁻¹A — A-self-adjoint — so the symmetric cycle
+    stays SPD either way. ``op_builder`` puts every level's A, P and Pᵀ
+    on the Pallas SELL path (same contract as the ILU/SSOR factories);
+    the default is the XLA CSR kernel. Pass a prebuilt ``levels`` (from
+    :func:`amg_setup`) to reuse one hierarchy across factories; extra
+    keywords go to :func:`amg_setup`.
     """
     if sweeps < 1 or cycles < 1:
         raise ValueError("amg needs sweeps >= 1 and cycles >= 1")
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(
+            f"smoother must be 'jacobi' or 'chebyshev', got {smoother!r}"
+        )
     if levels is None:
         levels = amg_setup(matrix, **setup_kw)
     else:
@@ -272,21 +285,51 @@ def amg_preconditioner(
         for lv in levels
     ]
 
+    def _smooth(lv, a_op, x, b):
+        """``sweeps`` smoothing steps; ``x=None`` means start from 0
+        (saves the first A apply — the residual is just b)."""
+        if smoother == "jacobi":
+            wd = lv.omega * lv.inv_diag
+            if x is None:
+                x = wd * b
+                extra = sweeps - 1
+            else:
+                extra = sweeps
+            for _ in range(extra):
+                x = x + wd * (b - a_op(x))
+            return x
+        # Chebyshev on D⁻¹A over [ρ/30, ρ] (three-term recurrence,
+        # degree = sweeps): damps the whole upper spectrum instead of
+        # Jacobi's single-ω compromise.
+        hi = lv.rho
+        lo = hi / 30.0
+        theta = 0.5 * (hi + lo)
+        delta = 0.5 * (hi - lo)
+        sigma = theta / delta
+        rho_p = 1.0 / sigma
+        r = b if x is None else b - a_op(x)
+        d = (1.0 / theta) * (lv.inv_diag * r)
+        x = d if x is None else x + d
+        for _ in range(sweeps - 1):
+            r = b - a_op(x)
+            rho_n = 1.0 / (2.0 * sigma - rho_p)
+            d = (rho_n * rho_p) * d + (2.0 * rho_n / delta) * (
+                lv.inv_diag * r
+            )
+            x = x + d
+            rho_p = rho_n
+        return x
+
     def _vcycle(li: int, b: jax.Array) -> jax.Array:
         lv = levels[li]
         if lv.coarse_inv is not None:
             return lv.coarse_inv @ b
         a_op, p_op, pt_op = ops[li]
-        wd = lv.omega * lv.inv_diag
-        x = wd * b  # first sweep from x = 0
-        for _ in range(sweeps - 1):
-            x = x + wd * (b - a_op(x))
+        x = _smooth(lv, a_op, None, b)
         r = b - a_op(x)
         xc = _vcycle(li + 1, pt_op(r)[: levels[li + 1].n])
         x = x + p_op(xc)[: lv.n]
-        for _ in range(sweeps):
-            x = x + wd * (b - a_op(x))
-        return x
+        return _smooth(lv, a_op, x, b)
 
     n0 = levels[0].n
 

@@ -265,3 +265,33 @@ def test_amg_review_guards():
     other = _encode(_poisson2d(7), pad_to=32)
     with pytest.raises(ValueError, match="n="):
         amg_preconditioner(other, levels=lv)
+
+
+def test_amg_chebyshev_smoother():
+    """The Chebyshev polynomial smoother: still SPD (CG-safe), still
+    grid-robust counts, and rejected names error."""
+    a = _poisson2d(8)
+    n = a.shape[0]
+    csr = _encode(a, pad_to=64)
+    levels = amg_setup(csr, coarse_size=16)
+    m_apply = amg_preconditioner(
+        csr, levels=levels, sweeps=3, smoother="chebyshev"
+    )
+    m = np.stack(
+        [np.asarray(m_apply(jnp.eye(n, dtype=jnp.float32)[j]))
+         for j in range(n)],
+        axis=1,
+    ).astype(np.float64)
+    np.testing.assert_allclose(m, m.T, rtol=1e-4, atol=1e-5)
+    assert np.linalg.eigvalsh((m + m.T) / 2).min() > 0
+
+    big = _poisson2d(32)
+    csr_b = _encode(big)
+    mb = amg_preconditioner(csr_b, sweeps=3, smoother="chebyshev")
+    rng = np.random.RandomState(7)
+    b = jnp.asarray(rng.randn(big.shape[0]).astype(np.float32))
+    x, res = pcg_precond(csr_b, b, mb, num_iters=40, tol=1e-6)
+    assert _iters_to(res, b, 1e-6) <= 15
+
+    with pytest.raises(ValueError, match="smoother"):
+        amg_preconditioner(csr, smoother="gauss-seidel")
