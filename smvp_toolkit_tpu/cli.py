@@ -193,6 +193,17 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--eigs",
+        default=None,
+        metavar="K[:ITERS]",
+        help=(
+            "after benchmarking, compute the K smallest eigenpairs of "
+            "the (symmetric) matrix with LOBPCG (default 60 iterations"
+            "), AMG-preconditioned when the hierarchy builds; logs the "
+            "Ritz values and eigen-residuals. Requires -c or -a."
+        ),
+    )
+    p.add_argument(
         "--json-out",
         default=None,
         metavar="FILE",
@@ -273,6 +284,17 @@ def _validate(args) -> Optional[str]:
             return "--spmm K must be >= 1"
         if not run_csr:
             return "--spmm requires the CSR algorithm (-c or -a)"
+    if args.eigs is not None:
+        parts = args.eigs.split(":")
+        if len(parts) > 2:
+            return f"--eigs takes K[:ITERS] (got {args.eigs!r})"
+        try:
+            if int(parts[0]) < 1 or (len(parts) > 1 and int(parts[1]) < 1):
+                return f"bad --eigs spec: {args.eigs!r}"
+        except ValueError:
+            return f"bad --eigs spec: {args.eigs!r}"
+        if not run_csr:
+            return "--eigs requires the CSR algorithm (-c or -a)"
     if args.solve:
         if not run_csr:
             return "--solve requires the CSR encoding (-c or -a)"
@@ -627,6 +649,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         _run(ALG_CSR, csr, csr_fn, spmv_bytes_csr(coo.nnz, coo.shape[0], vbytes))
         if args.spmm:
             _run_spmm(args, coo, csr, kernel_kind, device, log)
+        if args.eigs:
+            rc = _run_eigs(args, coo, csr, kernel_kind, device, log)
+            if rc:
+                return rc
         if args.solve:
             if kernel_kind == "pallas":
                 # The solvers jit over the matrix argument, but the
@@ -1102,6 +1128,78 @@ def _run_spmm(args, coo, csr, kernel_kind, device, log) -> None:
             "nnz_per_s_krhs": nnzs,
         })
         log("FILE", f"JSON record appended: {args.json_out}")
+
+
+def _run_eigs(args, coo, csr, kernel_kind, device, log) -> int:
+    """``--eigs K[:ITERS]``: K smallest eigenpairs via LOBPCG.
+
+    AMG-preconditioned when the hierarchy builds (SPD-shaped systems);
+    falls back to unpreconditioned LOBPCG otherwise. The SpMM rides
+    the fused SELL launch on the pallas kernel.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.models import amg_preconditioner, lobpcg
+
+    if coo.shape[0] != coo.shape[1]:
+        log("ERROR", "--eigs needs a square (symmetric) matrix")
+        return 2
+    if jnp.issubdtype(csr.vals.dtype, jnp.complexfloating):
+        log("ERROR", "--eigs supports real symmetric systems only")
+        return 2
+    spec = args.eigs.split(":")
+    k = int(spec[0])
+    iters = int(spec[1]) if len(spec) > 1 else 60
+    n = coo.shape[0]
+    if k > n:
+        log("ERROR", f"--eigs K={k} exceeds the matrix dimension {n}")
+        return 2
+
+    spmm = None
+    if kernel_kind == "pallas":
+        from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+        op = sell_op_csr(csr)
+        spmm = lambda _m, XX: op.matmat(XX)  # noqa: E731
+    m = None
+    try:
+        m = amg_preconditioner(csr)
+        log("INFO", "LOBPCG preconditioner: smoothed-aggregation AMG")
+    except Exception as e:
+        log("INFO", f"AMG setup declined ({str(e)[:120]}); "
+            "running unpreconditioned LOBPCG")
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    t0 = _time.perf_counter()
+    theta, X, res = lobpcg(csr, X0, num_iters=iters, m=m, spmm=spmm)
+    theta.block_until_ready()
+    ms = (_time.perf_counter() - t0) * 1e3
+    tvals = np.asarray(theta, np.float64)
+    rlast = np.asarray(res)[-1]
+    log(
+        "DATA",
+        f"EIGS k={k}: {iters} LOBPCG iterations in {ms:.2f} ms; "
+        "smallest Ritz values "
+        + " ".join(f"{t:.6g}" for t in tvals)
+        + "  (residual norms "
+        + " ".join(f"{r:.2e}" for r in rlast) + ")",
+    )
+    if args.json_out:
+        _append_json(args.json_out, {
+            "alg": "EIGS-LOBPCG",
+            "file": args.file,
+            "k": k,
+            "iterations": iters,
+            "wall_ms": ms,
+            "eigenvalues": [float(t) for t in tvals],
+            "residual_norms": [float(r) for r in rlast],
+            "preconditioner": "amg" if m is not None else "none",
+            "device": f"{device.device_kind} ({device.platform})",
+        })
+        log("FILE", f"JSON record appended: {args.json_out}")
+    return 0
 
 
 def _decode_check(alg, decoded, coo, log):

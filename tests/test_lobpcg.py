@@ -90,3 +90,38 @@ def test_lobpcg_fused_spmm_seam():
     np.testing.assert_allclose(np.asarray(theta_fused),
                                np.asarray(theta_xla), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_eigs_cli_flag(tmp_path):
+    """--eigs K[:ITERS]: AMG-preconditioned LOBPCG from the CLI with a
+    machine-readable record; usage errors are rc 2."""
+    import json
+    import scipy.sparse as sp
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+    from smvp_toolkit_tpu.io.mtx import write_mtx
+
+    nx = 16
+    n = nx * nx
+    eye = sp.eye(nx)
+    t = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (nx, nx))
+    a = (sp.kron(eye, t) + sp.kron(t, eye)).tocoo()
+    path = tmp_path / "poisson.mtx"
+    write_mtx(str(path), a.row.astype(np.int32), a.col.astype(np.int32),
+              a.data, (n, n))
+    out = tmp_path / "m.jsonl"
+    rc = cli_main(["-c", "-n", "1", "--no-report", "--eigs", "3:40",
+                   "--json-out", str(out), str(path)])
+    assert rc == 0
+    rec = [json.loads(l) for l in out.read_text().splitlines()][-1]
+    assert rec["alg"] == "EIGS-LOBPCG" and rec["preconditioner"] == "amg"
+    true = np.linalg.eigvalsh(np.asarray(a.todense()))[:3]
+    np.testing.assert_allclose(rec["eigenvalues"], true, rtol=1e-3,
+                               atol=1e-4)
+    assert max(rec["residual_norms"]) < 1e-3
+
+    for bad in ("0", "3:0", "x", "3:2:1"):
+        assert cli_main(["-c", "-n", "1", "--no-report", "--eigs", bad,
+                         str(path)]) == 2
+    assert cli_main(["-t", "-n", "1", "--no-report", "--eigs", "2",
+                     str(path)]) == 2
