@@ -178,11 +178,11 @@ def amg_setup(
     for li in range(max_levels - 1):
         if a.shape[0] <= coarse_size:
             break
-        rho = _rho_dinv_a(a)
-        omega = 4.0 / (3.0 * rho)
         agg, nc = _aggregate(_strength_graph(a, theta))
         if nc >= a.shape[0]:  # aggregation stalled — stop coarsening
             break
+        rho = _rho_dinv_a(a)
+        omega = 4.0 / (3.0 * rho)
         p0 = sp.csr_matrix(
             (np.ones(a.shape[0]), (np.arange(a.shape[0]), agg)),
             shape=(a.shape[0], nc),

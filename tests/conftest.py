@@ -62,3 +62,13 @@ def random_coo(
         r[: nrows] = np.arange(nrows)
     v = rng.randn(len(r))
     return r.astype(np.int32), c.astype(np.int32), v
+
+
+def poisson2d(nx: int) -> "np.ndarray":
+    """Dense 5-point 2-D Dirichlet Laplacian (SPD, cond ~ nx²) — the
+    shared SPD fixture for preconditioner/eigensolver tests."""
+    import scipy.sparse as sp
+
+    eye = sp.eye(nx)
+    t = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (nx, nx))
+    return np.asarray((sp.kron(eye, t) + sp.kron(t, eye)).todense())

@@ -16,18 +16,7 @@ from smvp_toolkit_tpu.models import (
 )
 
 
-def _poisson2d(nx):
-    n = nx * nx
-    a = np.zeros((n, n))
-    for i in range(nx):
-        for j in range(nx):
-            k = i * nx + j
-            a[k, k] = 4.0
-            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-                ii, jj = i + di, j + dj
-                if 0 <= ii < nx and 0 <= jj < nx:
-                    a[k, ii * nx + jj] = -1.0
-    return a
+from conftest import poisson2d as _poisson2d
 
 
 def _encode(a, pad_to=128):

@@ -67,21 +67,9 @@ def _random_sparse(n=20, seed=0, density=0.15):
 
 def _poisson2d(nx=14):
     """5-point 2-D Laplacian on an nx × nx grid (SPD, cond ~ nx²)."""
-    n = nx * nx
-    a = np.zeros((n, n))
-    for i in range(nx):
-        for j in range(nx):
-            k = i * nx + j
-            a[k, k] = 4.0
-            if i > 0:
-                a[k, k - nx] = -1.0
-            if i < nx - 1:
-                a[k, k + nx] = -1.0
-            if j > 0:
-                a[k, k - 1] = -1.0
-            if j < nx - 1:
-                a[k, k + 1] = -1.0
-    return a
+    from conftest import poisson2d
+
+    return poisson2d(nx)
 
 
 def test_ilu0_pattern_identity():

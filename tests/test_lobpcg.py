@@ -11,18 +11,17 @@ from smvp_toolkit_tpu.formats.csr import csr_encode
 from smvp_toolkit_tpu.models import amg_preconditioner, lobpcg
 
 
-def _poisson(nx):
-    import scipy.sparse as sp
+from conftest import poisson2d
 
-    n = nx * nx
-    eye = sp.eye(nx)
-    t = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (nx, nx))
-    a = (sp.kron(eye, t) + sp.kron(t, eye)).tocoo()
+
+def _poisson(nx):
+    dense = poisson2d(nx)
+    r, c = np.nonzero(dense)
     coo = COOMatrix.from_numpy(
-        a.row.astype(np.int32), a.col.astype(np.int32),
-        a.data.astype(np.float32), shape=(n, n), pad_to=128,
+        r.astype(np.int32), c.astype(np.int32),
+        dense[r, c].astype(np.float32), shape=dense.shape, pad_to=128,
     )
-    return csr_encode(coo), np.asarray(a.todense())
+    return csr_encode(coo), dense
 
 
 def test_lobpcg_smallest_eigenpairs():
