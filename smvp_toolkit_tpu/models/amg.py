@@ -278,6 +278,24 @@ def amg_preconditioner(
             return op_builder(csr)
         return lambda xx: spmv(csr, xx)
 
+    def _ap(op, z):
+        """Apply a level operator to a vector OR an (n, k) block.
+
+        Blocks ride the operator's ``matmat`` when it has one (the
+        fused SELL SpMM); XLA closures fall back to the device SpMM
+        for the default kernel, else per-column applies. This makes
+        the whole V-cycle k-wide — one cycle preconditions all k
+        LOBPCG residuals.
+        """
+        if z.ndim == 1:
+            return op(z)
+        mm = getattr(op, "matmat", None)
+        if mm is not None:
+            return mm(z)
+        return jnp.stack(
+            [op(z[:, j]) for j in range(z.shape[1])], axis=1
+        )
+
     ops = [
         (None if lv.a_csr is None else _op(lv.a_csr),
          None if lv.p_csr is None else _op(lv.p_csr),
@@ -288,15 +306,18 @@ def amg_preconditioner(
     def _smooth(lv, a_op, x, b):
         """``sweeps`` smoothing steps; ``x=None`` means start from 0
         (saves the first A apply — the residual is just b)."""
+        wd = lv.omega * lv.inv_diag
+        di = lv.inv_diag
+        if b.ndim == 2:  # block apply: broadcast over the k columns
+            wd, di = wd[:, None], di[:, None]
         if smoother == "jacobi":
-            wd = lv.omega * lv.inv_diag
             if x is None:
                 x = wd * b
                 extra = sweeps - 1
             else:
                 extra = sweeps
             for _ in range(extra):
-                x = x + wd * (b - a_op(x))
+                x = x + wd * (b - _ap(a_op, x))
             return x
         # Chebyshev on D⁻¹A over [ρ/30, ρ] (three-term recurrence,
         # degree = sweeps): damps the whole upper spectrum instead of
@@ -307,15 +328,13 @@ def amg_preconditioner(
         delta = 0.5 * (hi - lo)
         sigma = theta / delta
         rho_p = 1.0 / sigma
-        r = b if x is None else b - a_op(x)
-        d = (1.0 / theta) * (lv.inv_diag * r)
+        r = b if x is None else b - _ap(a_op, x)
+        d = (1.0 / theta) * (di * r)
         x = d if x is None else x + d
         for _ in range(sweeps - 1):
-            r = b - a_op(x)
+            r = b - _ap(a_op, x)
             rho_n = 1.0 / (2.0 * sigma - rho_p)
-            d = (rho_n * rho_p) * d + (2.0 * rho_n / delta) * (
-                lv.inv_diag * r
-            )
+            d = (rho_n * rho_p) * d + (2.0 * rho_n / delta) * (di * r)
             x = x + d
             rho_p = rho_n
         return x
@@ -323,12 +342,12 @@ def amg_preconditioner(
     def _vcycle(li: int, b: jax.Array) -> jax.Array:
         lv = levels[li]
         if lv.coarse_inv is not None:
-            return lv.coarse_inv @ b
+            return lv.coarse_inv @ b  # works for (n_c,) and (n_c, k)
         a_op, p_op, pt_op = ops[li]
         x = _smooth(lv, a_op, None, b)
-        r = b - a_op(x)
-        xc = _vcycle(li + 1, pt_op(r)[: levels[li + 1].n])
-        x = x + p_op(xc)[: lv.n]
+        r = b - _ap(a_op, x)
+        xc = _vcycle(li + 1, _ap(pt_op, r)[: levels[li + 1].n])
+        x = x + _ap(p_op, xc)[: lv.n]
         return _smooth(lv, a_op, x, b)
 
     n0 = levels[0].n
@@ -338,12 +357,15 @@ def amg_preconditioner(
     n_cycles = cycles if levels[0].coarse_inv is None else 1
 
     def apply(r: jax.Array) -> jax.Array:
+        """M⁻¹ r for a vector (n,) or a block (n, k) — block applies
+        run the whole V-cycle k-wide (fused SpMM level operators)."""
         b = r[:n0].astype(jnp.float32)
         z = _vcycle(0, b)
         for _ in range(n_cycles - 1):
-            z = z + _vcycle(0, b - ops[0][0](z))
+            z = z + _vcycle(0, b - _ap(ops[0][0], z))
         if r.shape[0] > n0:
-            z = jnp.pad(z, (0, r.shape[0] - n0))
+            pad = [(0, r.shape[0] - n0)] + [(0, 0)] * (r.ndim - 1)
+            z = jnp.pad(z, pad)
         return z.astype(r.dtype)
 
     return apply

@@ -522,6 +522,16 @@ def lobpcg(
     def m_mul(R):
         if m is None:
             return R
+        # Block-capable preconditioners (AMG's V-cycle) take the whole
+        # (n, k) residual block in one apply — the level operators then
+        # run as fused SpMMs; vector-only factories fall back to
+        # per-column applies (shape errors surface at trace time).
+        try:
+            W = m(R)
+            if W.shape == R.shape:
+                return W
+        except Exception:
+            pass
         return jnp.stack([m(R[:, j]) for j in range(k)], axis=1)
 
     X0 = X0.astype(jnp.float32)

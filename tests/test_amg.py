@@ -316,3 +316,22 @@ def test_bicgstab_amg_nonsymmetric(tmp_path):
         return rec["relative_residual"]
 
     assert run("bicgstab-amg") < 0.1 * run("bicgstab")
+
+
+def test_amg_block_apply_matches_per_column():
+    """The k-wide V-cycle equals k vector V-cycles exactly (same
+    program, broadcast diagonals, matmat level ops on the SELL path)."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+    a = _poisson2d(12)
+    csr = _encode(a)
+    levels = amg_setup(csr)
+    rng = np.random.RandomState(8)
+    R = jnp.asarray(rng.randn(a.shape[0], 5).astype(np.float32))
+    for builder in (None, sell_op_csr):
+        m = amg_preconditioner(csr, levels=levels, op_builder=builder)
+        Z_block = np.asarray(m(R))
+        Z_cols = np.stack(
+            [np.asarray(m(R[:, j])) for j in range(5)], axis=1
+        )
+        np.testing.assert_allclose(Z_block, Z_cols, rtol=1e-5, atol=1e-6)
