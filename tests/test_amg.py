@@ -335,3 +335,36 @@ def test_amg_block_apply_matches_per_column():
             [np.asarray(m(R[:, j])) for j in range(5)], axis=1
         )
         np.testing.assert_allclose(Z_block, Z_cols, rtol=1e-5, atol=1e-6)
+
+
+def test_native_aggregation_matches_python():
+    """native/amg.cpp's aggregation pass is identical to the numpy
+    loop (same seeds, same attachment order, same singleton ids)."""
+    import smvp_toolkit_tpu.models.amg as amg_mod
+
+    if amg_mod._amg_lib() is None:
+        pytest.skip("libamg.so not built")
+    rng = np.random.RandomState(11)
+    for n, nnz in [(200, 1200), (500, 4000), (64, 100)]:
+        r = rng.randint(0, n, nnz)
+        c = rng.randint(0, n, nnz)
+        keep = r != c
+        import scipy.sparse as sp
+
+        s = sp.csr_matrix(
+            (np.ones(keep.sum() * 2),
+             (np.concatenate([r[keep], c[keep]]),
+              np.concatenate([c[keep], r[keep]]))),
+            shape=(n, n),
+        )
+        agg_n, nc_n = amg_mod._aggregate(s)
+        monk = "SMVP_NATIVE_AMG"
+        import os
+
+        os.environ[monk] = "0"
+        try:
+            agg_p, nc_p = amg_mod._aggregate(s)
+        finally:
+            del os.environ[monk]
+        assert nc_n == nc_p
+        np.testing.assert_array_equal(agg_n, agg_p)
