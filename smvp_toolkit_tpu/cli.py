@@ -985,13 +985,22 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         # bicgstab-ilu above.
         from smvp_toolkit_tpu.formats.csr import csr_encode as _enc
         from smvp_toolkit_tpu.models import amg_preconditioner
-        from smvp_toolkit_tpu.ops.algebra import add, scale, transpose
+        from smvp_toolkit_tpu.ops.algebra import (
+            _as_general,
+            add,
+            scale,
+            transpose,
+        )
 
         if is_complex:
             log("ERROR", f"--solve {method} supports real systems only")
             return 2
         try:
-            sym = scale(add(coo, transpose(coo)), 0.5)
+            # Expand one-triangle storage first: transpose() of a
+            # symmetric-typecode COO transposes only the stored
+            # triangle, which would make "(A+Aᵀ)/2" nonsymmetric junk.
+            g = _as_general(coo)
+            sym = scale(add(g, transpose(g)), 0.5)
             m_apply = amg_preconditioner(
                 _enc(sym), op_builder=_factor_op_builder(kernel_kind)
             )
@@ -1193,7 +1202,11 @@ def _run_eigs(args, coo, csr, kernel_kind, device, log) -> int:
         spmm = lambda _m, XX: op.matmat(XX)  # noqa: E731
     m = None
     try:
-        m = amg_preconditioner(csr)
+        # Same per-level operator builder as the solve paths: under
+        # --kernel pallas the block V-cycle rides the fused SELL SpMM.
+        m = amg_preconditioner(
+            csr, op_builder=_factor_op_builder(kernel_kind)
+        )
         log("INFO", "LOBPCG preconditioner: smoothed-aggregation AMG")
     except Exception as e:
         log("INFO", f"AMG setup declined ({str(e)[:120]}); "

@@ -432,6 +432,12 @@ def read_mtx(
         )
     if expand_symmetry:
         r, c, v = expand_symmetric(typecode, r, c, v)
+        # The triplets now hold the FULL matrix: retype as general, or
+        # every typecode-aware consumer (to_dense/to_scipy/_as_general)
+        # would mirror the off-diagonals a second time.
+        import dataclasses as _dc
+
+        typecode = _dc.replace(typecode, symmetry="general")
     if np.iscomplexobj(v):
         import jax.numpy as jnp
 

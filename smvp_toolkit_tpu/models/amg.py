@@ -323,6 +323,19 @@ def amg_preconditioner(
     def _op(csr):
         if op_builder is not None:
             return op_builder(csr)
+        if spmv is spmv_csr:
+            # Default XLA kernel: give the closure a matmat so block
+            # applies run ONE widened SpMM (planes read once) instead
+            # of k unrolled SpMVs. A custom injected spmv (e.g. a
+            # sharded closure) keeps per-column semantics — routing
+            # its blocks through the raw-CSR kernel would bypass it.
+            from smvp_toolkit_tpu.ops.spmv_xla import spmm_csr
+
+            def f(xx, _c=csr):
+                return spmv_csr(_c, xx)
+
+            f.matmat = lambda XX, _c=csr: spmm_csr(_c, XX)
+            return f
         return lambda xx: spmv(csr, xx)
 
     def _ap(op, z):
@@ -415,4 +428,9 @@ def amg_preconditioner(
             z = jnp.pad(z, pad)
         return z.astype(r.dtype)
 
+    # Explicit capability marker: lobpcg (and other block consumers)
+    # hand the whole (n, k) residual block only to appliers that
+    # declare it — shape-sniffing can silently accept broadcasting
+    # accidents when k == n.
+    apply.supports_block = True
     return apply

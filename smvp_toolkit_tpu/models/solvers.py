@@ -503,9 +503,12 @@ def lobpcg(
     the smallest-eigenpair problem grid-independent exactly as it does
     linear solves). Runs a fixed ``num_iters`` under ``lax.scan``.
 
-    ``X0`` is the (n, k) initial block (random is fine); ``m`` maps one
-    residual VECTOR to its preconditioned image (the factory contract
-    shared by the pcg family) and is applied per column. Returns
+    ``X0`` is the (n, k) initial block (random is fine). ``m`` follows
+    the pcg factory contract (residual vector → preconditioned image);
+    appliers that declare ``m.supports_block = True`` (the AMG factory)
+    receive the whole (n, k) residual block in ONE call — the V-cycle
+    then runs k-wide on fused SpMMs — while vector-only factories are
+    applied per column. Returns
     ``(theta, X, res)``: Ritz values (k,) ascending (descending for
     ``largest=True``), eigenvector block (n, k), per-iteration residual
     norms (num_iters, k).
@@ -522,16 +525,14 @@ def lobpcg(
     def m_mul(R):
         if m is None:
             return R
-        # Block-capable preconditioners (AMG's V-cycle) take the whole
-        # (n, k) residual block in one apply — the level operators then
-        # run as fused SpMMs; vector-only factories fall back to
-        # per-column applies (shape errors surface at trace time).
-        try:
-            W = m(R)
-            if W.shape == R.shape:
-                return W
-        except Exception:
-            pass
+        # Block-capable preconditioners DECLARE it (AMG's V-cycle sets
+        # supports_block) and take the whole (n, k) residual block in
+        # one apply — the level operators then run as fused SpMMs.
+        # Anything else is applied per column; sniffing output shapes
+        # instead would silently accept broadcasting accidents when
+        # k == n.
+        if getattr(m, "supports_block", False):
+            return m(R)
         return jnp.stack([m(R[:, j]) for j in range(k)], axis=1)
 
     X0 = X0.astype(jnp.float32)

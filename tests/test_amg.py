@@ -368,3 +368,25 @@ def test_native_aggregation_matches_python():
             del os.environ[monk]
         assert nc_n == nc_p
         np.testing.assert_array_equal(agg_n, agg_p)
+
+
+def test_bicgstab_amg_symmetric_storage(tmp_path):
+    """Symmetric-STORAGE inputs (one stored triangle) must build the
+    hierarchy on the true (A+Aᵀ)/2, not on a half-triangle artifact."""
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+    from smvp_toolkit_tpu.io.mtx import write_mtx
+
+    a = _poisson2d(12)
+    r, c = np.nonzero(np.tril(a))  # store the lower triangle only
+    path = tmp_path / "spd_sym.mtx"
+    write_mtx(str(path), r.astype(np.int32), c.astype(np.int32),
+              a[r, c], a.shape, field="real", symmetry="symmetric")
+    out = tmp_path / "m.jsonl"
+    rc = cli_main(["-c", "-n", "1", "--no-report", "--expand-symmetry",
+                   "--solve", "bicgstab-amg:60:1e-6",
+                   "--json-out", str(out), str(path)])
+    assert rc == 0
+    rec = [json.loads(ln) for ln in out.read_text().splitlines()][-1]
+    assert rec["relative_residual"] < 1e-4

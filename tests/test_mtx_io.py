@@ -391,3 +391,31 @@ def test_write_mtx_gz_round_trip(tmp_path):
     np.add.at(dense, (r, c), v)
     np.testing.assert_allclose(back.to_dense(), dense, rtol=1e-6,
                                atol=1e-9)
+
+
+def test_expand_symmetry_retypes_general(tmp_path):
+    """read_mtx(expand_symmetry=True) must retype the result general:
+    the triplets hold the full matrix, so a surviving symmetric
+    typecode would make every typecode-aware consumer (to_dense,
+    to_scipy, algebra expansion) mirror the off-diagonals twice."""
+    import numpy as np
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx, write_mtx
+
+    a = np.array([[4.0, -1.0, 0.0],
+                  [-1.0, 4.0, -2.0],
+                  [0.0, -2.0, 4.0]])
+    r, c = np.nonzero(np.tril(a))
+    path = tmp_path / "sym.mtx"
+    write_mtx(str(path), r.astype(np.int32), c.astype(np.int32),
+              a[r, c], a.shape, field="real", symmetry="symmetric")
+    coo = read_mtx(str(path), expand_symmetry=True)
+    assert coo.typecode.is_general
+    np.testing.assert_array_equal(coo.to_dense(), a)
+    # and the unexpanded read still carries the storage typecode with
+    # only the stored triangle materialized (reference semantics —
+    # to_dense is the stored-entries oracle; to_scipy expands)
+    coo_stored = read_mtx(str(path))
+    assert coo_stored.typecode.symmetry == "symmetric"
+    np.testing.assert_array_equal(coo_stored.to_dense(), np.tril(a))
+    np.testing.assert_array_equal(coo_stored.to_scipy().toarray(), a)
