@@ -33,7 +33,12 @@ __all__ = [
     "chebyshev",
     "minres",
     "lanczos_eigsh",
+    "lobpcg",
     "block_cg",
+    "ic0_preconditioner",
+    "ilu_preconditioner",
+    "ssor_preconditioner",
+    "block_jacobi_preconditioner",
 ]
 
 
