@@ -25,7 +25,8 @@ from smvp_toolkit_tpu.formats.csr import CSRMatrix
 from smvp_toolkit_tpu.formats.tjds import TJDSMatrix
 from smvp_toolkit_tpu.io.mtx import MMTypeCode
 
-__all__ = ["save_matrix", "load_matrix", "save_plan", "load_plan"]
+__all__ = ["save_matrix", "load_matrix", "save_plan", "load_plan",
+           "save_hierarchy", "load_hierarchy"]
 
 _KINDS = {"COOMatrix": COOMatrix, "CSRMatrix": CSRMatrix, "TJDSMatrix": TJDSMatrix}
 
@@ -168,3 +169,76 @@ def load_plan(source):
             ),
             y_block_slices=int(meta.get("y_block_slices", 0)),
         )
+
+
+def save_hierarchy(dest, levels) -> None:
+    """Serialize an AMG hierarchy (models/amg.amg_setup) to one .npz.
+
+    Setup is the expensive half (tens of seconds at 10M nnz — strength
+    graph, aggregation, Galerkin SpGEMM); encode-once deployments
+    reload the kernel-ready level operators directly and rebuild the
+    preconditioner with ``amg_preconditioner(None, levels=...)``-style
+    reuse via the ``levels=`` argument.
+    """
+    meta = {"kind": "AMGHierarchy", "levels": []}
+    arrays = {}
+
+    def _put(prefix, mat):
+        arrays[f"{prefix}_row_ptr"] = np.asarray(mat.row_ptr)
+        arrays[f"{prefix}_col_ind"] = np.asarray(mat.col_ind)
+        arrays[f"{prefix}_vals"] = np.asarray(mat.vals)
+        return {"shape": list(mat.shape), "nnz": int(mat.nnz)}
+
+    for li, lv in enumerate(levels):
+        entry = {"n": int(lv.n), "omega": float(lv.omega),
+                 "rho": float(lv.rho)}
+        if lv.coarse_inv is not None:
+            arrays[f"l{li}_coarse_inv"] = np.asarray(lv.coarse_inv)
+        else:
+            entry["a"] = _put(f"l{li}_a", lv.a_csr)
+            entry["p"] = _put(f"l{li}_p", lv.p_csr)
+            entry["pt"] = _put(f"l{li}_pt", lv.pt_csr)
+            arrays[f"l{li}_inv_diag"] = np.asarray(lv.inv_diag)
+        meta["levels"].append(entry)
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(dest, **arrays)
+
+
+def load_hierarchy(source):
+    """Load an AMG hierarchy written by :func:`save_hierarchy`."""
+    from smvp_toolkit_tpu.models.amg import AMGLevel
+
+    with np.load(source) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        if meta.get("kind") != "AMGHierarchy":
+            raise TypeError(f"not an AMG hierarchy: {meta.get('kind')}")
+
+        def _get(prefix, spec):
+            return CSRMatrix(
+                row_ptr=jnp.asarray(z[f"{prefix}_row_ptr"]),
+                col_ind=jnp.asarray(z[f"{prefix}_col_ind"]),
+                vals=jnp.asarray(z[f"{prefix}_vals"]),
+                shape=tuple(spec["shape"]),
+                nnz=int(spec["nnz"]),
+            )
+
+        levels = []
+        for li, entry in enumerate(meta["levels"]):
+            if f"l{li}_coarse_inv" in z:
+                levels.append(AMGLevel(
+                    n=int(entry["n"]),
+                    coarse_inv=jnp.asarray(z[f"l{li}_coarse_inv"]),
+                ))
+            else:
+                levels.append(AMGLevel(
+                    n=int(entry["n"]),
+                    a_csr=_get(f"l{li}_a", entry["a"]),
+                    p_csr=_get(f"l{li}_p", entry["p"]),
+                    pt_csr=_get(f"l{li}_pt", entry["pt"]),
+                    inv_diag=jnp.asarray(z[f"l{li}_inv_diag"]),
+                    omega=float(entry["omega"]),
+                    rho=float(entry["rho"]),
+                ))
+        return levels

@@ -390,3 +390,27 @@ def test_bicgstab_amg_symmetric_storage(tmp_path):
     assert rc == 0
     rec = [json.loads(ln) for ln in out.read_text().splitlines()][-1]
     assert rec["relative_residual"] < 1e-4
+
+
+def test_amg_hierarchy_checkpoint(tmp_path):
+    """save_hierarchy/load_hierarchy round-trip: the reloaded levels
+    produce bit-identical V-cycle applies (setup is the expensive half
+    — encode-once deployments reload it)."""
+    from smvp_toolkit_tpu.utils.checkpoint import (
+        load_hierarchy,
+        save_hierarchy,
+    )
+
+    a = _poisson2d(16)
+    csr = _encode(a)
+    levels = amg_setup(csr, coarse_size=32)
+    path = tmp_path / "hier.npz"
+    save_hierarchy(str(path), levels)
+    reloaded = load_hierarchy(str(path))
+    assert [lv.n for lv in reloaded] == [lv.n for lv in levels]
+
+    rng = np.random.RandomState(12)
+    r = jnp.asarray(rng.randn(a.shape[0]).astype(np.float32))
+    z0 = np.asarray(amg_preconditioner(csr, levels=levels)(r))
+    z1 = np.asarray(amg_preconditioner(None, levels=reloaded)(r))
+    np.testing.assert_array_equal(z0, z1)
