@@ -306,35 +306,51 @@ def jacobi(
     return x_final
 
 
-@partial(jax.jit, static_argnames=("num_iters", "spmm"))
+@partial(jax.jit, static_argnames=("num_iters", "spmm", "m"))
 def block_cg(
     matrix,
     b: jax.Array,
     x0: Optional[jax.Array] = None,
     num_iters: int = 50,
     spmm: Callable = None,
+    m: Optional[Callable] = None,
 ):
-    """Block CG (O'Leary): solve A X = B for a block of k RHS at once.
+    """Block (P)CG (O'Leary): solve A X = B for a block of k RHS at once.
 
     One SpMM per step serves all k right-hand sides — the matrix planes
     cross HBM once per iteration instead of once per RHS, and the block
     Krylov space converges in fewer iterations than k independent CG
     runs. The k×k Gram solves run as dense ops on device. ``B`` is
     (n, k); returns (X, residual_norms (num_iters, k)).
+
+    ``m`` is an optional SPD preconditioner per the pcg factory
+    contract; block-capable appliers (``m.supports_block``, e.g.
+    :func:`~smvp_toolkit_tpu.models.amg.amg_preconditioner`) receive
+    the whole residual block — ONE k-wide V-cycle per iteration —
+    while vector-only factories apply per column.
     """
     if spmm is None:
         from smvp_toolkit_tpu.ops.spmv_xla import spmm_csr as spmm
+    k = b.shape[1]
+
+    def m_mul(r):
+        if m is None:
+            return r
+        if getattr(m, "supports_block", False):
+            return m(r)
+        return jnp.stack([m(r[:, j]) for j in range(k)], axis=1)
+
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - spmm(matrix, x)
-    p = r
-    gram = r.T @ r  # (k, k)
-    k = b.shape[1]
+    z = m_mul(r)
+    p = z
+    gram = r.T @ z  # (k, k)
     eye = jnp.eye(k, dtype=b.dtype)
 
-    def _solve(m, rhs):
+    def _solve(g, rhs):
         # Tiny ridge keeps the Gram solve stable once columns converge
         # (near-singular Gram ⇒ directions already exhausted).
-        return jnp.linalg.solve(m + 1e-12 * eye, rhs)
+        return jnp.linalg.solve(g + 1e-12 * eye, rhs)
 
     def step(carry, _):
         x, r, p, gram = carry
@@ -342,9 +358,10 @@ def block_cg(
         alpha = _solve(p.T @ q, gram)
         x = x + p @ alpha
         r = r - q @ alpha
-        gram_new = r.T @ r
+        z = m_mul(r)
+        gram_new = r.T @ z
         beta = _solve(gram, gram_new)
-        p = r + p @ beta
+        p = z + p @ beta
         return (x, r, p, gram_new), jnp.linalg.norm(r, axis=0)
 
     (x, r, p, gram), res_norms = jax.lax.scan(

@@ -414,3 +414,26 @@ def test_amg_hierarchy_checkpoint(tmp_path):
     z0 = np.asarray(amg_preconditioner(csr, levels=levels)(r))
     z1 = np.asarray(amg_preconditioner(None, levels=reloaded)(r))
     np.testing.assert_array_equal(z0, z1)
+
+
+def test_block_pcg_with_amg():
+    """Preconditioned block CG: AMG's k-wide V-cycle per iteration cuts
+    the multi-RHS solve to grid-independent counts and matches the
+    dense solve; unpreconditioned block CG needs far more steps."""
+    import jax
+
+    from smvp_toolkit_tpu.models import block_cg
+
+    a = _poisson2d(24)
+    n = a.shape[0]
+    csr = _encode(a)
+    m = amg_preconditioner(csr)
+    rng = np.random.RandomState(13)
+    B = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    X, res = block_cg(csr, B, num_iters=15, m=m)
+    jax.block_until_ready(X)
+    X_ref = np.linalg.solve(a, np.asarray(B, np.float64))
+    np.testing.assert_allclose(np.asarray(X), X_ref, rtol=1e-3,
+                               atol=1e-3)
+    _, res_plain = block_cg(csr, B, num_iters=15)
+    assert np.asarray(res)[-1].max() < 0.05 * np.asarray(res_plain)[-1].max()
