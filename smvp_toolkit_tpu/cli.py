@@ -171,7 +171,7 @@ def build_parser() -> argparse.ArgumentParser:
             "after benchmarking, solve A x = b with an iterative method "
             "(cg, pcg, pcg-amg, pcg-cheb, pcg-neumann, pcg-ic0, "
             "pcg-ssor, pcg-bjac, bicgstab, bicgstab-ilu, bicgstab-amg, "
-            "gmres, minres, "
+            "gmres, gmres-ilu, gmres-amg, minres, "
             "chebyshev; default 100 iterations; an optional third "
             "field sets a relative-residual target with on-device "
             "early stop (per-iteration for the CG family and minres; "
@@ -745,7 +745,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 SOLVE_METHODS = ("cg", "pcg", "pcg-amg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
                  "pcg-ssor", "pcg-bjac", "bicgstab", "bicgstab-ilu",
-                 "bicgstab-amg", "gmres", "minres", "chebyshev")
+                 "bicgstab-amg", "gmres", "gmres-ilu", "gmres-amg",
+                 "minres", "chebyshev")
 
 
 def _append_json(path, record) -> None:
@@ -951,66 +952,63 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
             return 2
         xs, res = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
                               tol=tol)
-    elif method == "bicgstab-ilu":
-        # Right-preconditioned BiCGSTAB via the injectable kernel:
-        # solve (A·M⁻¹) u = b with the wrapped spmv, then x = M⁻¹ u.
-        # The residual b − A·M⁻¹·u the solver tracks IS the true
-        # residual of x, so tol early-stop semantics are unchanged.
-        from smvp_toolkit_tpu.models import ilu_preconditioner
-        from smvp_toolkit_tpu.ops.ilu import ilu0
-
+    elif method in ("bicgstab-ilu", "bicgstab-amg",
+                    "gmres-ilu", "gmres-amg"):
+        # Right-preconditioned Krylov via the injectable kernel: solve
+        # (A·M⁻¹) u = b with the wrapped spmv, then x = M⁻¹ u. The
+        # residual b − A·M⁻¹·u the solver tracks IS the true residual
+        # of x, so tol early-stop semantics are unchanged. The -ilu
+        # variants factor A itself (general systems); the -amg variants
+        # build the hierarchy on the symmetric part (A+Aᵀ)/2 — the
+        # standard recipe for mildly nonsymmetric systems, measured
+        # 2.6x fewer iterations than ILU on convection-diffusion.
         if is_complex:
             log("ERROR", f"--solve {method} supports real systems only")
             return 2
-        # Per-factor operators, as in pcg-ic0 above.
         try:
-            factors = ilu0(csr)
-        except ValueError as e:  # shift ladder exhausted — singular input
+            if method.endswith("-ilu"):
+                from smvp_toolkit_tpu.models import ilu_preconditioner
+                from smvp_toolkit_tpu.ops.ilu import ilu0
+
+                # Per-factor operators, as in pcg-ic0 above.
+                m_apply = ilu_preconditioner(
+                    ilu0(csr), sweeps=4,
+                    op_builder=_factor_op_builder(kernel_kind),
+                )
+            else:
+                from smvp_toolkit_tpu.formats.csr import csr_encode as _enc
+                from smvp_toolkit_tpu.models import amg_preconditioner
+                from smvp_toolkit_tpu.ops.algebra import (
+                    _as_general,
+                    add,
+                    scale,
+                    transpose,
+                )
+
+                # Expand one-triangle storage first: transpose() of a
+                # symmetric-typecode COO transposes only the stored
+                # triangle, which would make "(A+Aᵀ)/2" nonsymmetric.
+                g = _as_general(coo)
+                sym = scale(add(g, transpose(g)), 0.5)
+                m_apply = amg_preconditioner(
+                    _enc(sym), op_builder=_factor_op_builder(kernel_kind)
+                )
+        except ValueError as e:  # shift ladder / aggregation exhausted
             log("ERROR", str(e))
             return 2
-        m_apply = ilu_preconditioner(
-            factors, sweeps=4, op_builder=_factor_op_builder(kernel_kind)
-        )
-        us, res = bicgstab(
-            csr, b, num_iters=iters, tol=tol,
-            spmv=lambda mat, v: spmv(mat, m_apply(v)),
-        )
-        xs = m_apply(us)
-    elif method == "bicgstab-amg":
-        # Right-preconditioned BiCGSTAB with AMG built on the SYMMETRIC
-        # PART (A+Aᵀ)/2 — the standard recipe for mildly nonsymmetric
-        # systems (convection-diffusion); measured 2.6x fewer
-        # iterations than bicgstab-ilu on the benchmark fixture. Same
-        # wrapped-spmv composition (and true-residual semantics) as
-        # bicgstab-ilu above.
-        from smvp_toolkit_tpu.formats.csr import csr_encode as _enc
-        from smvp_toolkit_tpu.models import amg_preconditioner
-        from smvp_toolkit_tpu.ops.algebra import (
-            _as_general,
-            add,
-            scale,
-            transpose,
-        )
-
-        if is_complex:
-            log("ERROR", f"--solve {method} supports real systems only")
-            return 2
-        try:
-            # Expand one-triangle storage first: transpose() of a
-            # symmetric-typecode COO transposes only the stored
-            # triangle, which would make "(A+Aᵀ)/2" nonsymmetric junk.
-            g = _as_general(coo)
-            sym = scale(add(g, transpose(g)), 0.5)
-            m_apply = amg_preconditioner(
-                _enc(sym), op_builder=_factor_op_builder(kernel_kind)
+        wrapped = lambda mat, v: spmv(mat, m_apply(v))  # noqa: E731
+        if method.startswith("gmres"):
+            restart = min(20, iters)
+            num_restarts = max(1, -(-iters // restart))
+            iters = restart * num_restarts
+            per = restart
+            us, res = gmres(
+                csr, b, restart=restart, num_restarts=num_restarts,
+                spmv=wrapped, tol=tol,
             )
-        except ValueError as e:  # aggregation stalled / degenerate
-            log("ERROR", str(e))
-            return 2
-        us, res = bicgstab(
-            csr, b, num_iters=iters, tol=tol,
-            spmv=lambda mat, v: spmv(mat, m_apply(v)),
-        )
+        else:
+            us, res = bicgstab(csr, b, num_iters=iters, tol=tol,
+                               spmv=wrapped)
         xs = m_apply(us)
     elif method == "bicgstab":
         xs, res = bicgstab(csr, b, num_iters=iters, spmv=spmv,
@@ -1064,7 +1062,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         hint = (
             "more iterations, a tighter preconditioner (larger ILU "
             "sweeps), or gmres"
-            if method in ("bicgstab-ilu", "bicgstab-amg")
+            if method in ("bicgstab-ilu", "bicgstab-amg",
+                          "gmres-ilu", "gmres-amg")
             else "bicgstab or gmres for general matrices"
         )
         log(

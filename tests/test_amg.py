@@ -437,3 +437,33 @@ def test_block_pcg_with_amg():
                                atol=1e-3)
     _, res_plain = block_cg(csr, B, num_iters=15)
     assert np.asarray(res)[-1].max() < 0.05 * np.asarray(res_plain)[-1].max()
+
+
+def test_gmres_right_preconditioned_cli(tmp_path):
+    """gmres-ilu / gmres-amg: right-preconditioned restarted GMRES from
+    the CLI converges on the convection-diffusion fixture where plain
+    BiCGSTAB stalls."""
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+    from smvp_toolkit_tpu.io.mtx import write_mtx
+
+    a = _poisson2d(16).copy()
+    rng = np.random.RandomState(9)
+    n = a.shape[0]
+    for kk in range(n - 1):
+        if rng.rand() < 0.7 and a[kk, kk + 1] != 0:
+            a[kk, kk + 1] -= 0.35
+    r, c = np.nonzero(a)
+    path = tmp_path / "conv.mtx"
+    write_mtx(str(path), r.astype(np.int32), c.astype(np.int32),
+              a[r, c], a.shape)
+
+    for method in ("gmres-ilu", "gmres-amg"):
+        out = tmp_path / f"{method}.jsonl"
+        rc = cli_main(["-c", "-n", "1", "--no-report",
+                       "--solve", f"{method}:80:1e-6",
+                       "--json-out", str(out), str(path)])
+        assert rc == 0
+        rec = [json.loads(ln) for ln in out.read_text().splitlines()][-1]
+        assert rec["relative_residual"] < 1e-4, method
