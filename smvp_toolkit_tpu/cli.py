@@ -913,9 +913,13 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         if is_complex:
             log("ERROR", f"--solve {method} needs a real SPD system")
             return 2
-        m = amg_preconditioner(
-            csr, sweeps=1, op_builder=_factor_op_builder(kernel_kind)
-        )
+        try:
+            m = amg_preconditioner(
+                csr, sweeps=1, op_builder=_factor_op_builder(kernel_kind)
+            )
+        except ValueError as e:  # aggregation stalled past the dense cap
+            log("ERROR", str(e))
+            return 2
         xs, res = pcg_precond(csr, b, m, num_iters=iters, spmv=spmv,
                               tol=tol)
     elif method == "pcg-ssor":
@@ -1036,12 +1040,12 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         # target is the stopping step. Without this the log/json would
         # report the requested count even when tol stopped early.
         rn = np.asarray(res, np.float64)
-        tgt = tol * max(
-            float(np.linalg.norm(np.asarray(b, np.complex128 if
-                                            is_complex else np.float64))),
-            1e-30,
-        )
-        hit = np.nonzero(rn <= tgt)[0]
+        # Mirror the DEVICE's stopping target (tol * f32-norm of b, see
+        # _while_solve) with a hair of slack: recomputing it in f64
+        # could land above the device target by one ulp and report the
+        # requested count for a run that demonstrably stopped early.
+        tgt = tol * max(float(np.linalg.norm(np.asarray(b))), 1e-30)
+        hit = np.nonzero(rn <= tgt * (1.0 + 1e-6))[0]
         iters = (int(hit[0]) + 1 if hit.size else rn.shape[0]) * per
 
     res_dtype = np.complex128 if is_complex else np.float64
@@ -1124,11 +1128,29 @@ def _run_spmm(args, coo, csr, kernel_kind, device, log) -> None:
         rng.standard_normal((coo.shape[1], k)).astype(np.float32)
     )
     if kernel_kind == "pallas":
-        from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+        import jax.numpy as _jnp
+
+        from smvp_toolkit_tpu.ops.spmv_pallas import (
+            sell_op_csr,
+            spmm_launch_group,
+        )
 
         op = sell_op_csr(csr)
         spmm_fn = lambda _m, XX: op.matmat(XX)  # noqa: E731
-        run_kernel = "pallas-fused"
+        # Label what ACTUALLY runs: matmat silently takes the vmap-
+        # over-columns fallback for streamed-y plans, compat mode,
+        # SMVP_SELL_SPMM=0, or a VMEM-capped group < 2 — attributing
+        # those numbers to the fused launch would poison the records.
+        fused = (
+            not op.plan.y_block_slices
+            and os.environ.get("SMVP_SELL_COMPAT") != "1"
+            and os.environ.get("SMVP_SELL_SPMM") != "0"
+            and spmm_launch_group(
+                op.plan.n_slices, op.plan.n_coltiles,
+                _jnp.dtype(op.value_dtype).itemsize,
+            ) >= 2
+        )
+        run_kernel = "pallas-fused" if fused else "pallas-vmap"
     else:
         from smvp_toolkit_tpu.ops.spmv_xla import spmm_csr
 

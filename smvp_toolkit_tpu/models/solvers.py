@@ -306,6 +306,25 @@ def jacobi(
     return x_final
 
 
+def _precond_block(m, r):
+    """Apply preconditioner ``m`` to an (n, k) residual block.
+
+    Block-capable appliers DECLARE it (``m.supports_block``, e.g. the
+    AMG factory) and take the whole block in one call; anything else is
+    applied per column. One definition for block_cg and lobpcg — shape
+    sniffing instead would silently accept broadcasting accidents when
+    k == n.
+    """
+    if m is None:
+        return r
+    if getattr(m, "supports_block", False):
+        return m(r)
+    return jnp.stack(
+        [m(r[:, j]) for j in range(r.shape[1])], axis=1
+    )
+
+
+
 @partial(jax.jit, static_argnames=("num_iters", "spmm", "m"))
 def block_cg(
     matrix,
@@ -333,12 +352,7 @@ def block_cg(
         from smvp_toolkit_tpu.ops.spmv_xla import spmm_csr as spmm
     k = b.shape[1]
 
-    def m_mul(r):
-        if m is None:
-            return r
-        if getattr(m, "supports_block", False):
-            return m(r)
-        return jnp.stack([m(r[:, j]) for j in range(k)], axis=1)
+    m_mul = lambda r: _precond_block(m, r)  # noqa: E731
 
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - spmm(matrix, x)
@@ -544,18 +558,7 @@ def lobpcg(
     def a_mul(X):
         return spmm(matrix, X)
 
-    def m_mul(R):
-        if m is None:
-            return R
-        # Block-capable preconditioners DECLARE it (AMG's V-cycle sets
-        # supports_block) and take the whole (n, k) residual block in
-        # one apply — the level operators then run as fused SpMMs.
-        # Anything else is applied per column; sniffing output shapes
-        # instead would silently accept broadcasting accidents when
-        # k == n.
-        if getattr(m, "supports_block", False):
-            return m(R)
-        return jnp.stack([m(R[:, j]) for j in range(k)], axis=1)
+    m_mul = lambda R: _precond_block(m, R)  # noqa: E731
 
     X0 = X0.astype(jnp.float32)
     q0, _ = jnp.linalg.qr(X0)

@@ -191,9 +191,16 @@ class SellPlan:
         vmap fallback. The per-launch k·VMEM footprint also shifts the
         resident-x decision, mirroring the operator.
         """
-        group = max(
-            1, int(os.environ.get("SMVP_SELL_SPMM_GROUP", "8"))
-        )
+        from smvp_toolkit_tpu.ops.spmv_pallas import spmm_launch_group
+
+        group = spmm_launch_group(self.n_slices, self.n_coltiles,
+                                  value_bytes)
+        if group < 2 and k > 1:
+            # The operator falls back to vmap-over-columns: planes are
+            # re-read for every column.
+            return k * self.traffic_bytes(
+                value_bytes, lidx_bytes, x_bytes, x_resident, 1
+            )
         if k > group:
             full, rem = divmod(k, group)
             return full * self.traffic_bytes(

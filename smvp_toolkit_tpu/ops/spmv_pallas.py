@@ -71,6 +71,27 @@ def _table_select(rel_ref, x_win, wt, precision, bf16_values, reduce2):
     )
 
 
+def spmm_launch_group(n_slices: int, n_coltiles: int,
+                      itemsize: int) -> int:
+    """Per-launch column group for fused SpMM — THE shared VMEM policy.
+
+    Used by ``SellSpMV.matmat``, the sharded SpMM paths, and the plan's
+    ``traffic_bytes(k)`` accounting so the three never drift: the
+    (n_slices, group*128) f32 y block must stay VMEM-resident, and with
+    the prefetch escape hatch off (``SMVP_SELL_PREFETCH=0`` — no
+    windowed x for k > 1) the group's x block must be resident too.
+    A result < 2 means per-column launches (the vmap fallback).
+    """
+    group = max(1, int(os.environ.get("SMVP_SELL_SPMM_GROUP", "8")))
+    y_bytes = n_slices * LANES * 4
+    group = max(1, min(group, _RESIDENT_Y_LIMIT // max(y_bytes, 1)))
+    if os.environ.get("SMVP_SELL_PREFETCH") == "0":
+        x_launch = n_coltiles * LANES * itemsize
+        if x_launch * group > _RESIDENT_X_LIMIT:
+            group = max(1, _RESIDENT_X_LIMIT // max(x_launch, 1))
+    return group
+
+
 def pack_columns(X: jax.Array, ct: int, kg: int) -> jax.Array:
     """Pack a dense (ct*128, kg) block into the fused-SpMM lane layout.
 
@@ -783,9 +804,10 @@ class SellSpMV:
             getattr(self, "onehot_dense", False)
             or os.environ.get("SMVP_SELL_COMPAT") == "1"
         )
-        group = int(os.environ.get("SMVP_SELL_SPMM_GROUP", "8"))
-        y_bytes = plan.n_slices * LANES * 4
-        group = min(group, _RESIDENT_Y_LIMIT // max(y_bytes, 1))
+        group = spmm_launch_group(
+            plan.n_slices, plan.n_coltiles,
+            jnp.dtype(self.value_dtype).itemsize,
+        )
         if (
             os.environ.get("SMVP_SELL_SPMM") == "0"
             or plan.y_block_slices

@@ -326,30 +326,12 @@ def _spmv_sell_sharded(
 
 
 def _spmm_group(NSl: int, CT: int, itemsize: int) -> int:
-    """Per-launch column group for the sharded fused SpMM.
+    """Per-launch column group — delegates to the shared VMEM policy in
+    ops/spmv_pallas (one definition for matmat, the sharded paths and
+    traffic accounting)."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import spmm_launch_group
 
-    Mirrors the single-chip VMEM policy (``SellSpMV.matmat``): the
-    (NSl, group*128) f32 y block must stay VMEM-resident, and with the
-    prefetch escape hatch off (``SMVP_SELL_PREFETCH=0``, no windowed x
-    for k > 1) the group's x block must be resident too. A group of 1
-    degrades gracefully to per-column launches — the same VMEM shape
-    the sharded SpMV always runs.
-    """
-    import os as _os
-
-    from smvp_toolkit_tpu.ops.spmv_pallas import (
-        _RESIDENT_X_LIMIT,
-        _RESIDENT_Y_LIMIT,
-    )
-
-    group = max(1, int(_os.environ.get("SMVP_SELL_SPMM_GROUP", "8")))
-    y_bytes = NSl * LANES * 4
-    group = max(1, min(group, _RESIDENT_Y_LIMIT // max(y_bytes, 1)))
-    if _os.environ.get("SMVP_SELL_PREFETCH") == "0":
-        x_launch = CT * LANES * itemsize
-        if x_launch * group > _RESIDENT_X_LIMIT:
-            group = max(1, _RESIDENT_X_LIMIT // max(x_launch, 1))
-    return group
+    return spmm_launch_group(NSl, CT, itemsize)
 
 
 def spmm_sell_sharded(sh: ShardedSell, X: jax.Array, mesh: Mesh) -> jax.Array:

@@ -216,13 +216,16 @@ def load_hierarchy(source):
             raise TypeError(f"not an AMG hierarchy: {meta.get('kind')}")
 
         def _get(prefix, spec):
+            # with_row_ids: fresh encodes carry the row-id cache that
+            # spmv_csr consumes; without it every reloaded level apply
+            # would re-derive row ids inside the jitted solve loop.
             return CSRMatrix(
                 row_ptr=jnp.asarray(z[f"{prefix}_row_ptr"]),
                 col_ind=jnp.asarray(z[f"{prefix}_col_ind"]),
                 vals=jnp.asarray(z[f"{prefix}_vals"]),
                 shape=tuple(spec["shape"]),
                 nnz=int(spec["nnz"]),
-            )
+            ).with_row_ids()
 
         levels = []
         for li, entry in enumerate(meta["levels"]):
