@@ -215,3 +215,37 @@ def test_export_preconditioned_solver_program(tmp_path):
         x, np.linalg.solve(a, np.asarray(b, np.float64)),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_export_amg_solver_program(tmp_path):
+    """The AMG V-cycle-preconditioned solve — multilevel operators and
+    the dense coarse inverse baked in as constants — exports as one
+    framework-free program with on-device tol early stop."""
+    from smvp_toolkit_tpu.models import amg_preconditioner, pcg_precond
+
+    from conftest import poisson2d
+
+    a = poisson2d(12)
+    n = a.shape[0]
+    r, c = np.nonzero(a)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32),
+        a[r, c].astype(np.float32), shape=(n, n), pad_to=64,
+    )
+    csr = csr_encode(coo)
+    m = amg_preconditioner(csr, coarse_size=32)
+
+    path = str(tmp_path / "pcg_amg.jaxexport")
+    save_program(
+        path,
+        lambda b: pcg_precond(csr, b, m, num_iters=30, tol=1e-6)[0],
+        jnp.zeros((n,), jnp.float32),
+    )
+    call = load_program(path)
+    rng = np.random.RandomState(3)
+    b = jnp.asarray(rng.randn(n), jnp.float32)
+    x = np.asarray(call(b))
+    np.testing.assert_allclose(
+        x, np.linalg.solve(a, np.asarray(b, np.float64)),
+        rtol=1e-3, atol=1e-4,
+    )
