@@ -329,6 +329,9 @@ def main():
           f"[{time.time()-t0:.0f}s]", flush=True)
     stages = [
         ("curtis54", dict(time_it=False, label=" canary")),
+        # Fused-SpMM compile canary EARLY: a short tunnel window should
+        # still Mosaic-validate the k-wide kernel family (one compile).
+        ("curtis54", dict(spmm_canary=True)),
         ("memplus", dict(label=" f32")),
         ("memplus", dict(value_dtype=jnp.bfloat16, label=" bf16")),
         ("pwt", dict(label=" f32")),
@@ -370,6 +373,10 @@ def main():
     ]
     for i, (name, kw) in enumerate(stages):
         try:
+            if kw.get("spmm_canary"):
+                run_spmm(name, k=4, fused=True, iterations=3,
+                         label=" spmm-canary")
+                continue
             run(name, **kw)
         except Exception as e:
             print(f"{name} {kw.get('label','')} FAILED: {str(e)[:300]}",
