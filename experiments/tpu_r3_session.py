@@ -304,9 +304,23 @@ def run_spmm(name, *, k=8, fused=True, iterations=100, label=" spmm"):
         err = np.abs(Y - Y_ref).max() / (np.abs(Y_ref).max() + 1e-30)
         avg = min(times)
         nnzs = k * coo.nnz / avg  # k RHS served per launch
+        # Effective mode: matmat silently vmaps under compat/streamed/
+        # capped-group conditions — record what actually ran.
+        from smvp_toolkit_tpu.ops.spmv_pallas import spmm_launch_group
+
+        fused_eff = (
+            fused
+            and not op.plan.y_block_slices
+            and os.environ.get("SMVP_SELL_COMPAT") != "1"
+            and spmm_launch_group(
+                op.plan.n_slices, op.plan.n_coltiles,
+                jnp.dtype(op.value_dtype).itemsize,
+            ) >= 2
+        )
         rec = {
             "ts": time.time(), "name": name, "label": label.strip(),
-            "kind": "spmm", "k": k, "fused": fused, "nnz": int(coo.nnz),
+            "kind": "spmm", "k": k, "fused": fused,
+            "fused_effective": fused_eff, "nnz": int(coo.nnz),
             "err": float(err), "avg_us": float(avg * 1e6),
             "gnnz_s_krhs": float(nnzs / 1e9), "iterations": iterations,
             "device": jax.devices()[0].device_kind,
