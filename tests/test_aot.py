@@ -249,3 +249,35 @@ def test_export_amg_solver_program(tmp_path):
         x, np.linalg.solve(a, np.asarray(b, np.float64)),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_export_gcn_inference_program(tmp_path):
+    """GCN inference exports as one framework-free program: normalized
+    adjacency, trained weights and the SpMM aggregation all baked in;
+    only the feature block crosses the boundary."""
+    import jax
+
+    from smvp_toolkit_tpu.models.graph import gcn_forward, gcn_init, gcn_norm
+
+    rng = np.random.RandomState(5)
+    n = 60
+    r = rng.randint(0, n, 240).astype(np.int32)
+    c = rng.randint(0, n, 240).astype(np.int32)
+    coo = COOMatrix.from_numpy(
+        r, c, np.ones(240, np.float32), shape=(n, n), pad_to=64,
+    )
+    s = gcn_norm(coo)
+    params = gcn_init(jax.random.PRNGKey(0), [4, 8, 3])
+
+    path = str(tmp_path / "gcn.jaxexport")
+    save_program(
+        path,
+        lambda h: gcn_forward(s, params, h),
+        jnp.zeros((n, 4), jnp.float32),
+    )
+    call = load_program(path)
+    h = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(call(h)), np.asarray(gcn_forward(s, params, h)),
+        rtol=1e-5, atol=1e-6,
+    )
