@@ -393,3 +393,37 @@ def test_compiled_amg_vcycle_poisson(tpu_device):
         dense @ np.asarray(x, np.float64) - np.asarray(b)
     ) / np.linalg.norm(np.asarray(b))
     assert relres < 1e-5
+
+
+def test_compiled_sell_under_shard_map_1chip(tpu_device):
+    """The SELL kernel (SpMV and fused SpMM) under shard_map on a
+    1-device mesh: validates the shard_map+Mosaic lowering interplay
+    that plain pallas_call tests cannot."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.parallel import (
+        make_mesh,
+        shard_sell,
+        spmm_sell_sharded,
+        spmv_sell_sharded,
+    )
+
+    coo = read_mtx("/root/reference/sample-data/curtis54.mtx").pad(128)
+    mesh = make_mesh(1)
+    sh = shard_sell(coo, mesh)
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal(coo.shape[1]).astype(np.float32)
+    y = np.asarray(spmv_sell_sharded(sh, jnp.asarray(x), mesh))
+    r, c, v = coo.to_numpy()
+    y_ref = np.zeros(coo.shape[0])
+    np.add.at(y_ref, r, np.asarray(v, np.float64) * x[c])
+    scale = np.abs(y_ref).max() + 1e-30
+    assert np.abs(y - y_ref).max() / scale < 1e-5
+
+    X = rng.standard_normal((coo.shape[1], 4)).astype(np.float32)
+    Y = np.asarray(spmm_sell_sharded(sh, jnp.asarray(X), mesh))
+    Y_ref = np.zeros((coo.shape[0], 4))
+    np.add.at(Y_ref, r, np.asarray(v, np.float64)[:, None] * X[c])
+    scale = np.abs(Y_ref).max() + 1e-30
+    assert np.abs(Y - Y_ref).max() / scale < 1e-5
