@@ -29,6 +29,7 @@ from smvp_toolkit_tpu.models.solvers import (
     lanczos_eigsh,
     lobpcg,
     block_cg,
+    refine_solve,
 )
 from smvp_toolkit_tpu.models.amg import (
     AMGLevel,
@@ -69,6 +70,7 @@ __all__ = [
     "lanczos_eigsh",
     "lobpcg",
     "block_cg",
+    "refine_solve",
     "gcn_norm",
     "gcn_layer",
     "gcn_forward",

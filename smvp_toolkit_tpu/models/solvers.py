@@ -35,6 +35,7 @@ __all__ = [
     "lanczos_eigsh",
     "lobpcg",
     "block_cg",
+    "refine_solve",
     "ic0_preconditioner",
     "ilu_preconditioner",
     "ssor_preconditioner",
@@ -382,6 +383,58 @@ def block_cg(
         step, (x, r, p, gram), None, length=num_iters
     )
     return x, res_norms
+
+
+def refine_solve(
+    matrix,
+    b,
+    *,
+    inner: Callable,
+    num_refinements: int = 3,
+    vals_lo: Optional[jax.Array] = None,
+):
+    """Mixed-precision iterative refinement: ~f64-quality solves on
+    f32 hardware.
+
+    Classic Wilkinson refinement with the double-float machinery from
+    ``ops/precision``: x lives as a df64 pair, the residual
+    ``r = b − A·x`` is computed with the compensated df64 SpMV, ANY
+    f32 inner solver supplies the correction ``d ≈ A⁻¹r`` (an
+    AMG-preconditioned PCG closure is the natural choice), and
+    ``x += d`` accumulates error-free. Each sweep multiplies the error
+    by the inner solve's contraction factor down to the df64 floor
+    (~1e-14 relative) — far below the ~1e-6 floor of a plain f32
+    solve. ``vals_lo`` carries the low words of f64 matrix values
+    (``df_split``) when the operator itself exceeds f32.
+
+    ``inner(r) -> d`` takes and returns f32 vectors; ``b`` may be f32
+    or f64 (host/device). Returns ``(x_hi, x_lo, res_norms)`` with one
+    f64-accurate residual norm per sweep (length num_refinements).
+    """
+    import numpy as np
+
+    from smvp_toolkit_tpu.ops.precision import (
+        _df_add,
+        df_split,
+        df_to_f64,
+        spmv_csr_df64,
+    )
+
+    b64 = np.asarray(b, np.float64)
+    b_hi, b_lo = df_split(b64)
+    x_hi = jnp.zeros_like(b_hi)
+    x_lo = jnp.zeros_like(b_hi)
+    norms = []
+    for _ in range(num_refinements):
+        y_hi, y_lo = spmv_csr_df64(matrix, x_hi, x_lo, vals_lo)
+        ny_hi, ny_lo = -y_hi, -y_lo
+        r_hi, r_lo = _df_add((b_hi, b_lo), (ny_hi, ny_lo))
+        norms.append(float(np.linalg.norm(
+            np.asarray(df_to_f64(r_hi, r_lo), np.float64)
+        )))
+        d = inner(r_hi.astype(jnp.float32))
+        x_hi, x_lo = _df_add((x_hi, x_lo), (d, jnp.zeros_like(d)))
+    return x_hi, x_lo, np.asarray(norms)
 
 
 @partial(jax.jit, static_argnames=("num_iters", "spmv"))
