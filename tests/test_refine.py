@@ -63,3 +63,48 @@ def test_refine_plain_cg_inner():
     x64 = np.asarray(df_to_f64(xh, xl), np.float64)
     rel = np.linalg.norm(a @ x64 - b) / np.linalg.norm(b)
     assert rel < 1e-11
+
+
+def test_refine_f64_operator_values():
+    """vals_lo carries the low words of f64 matrix values: refinement
+    then converges to the TRUE f64 operator's solution, while without
+    it the f32-rounded operator floors the error ~7 orders higher."""
+    from smvp_toolkit_tpu.models import conjugate_gradient
+    from smvp_toolkit_tpu.ops.precision import df_split
+
+    rng = np.random.RandomState(3)
+    a64 = poisson2d(10) * (1.0 / 3.0)  # values not f32-representable
+    n = a64.shape[0]
+    r, c = np.nonzero(a64)
+    v64 = a64[r, c]
+    v_hi, v_lo = df_split(v64)
+    coo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), np.asarray(v_hi),
+        shape=(n, n), pad_to=64,
+    )
+    csr = csr_encode(coo)
+    # vals_lo must align with the ENCODED (sorted, padded) value plane:
+    # encode the low words through the same row/col keys.
+    coo_lo = COOMatrix.from_numpy(
+        r.astype(np.int32), c.astype(np.int32), np.asarray(v_lo),
+        shape=(n, n), pad_to=64,
+    )
+    vals_lo = csr_encode(coo_lo).vals
+
+    inner = lambda rr: conjugate_gradient(  # noqa: E731
+        csr, rr, num_iters=200, tol=1e-7
+    )[0]
+    b = rng.randn(n)
+
+    from smvp_toolkit_tpu.ops.precision import df_to_f64
+
+    xh, xl, _ = refine_solve(csr, b, inner=inner, num_refinements=4,
+                             vals_lo=vals_lo)
+    x64 = np.asarray(df_to_f64(xh, xl), np.float64)
+    rel_true = np.linalg.norm(a64 @ x64 - b) / np.linalg.norm(b)
+    assert rel_true < 1e-12
+
+    xh2, xl2, _ = refine_solve(csr, b, inner=inner, num_refinements=4)
+    x2 = np.asarray(df_to_f64(xh2, xl2), np.float64)
+    rel_f32op = np.linalg.norm(a64 @ x2 - b) / np.linalg.norm(b)
+    assert rel_f32op > 1e-9  # floored by the f32-rounded operator
