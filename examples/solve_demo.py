@@ -40,3 +40,15 @@ assert float(res[-1]) < 1e-3 * float(res[0])
 x_hi, x_lo = df_split(np.asarray(x, np.float64))
 ax = df_to_f64(*spmv_csr_df64(csr, x_hi, x_lo))
 print("df64 residual inf-norm:", float(np.abs(ax - 1.0).max()))
+
+# Mixed-precision iterative refinement: the same system to ~f64
+# accuracy on f32 hardware — df64 residuals, f32 CG corrections.
+from smvp_toolkit_tpu.models import refine_solve
+
+inner = lambda rr: conjugate_gradient(csr, rr, num_iters=200,
+                                      tol=1e-7)[0]
+xh, xl, sweeps = refine_solve(csr, np.ones(coo.shape[0]), inner=inner)
+x64 = np.asarray(df_to_f64(xh, xl), np.float64)
+r64 = df_to_f64(*spmv_csr_df64(csr, *df_split(x64))) - 1.0
+print("refined residual inf-norm:", float(np.abs(np.asarray(r64)).max()),
+      f"(per-sweep norms {[f'{s:.1e}' for s in sweeps]})")
