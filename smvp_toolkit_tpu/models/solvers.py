@@ -68,22 +68,46 @@ def power_iteration(
     return norms[-1], x_final
 
 
-@partial(jax.jit, static_argnames=("num_iters", "spmv"))
+@partial(jax.jit, static_argnames=("num_iters", "spmv", "tol"))
 def pagerank(
     matrix,
     damping: float = 0.85,
     num_iters: int = 50,
     spmv: Callable = spmv_csr,
+    tol: Optional[float] = None,
 ):
-    """PageRank over a (column-stochastic) link matrix via iterated SpMV."""
+    """PageRank over a (column-stochastic) link matrix via iterated SpMV.
+
+    ``tol``: optional L1-change target — the power iteration contracts
+    geometrically (factor ``damping``), so an on-device early stop
+    (``lax.while_loop``, same pattern as the solver family) saves the
+    remaining SpMVs once ``|r_new − r|_1 <= tol``.
+    """
     n = matrix.shape[1]
     r = jnp.full((n,), 1.0 / n, dtype=matrix.vals.dtype)
 
-    def step(r, _):
+    def advance(r):
         r_new = damping * spmv(matrix, r) + (1.0 - damping) / n
-        return r_new / jnp.maximum(r_new.sum(), 1e-30), None
+        return r_new / jnp.maximum(r_new.sum(), 1e-30)
 
-    r_final, _ = jax.lax.scan(step, r, None, length=num_iters)
+    if tol is None:
+        r_final, _ = jax.lax.scan(
+            lambda rr, _: (advance(rr), None), r, None, length=num_iters
+        )
+        return r_final
+
+    def cond(st):
+        i, _r, delta = st
+        return (i < num_iters) & (delta > tol)
+
+    def body(st):
+        i, rr, _ = st
+        r_new = advance(rr)
+        return i + 1, r_new, jnp.abs(r_new - rr).sum()
+
+    _, r_final, _ = jax.lax.while_loop(
+        cond, body, (0, r, jnp.asarray(jnp.inf, r.dtype))
+    )
     return r_final
 
 

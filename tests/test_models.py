@@ -607,3 +607,28 @@ def test_gmres_tol_stops_between_restarts():
     assert np.linalg.norm(r) / bn < 1e-5
     hit = np.argmax(res / bn < 1e-6)
     assert np.allclose(res[hit:], res[-1])
+
+
+def test_pagerank_tol_early_stop():
+    """pagerank(tol=...) matches the fixed-iteration result and stays a
+    probability vector."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.models import pagerank
+
+    rng = np.random.RandomState(17)
+    n = 80
+    r = rng.randint(0, n, 400).astype(np.int32)
+    c = rng.randint(0, n, 400).astype(np.int32)
+    # column-stochastic link weights
+    v = np.ones(400)
+    colsum = np.zeros(n)
+    np.add.at(colsum, c, v)
+    v = v / colsum[c]
+    coo = COOMatrix.from_numpy(r, c, v.astype(np.float32), shape=(n, n),
+                               pad_to=64)
+    csr = csr_encode(coo)
+    pr_fixed = np.asarray(pagerank(csr, num_iters=200))
+    pr_tol = np.asarray(pagerank(csr, num_iters=200, tol=1e-10))
+    np.testing.assert_allclose(pr_tol, pr_fixed, rtol=1e-4, atol=1e-7)
+    assert abs(pr_tol.sum() - 1.0) < 1e-4 and (pr_tol >= 0).all()
