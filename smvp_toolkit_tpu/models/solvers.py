@@ -43,29 +43,51 @@ __all__ = [
 ]
 
 
-@partial(jax.jit, static_argnames=("num_iters", "spmv"))
+@partial(jax.jit, static_argnames=("num_iters", "spmv", "tol"))
 def power_iteration(
     matrix,
     x0: jax.Array,
     num_iters: int = 50,
     spmv: Callable = spmv_csr,
+    tol: Optional[float] = None,
 ):
     """Dominant eigenpair by repeated SpMV + normalization.
 
     Returns (eigenvalue estimate, eigenvector). ``num_iters`` is static —
-    the loop is a ``lax.scan`` compiled once.
+    the loop is a ``lax.scan`` compiled once. ``tol``: optional
+    on-device early stop (``lax.while_loop``) when the normalization
+    factor — the eigenvalue estimate — changes by less than ``tol``
+    between steps.
     """
+    x0 = x0 / jnp.linalg.norm(x0)
 
-    def step(x, _):
+    def advance(x):
         y = spmv(matrix, x)
         norm = jnp.linalg.norm(y)
-        x_new = y / jnp.maximum(norm, 1e-30)
-        return x_new, norm
+        return y / jnp.maximum(norm, 1e-30), norm
 
-    x_final, norms = jax.lax.scan(step, x0 / jnp.linalg.norm(x0), None,
-                                  length=num_iters)
-    # Rayleigh quotient-ish estimate from the last normalization factor.
-    return norms[-1], x_final
+    if tol is None:
+        x_final, norms = jax.lax.scan(
+            lambda x, _: advance(x), x0, None, length=num_iters
+        )
+        # Rayleigh-quotient-ish estimate from the last normalization.
+        return norms[-1], x_final
+
+    def cond(st):
+        i, _x, prev, cur = st
+        return (i < num_iters) & (jnp.abs(cur - prev) > tol)
+
+    def body(st):
+        i, x, _prev, cur = st
+        x_new, norm = advance(x)
+        return i + 1, x_new, cur, norm
+
+    rdt = jnp.zeros((), x0.dtype).real.dtype
+    _, x_final, _, lam = jax.lax.while_loop(
+        cond, body,
+        (0, x0, jnp.asarray(jnp.inf, rdt), jnp.asarray(0.0, rdt)),
+    )
+    return lam, x_final
 
 
 @partial(jax.jit, static_argnames=("num_iters", "spmv", "tol"))

@@ -632,3 +632,27 @@ def test_pagerank_tol_early_stop():
     pr_tol = np.asarray(pagerank(csr, num_iters=200, tol=1e-10))
     np.testing.assert_allclose(pr_tol, pr_fixed, rtol=1e-4, atol=1e-7)
     assert abs(pr_tol.sum() - 1.0) < 1e-4 and (pr_tol >= 0).all()
+
+
+def test_power_iteration_tol_early_stop():
+    from smvp_toolkit_tpu.models import power_iteration
+
+    rng = np.random.RandomState(19)
+    a = rng.randn(40, 40)
+    a = a @ a.T  # SPD: dominant eigenpair well-defined
+    r, c = np.nonzero(a)
+    coo = COOMatrix.from_numpy(r.astype(np.int32), c.astype(np.int32),
+                               a[r, c].astype(np.float32), shape=a.shape,
+                               pad_to=64)
+    csr = csr_encode(coo)
+    import jax.numpy as jnp
+
+    x0 = jnp.asarray(rng.randn(40).astype(np.float32))
+    lam_f, _ = power_iteration(csr, x0, num_iters=300)
+    lam_t, v = power_iteration(csr, x0, num_iters=300, tol=1e-6)
+    true = np.linalg.eigvalsh(a)[-1]
+    assert abs(float(lam_t) - true) / true < 1e-3
+    assert abs(float(lam_t) - float(lam_f)) / true < 1e-3
+    # eigenvector residual
+    vv = np.asarray(v, np.float64)
+    assert np.linalg.norm(a @ vv - float(lam_t) * vv) / true < 1e-2
