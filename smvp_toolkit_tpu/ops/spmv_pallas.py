@@ -145,6 +145,13 @@ def _seg_reduce(prod, sl_ref, sb, nsw, precision, reduce2):
     Dead sublanes (``sl_ref == -1``) fall outside any window. The
     caller accumulates the (nsw, LANES) result at y offset ``sb``.
 
+    ``sl_ref`` is the chunk's (1, 1, chunk) slice-id block — stored 3-D
+    so the BlockSpec's last two dims (1, chunk) EQUAL the array dims and
+    satisfy Mosaic's tiling rule for any chunk count (a 2-D (1, chunk)
+    block over an (n_chunks, chunk) array is rejected whenever
+    n_chunks > 1: sublane dim 1 is neither a multiple of 8 nor the
+    array dim — the round-3 hardware failure).
+
     ``reduce2`` runs the double-bf16 ladder instead of a ``precision``
     matmul: the one-hot matrix is exact in bf16 and ``prod`` splits as
     ``hi + lo`` with two bf16 components, so two DEFAULT (single-pass)
@@ -152,7 +159,7 @@ def _seg_reduce(prod, sl_ref, sb, nsw, precision, reduce2):
     products carry <= 16 mantissa bits (always true in bf16 value mode);
     ~1e-5 relative for arbitrary f32 products.
     """
-    rel = sl_ref[:] - sb  # (1, chunk); dead (-1 - sb) stays negative
+    rel = sl_ref[0] - sb  # (1, chunk); dead (-1 - sb) stays negative
     nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
     if reduce2:
         seg = (nsw_iota == rel).astype(jnp.bfloat16)
@@ -171,10 +178,16 @@ def _reduce_store(y_ref, prod, sl_ref, sb, ns, nsw, precision, reduce2):
     """Windowed reduce + dynamic store; static full-block store when
     the window covers all slices (NSW == NS) — that path is bit-for-bit
     the pre-v6 kernel and doubles as the Mosaic escape hatch
-    (SMVP_SELL_NOWINDOW=1 forces it)."""
+    (SMVP_SELL_NOWINDOW=1 forces it).
+
+    The dynamic store offset carries a ``pl.multiple_of`` proof: the
+    planner 16-aligns every slice_base (sell_plan._finish_plan), and
+    Mosaic rejects dynamic sublane offsets it cannot statically prove
+    aligned (the round-3 shard_map hardware failure)."""
     if nsw >= ns:
         y_ref[:] += _seg_reduce(prod, sl_ref, 0, ns, precision, reduce2)
     else:
+        sb = pl.multiple_of(sb, 8)
         y_ref[pl.ds(sb, nsw), :] += _seg_reduce(
             prod, sl_ref, sb, nsw, precision, reduce2
         )
@@ -243,7 +256,11 @@ def _make_sell_kernel_resident(precision, ns, nsw, wt, bf16_values,
         def _init():
             y_ref[:] = jnp.zeros_like(y_ref)
 
-        x_win = x_ref[pl.ds(bases_ref[0, step], wt), :]  # (wt, k*LANES)
+        # tile_base is 16-aligned by the planner; the multiple_of proof
+        # is required for Mosaic to accept a dynamic sublane slice (16
+        # covers the bf16 sublane tile as well as f32's 8).
+        xb = pl.multiple_of(bases_ref[0, step], 16)
+        x_win = x_ref[pl.ds(xb, wt), :]  # (wt, k*LANES)
         table = _table_select(
             rel_ref, x_win, wt, precision, bf16_values, reduce2
         )
@@ -332,7 +349,7 @@ def _make_sell_kernel_streamy(precision, nsb, nsw, wt, bf16_values,
             y_ref[:] = jnp.zeros_like(y_ref)
 
         x_win = (
-            x_ref[pl.ds(bases_ref[0, step], wt), :]
+            x_ref[pl.ds(pl.multiple_of(bases_ref[0, step], 16), wt), :]
             if resident_x
             else x_ref[:]
         )
@@ -411,16 +428,17 @@ def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident,
                 out_ref):
         step = pl.program_id(0)
         x_win = (
-            x_ref[pl.ds(bases_ref[0, step], wt), :] if resident
+            x_ref[pl.ds(pl.multiple_of(bases_ref[0, step], 16), wt), :]
+            if resident
             else x_ref[0]
         )
         table = _table_select(
             rel_ref, x_win, wt, precision, bf16_values, False
         )
         xg = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
-        sb = bases_ref[1, step]
+        sb = pl.multiple_of(bases_ref[1, step], 8)
         g_win = g_ref[pl.ds(sb, nsw), :]          # (nsw, k*LANES)
-        rel_s = sl_ref[:] - sb                    # (1, chunk)
+        rel_s = sl_ref[0] - sb                    # (1, chunk)
         nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
         seg = (nsw_iota == rel_s).astype(jnp.float32)  # (nsw, chunk)
         gsel = jax.lax.dot_general(                # segᵀ @ g_win
@@ -447,7 +465,10 @@ def _sell_vals_grad_call(
     interpret, precision, resident, bf16_values, k=1,
 ):
     """Dispatch the packed-values backward kernel; returns (S, LANES)."""
-    n_chunks = slice_of.shape[0]
+    n_chunks = slice_of.shape[0] * slice_of.shape[1] // chunk
+    # 3-D layout so the per-chunk block's last two dims (1, chunk) equal
+    # the array dims — see _seg_reduce's Mosaic note.
+    sl3 = slice_of.reshape(n_chunks, 1, chunk)
     if not resident:
         # Host-side per-chunk x windows (same escape hatch as the
         # forward's non-prefetch fallback; backward runs are training-
@@ -469,14 +490,14 @@ def _sell_vals_grad_call(
                 pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-                pl.BlockSpec((1, chunk), lambda i: (i, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct(
                 (n_chunks * chunk, LANES), jnp.float32
             ),
             interpret=interpret,
-        )(bases, xw, g2d, lidx, rel_tile, slice_of)
+        )(bases, xw, g2d, lidx, rel_tile, sl3)
     ct = x_tiles.shape[0]
     return pl.pallas_call(
         _make_vals_grad_kernel(nsw, wt, precision, bf16_values,
@@ -488,14 +509,14 @@ def _sell_vals_grad_call(
             pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),  # res. g
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, chunk), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (n_chunks * chunk, LANES), jnp.float32
         ),
         interpret=interpret,
-    )(bases, x_tiles, g2d, lidx, rel_tile, slice_of)
+    )(bases, x_tiles, g2d, lidx, rel_tile, sl3)
 
 
 @partial(
@@ -525,6 +546,11 @@ def _sell_spmv_call(
         raise ValueError(
             "fused SpMM supports the resident/prefetch kernels only"
         )
+    # slice_of rides as (n_chunks, 1, chunk): the per-chunk block's last
+    # two dims (1, chunk) EQUAL the array dims, satisfying Mosaic's
+    # tiling rule for every chunk count (see _seg_reduce's note — the
+    # 2-D (1, chunk) block was the round-3 hardware failure).
+    sl3 = slice_of.reshape(n_chunks, 1, chunk)
     if nsb > 0:
         # v7 flush-behind: y streams through VMEM one (nsb, 128) block
         # at a time; the scalar-prefetched bases drive both the x window
@@ -541,13 +567,17 @@ def _sell_spmv_call(
                     )
                     if resident
                     else pl.BlockSpec(
-                        (pl.Element(wt), LANES), lambda i, b: (b[0, i], 0)
+                        # Mosaic requires ALL dims Element when any is;
+                        # the offset is 16-aligned by the planner and
+                        # carries the multiple_of proof.
+                        (pl.Element(wt), pl.Element(LANES)),
+                        lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
                     )
                 ),
                 pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
                 pl.BlockSpec((chunk, 1), lambda i, b: (i, 0)),
-                pl.BlockSpec((1, chunk), lambda i, b: (i, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((nsb, LANES), lambda i, b: (b[2, i], 0)),
         )
@@ -559,7 +589,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
-        )(bases, x_tiles, vals, lidx, rel_tile, slice_of)
+        )(bases, x_tiles, vals, lidx, rel_tile, sl3)
     if onehot_dense:
         # Compatibility mode: build the one-hot planes with XLA outside
         # the kernel (loop-invariant, so fused benchmark loops hoist
@@ -614,12 +644,12 @@ def _sell_spmv_call(
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-                pl.BlockSpec((1, chunk), lambda i: (i, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
-        )(bases, x_tiles, vals, lidx, rel_tile, slice_of)
+        )(bases, x_tiles, vals, lidx, rel_tile, sl3)
 
     if prefetch:
         # x stays in HBM; each chunk's (wt, LANES) window is DMA'd by
@@ -629,12 +659,15 @@ def _sell_spmv_call(
             grid=(n_chunks,),
             in_specs=[
                 pl.BlockSpec(
-                    (pl.Element(wt), k * LANES), lambda i, b: (b[0, i], 0)
+                    # All-Element spec (Mosaic: no mixed Element/block
+                    # dims); 16-aligned by the planner.
+                    (pl.Element(wt), pl.Element(k * LANES)),
+                    lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
                 ),
                 pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
                 pl.BlockSpec((chunk, 1), lambda i, b: (i, 0)),
-                pl.BlockSpec((1, chunk), lambda i, b: (i, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((ns, k * LANES), lambda i, b: (0, 0)),
         )
@@ -644,7 +677,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
-        )(bases, x_tiles, vals, lidx, rel_tile, slice_of)
+        )(bases, x_tiles, vals, lidx, rel_tile, sl3)
 
     # Fallback: per-chunk x windows as a handful of overlapping dynamic
     # slices (XLA host of the pallas_call; n_chunks is small and static).
@@ -667,12 +700,12 @@ def _sell_spmv_call(
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
             pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, chunk), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
         interpret=interpret,
-    )(bases, xw, vals, lidx, rel_tile, slice_of)
+    )(bases, xw, vals, lidx, rel_tile, sl3)
 
 
 class SellSpMV:
