@@ -30,6 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 from smvp_toolkit_tpu.formats.coo import COOMatrix
 from smvp_toolkit_tpu.formats.csr import CSRMatrix
 from smvp_toolkit_tpu.formats.tjds import TJDSMatrix
+from smvp_toolkit_tpu.ops.mosaic_check import (
+    check_pallas_args,
+    check_plan_alignment,
+    check_precision,
+)
 from smvp_toolkit_tpu.ops.sell_plan import LANES, SellPlan, build_sell_plan
 
 __all__ = [
@@ -480,43 +485,49 @@ def _sell_vals_grad_call(
                 for i in range(n_chunks)
             ]
         )
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, wt, k * LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
+            pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
+        ]
+        opnds = (bases, xw, g2d, lidx, rel_tile, sl3)
+        check_pallas_args(in_specs, opnds, label="vals-grad-windowstack")
         return pl.pallas_call(
             _make_vals_grad_kernel(nsw, wt, precision, bf16_values,
                                    resident=False, k=k),
             grid=(n_chunks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, wt, k * LANES), lambda i: (i, 0, 0)),
-                pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
-                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-                pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-                pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct(
                 (n_chunks * chunk, LANES), jnp.float32
             ),
             interpret=interpret,
-        )(bases, xw, g2d, lidx, rel_tile, sl3)
+        )(*opnds)
     ct = x_tiles.shape[0]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((ct, k * LANES), lambda i: (0, 0)),  # res. x
+        pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),  # res. g
+        pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+        pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+        pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
+    ]
+    opnds = (bases, x_tiles, g2d, lidx, rel_tile, sl3)
+    check_pallas_args(in_specs, opnds, label="vals-grad-resident")
     return pl.pallas_call(
         _make_vals_grad_kernel(nsw, wt, precision, bf16_values,
                                resident=True, k=k),
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ct, k * LANES), lambda i: (0, 0)),  # res. x
-            pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),  # res. g
-            pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (n_chunks * chunk, LANES), jnp.float32
         ),
         interpret=interpret,
-    )(bases, x_tiles, g2d, lidx, rel_tile, sl3)
+    )(*opnds)
 
 
 @partial(
@@ -557,28 +568,31 @@ def _sell_spmv_call(
         # (non-resident x) and the output block selection. The compat
         # one-hot kernel has no streamed variant (it exists for small
         # matrices); NOWINDOW maps to a full-block local reduce.
+        in_specs = [
+            (
+                pl.BlockSpec(
+                    (x_tiles.shape[0], LANES), lambda i, b: (0, 0)
+                )
+                if resident
+                else pl.BlockSpec(
+                    # Mosaic requires ALL dims Element when any is;
+                    # the offset is 16-aligned by the planner and
+                    # carries the multiple_of proof.
+                    (pl.Element(wt), pl.Element(LANES)),
+                    lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
+                )
+            ),
+            pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((chunk, 1), lambda i, b: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
+        ]
+        opnds = (x_tiles, vals, lidx, rel_tile, sl3)
+        check_pallas_args(in_specs, opnds, label="sell-streamy")
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_chunks,),
-            in_specs=[
-                (
-                    pl.BlockSpec(
-                        (x_tiles.shape[0], LANES), lambda i, b: (0, 0)
-                    )
-                    if resident
-                    else pl.BlockSpec(
-                        # Mosaic requires ALL dims Element when any is;
-                        # the offset is 16-aligned by the planner and
-                        # carries the multiple_of proof.
-                        (pl.Element(wt), pl.Element(LANES)),
-                        lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
-                    )
-                ),
-                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
-                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
-                pl.BlockSpec((chunk, 1), lambda i, b: (i, 0)),
-                pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((nsb, LANES), lambda i, b: (b[2, i], 0)),
         )
         return pl.pallas_call(
@@ -589,7 +603,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
-        )(bases, x_tiles, vals, lidx, rel_tile, sl3)
+        )(bases, *opnds)
     if onehot_dense:
         # Compatibility mode: build the one-hot planes with XLA outside
         # the kernel (loop-invariant, so fused benchmark loops hoist
@@ -611,64 +625,73 @@ def _sell_spmv_call(
             jnp.arange(ns, dtype=jnp.int32)[None, :, None]
             == slice_of.reshape(n_chunks, 1, chunk)
         ).astype(jnp.float32)
-        return pl.pallas_call(
-            _make_sell_kernel_onehot(precision, ns, wt),
-            grid=(n_chunks,),
-            in_specs=[
-                pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
-                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-                pl.BlockSpec((1, chunk, wt), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, ns, chunk), lambda i: (i, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
-            interpret=interpret,
-        )(
+        in_specs = [
+            pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((1, chunk, wt), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, ns, chunk), lambda i: (i, 0, 0)),
+        ]
+        opnds = (
             xw,
             vals.astype(jnp.float32),
             lidx.astype(jnp.int32),
             oht,
             seg,
         )
+        check_pallas_args(in_specs, opnds, label="sell-compat")
+        return pl.pallas_call(
+            _make_sell_kernel_onehot(precision, ns, wt),
+            grid=(n_chunks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            interpret=interpret,
+        )(*opnds)
     if resident:
         ct = x_tiles.shape[0]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
+            pl.BlockSpec((ct, k * LANES), lambda i: (0, 0)),  # res. x
+            pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
+        ]
+        opnds = (bases, x_tiles, vals, lidx, rel_tile, sl3)
+        check_pallas_args(in_specs, opnds, label="sell-resident")
         return pl.pallas_call(
             _make_sell_kernel_resident(
                 precision, ns, nsw, wt, bf16_values, reduce2, k
             ),
             grid=(n_chunks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
-                pl.BlockSpec((ct, k * LANES), lambda i: (0, 0)),  # res. x
-                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-                pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-                pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
-        )(bases, x_tiles, vals, lidx, rel_tile, sl3)
+        )(*opnds)
 
     if prefetch:
         # x stays in HBM; each chunk's (wt, LANES) window is DMA'd by
         # the pipeline at the 16-aligned Element offset tile_base[i].
+        in_specs = [
+            pl.BlockSpec(
+                # All-Element spec (Mosaic: no mixed Element/block
+                # dims); 16-aligned by the planner.
+                (pl.Element(wt), pl.Element(k * LANES)),
+                lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
+            ),
+            pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((chunk, 1), lambda i, b: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
+        ]
+        opnds = (x_tiles, vals, lidx, rel_tile, sl3)
+        check_pallas_args(in_specs, opnds, label="sell-prefetch")
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_chunks,),
-            in_specs=[
-                pl.BlockSpec(
-                    # All-Element spec (Mosaic: no mixed Element/block
-                    # dims); 16-aligned by the planner.
-                    (pl.Element(wt), pl.Element(k * LANES)),
-                    lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
-                ),
-                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
-                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
-                pl.BlockSpec((chunk, 1), lambda i, b: (i, 0)),
-                pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((ns, k * LANES), lambda i, b: (0, 0)),
         )
         return pl.pallas_call(
@@ -677,7 +700,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
-        )(bases, x_tiles, vals, lidx, rel_tile, sl3)
+        )(bases, *opnds)
 
     # Fallback: per-chunk x windows as a handful of overlapping dynamic
     # slices (XLA host of the pallas_call; n_chunks is small and static).
@@ -691,21 +714,24 @@ def _sell_spmv_call(
             for i in range(n_chunks)
         ]
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
+        pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
+        pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+        pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+        pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
+        pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
+    ]
+    opnds = (bases, xw, vals, lidx, rel_tile, sl3)
+    check_pallas_args(in_specs, opnds, label="sell-windowstack")
     return pl.pallas_call(
         _make_sell_kernel(precision, ns, nsw, wt, bf16_values, reduce2),
         grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
-            pl.BlockSpec((1, wt, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
         interpret=interpret,
-    )(bases, xw, vals, lidx, rel_tile, sl3)
+    )(*opnds)
 
 
 class SellSpMV:
@@ -737,19 +763,26 @@ class SellSpMV:
         )
         if precision is not None:
             self.precision = precision
-        elif self.value_dtype == jnp.dtype(jnp.bfloat16):
-            # Every product of two bf16 inputs carries <= 16 mantissa
-            # bits, which the 3-pass HIGH decomposition represents
-            # exactly (hi = bf16(p) leaves <= 8 bits for lo) — so the
-            # row-reduce matmul at HIGH is lossless here and HIGHEST's
-            # extra 3 passes would buy nothing.
-            self.precision = jax.lax.Precision.HIGH
         else:
+            # HIGHEST (6-pass) everywhere precision is consulted: Mosaic
+            # on v5e rejects Precision.HIGH outright ("Unsupported dot
+            # precision: HIGH", measured in the r4 hardware session), so
+            # the 3-pass ladder is not available. bf16 value mode rarely
+            # reaches this: it defaults to the reduce2 double-bf16 ladder
+            # (see _apply) whose two DEFAULT passes are lossless for
+            # <= 16-mantissa-bit bf16 products and measured faster.
             self.precision = jax.lax.Precision.HIGHEST
         if self.value_dtype not in (
             jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
         ):
             raise ValueError("value_dtype must be float32 or bfloat16")
+        self._bf16 = self.value_dtype == jnp.dtype(jnp.bfloat16)
+        # Static Mosaic-rule gate (ops/mosaic_check.py): a plan whose
+        # base alignment or a precision the hardware rejects must fail
+        # HERE, in every CPU test run, not on the first real compile.
+        check_plan_alignment(plan)
+        if not self.interpret:
+            check_precision(self.precision)
         # Eager upload even if construction happens inside a jit trace
         # (e.g. the fused benchmark loop builds the cached operator during
         # tracing): without this the arrays would be trace-local tracers
@@ -877,7 +910,9 @@ class SellSpMV:
             return jax.vmap(
                 lambda xx: self._apply(xx, vals), in_axes=1, out_axes=1
             )(X[: self.shape[1]])
-        reduce2 = os.environ.get("SMVP_SELL_REDUCE2") == "1"
+        reduce2 = os.environ.get(
+            "SMVP_SELL_REDUCE2", "1" if self._bf16 else "0"
+        ) == "1"
         nsw = (
             plan.n_slices
             if os.environ.get("SMVP_SELL_NOWINDOW") == "1"
@@ -1221,11 +1256,14 @@ class SellSpMV:
             getattr(self, "onehot_dense", False)
             or os.environ.get("SMVP_SELL_COMPAT") == "1"
         )
-        # Opt-in double-bf16 row reduce (SMVP_SELL_REDUCE2=1): two
-        # single-pass matmuls instead of HIGH's 3 / HIGHEST's 6 —
-        # lossless in bf16 value mode, ~1e-5 relative for f32 values.
-        # Read here (outside jit) so toggling retraces.
-        reduce2 = os.environ.get("SMVP_SELL_REDUCE2") == "1"
+        # Double-bf16 row reduce (SMVP_SELL_REDUCE2): two single-pass
+        # matmuls instead of HIGHEST's 6 — lossless in bf16 value mode
+        # (its default; products carry <= 16 mantissa bits), ~1e-5
+        # relative for f32 values (opt-in). Read here (outside jit) so
+        # toggling retraces.
+        reduce2 = os.environ.get(
+            "SMVP_SELL_REDUCE2", "1" if self._bf16 else "0"
+        ) == "1"
         # Escape hatch: SMVP_SELL_NOWINDOW=1 forces the static
         # full-block reduce store (the pre-v6 kernel path; for streamed
         # plans this is a full LOCAL-block reduce — y still streams).

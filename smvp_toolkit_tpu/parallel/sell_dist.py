@@ -241,7 +241,7 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     import os as _os
 
     compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
-    reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
+    reduce2 = _reduce2_default(sh)
     prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
     nowindow = _os.environ.get("SMVP_SELL_NOWINDOW") == "1"
     return _spmv_sell_sharded(sh, x, mesh, compat, reduce2, prefetch,
@@ -264,11 +264,10 @@ def _spmv_sell_sharded(
     from smvp_toolkit_tpu.ops.spmv_pallas import _RESIDENT_X_LIMIT
 
     resident = sh.CT * LANES * x.dtype.itemsize <= _RESIDENT_X_LIMIT
-    precision = (
-        jax.lax.Precision.HIGH
-        if sh.vals.dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
+    # HIGHEST wherever precision is consulted: Mosaic on v5e rejects
+    # Precision.HIGH (r4 hardware session); bf16 mode defaults to the
+    # reduce2 ladder instead (see _reduce2_default).
+    precision = jax.lax.Precision.HIGHEST
     if x.shape[0] < ncols_pad:
         x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
     x_tiles = x.reshape(sh.CT, LANES)
@@ -325,6 +324,18 @@ def _spmv_sell_sharded(
 
 
 
+def _reduce2_default(sh: ShardedSell) -> bool:
+    """Double-bf16 reduce default, mirroring SellSpMV._apply: ON in bf16
+    value mode (lossless there, and Mosaic rejects Precision.HIGH on
+    v5e so the 3-pass ladder is unavailable), env-gated otherwise."""
+    import os as _os
+
+    return _os.environ.get(
+        "SMVP_SELL_REDUCE2",
+        "1" if sh.vals.dtype == jnp.bfloat16 else "0",
+    ) == "1"
+
+
 def _spmm_group(NSl: int, CT: int, itemsize: int) -> int:
     """Per-launch column group — delegates to the shared VMEM policy in
     ops/spmv_pallas (one definition for matmat, the sharded paths and
@@ -354,7 +365,7 @@ def spmm_sell_sharded(sh: ShardedSell, X: jax.Array, mesh: Mesh) -> jax.Array:
     if compat or _os.environ.get("SMVP_SELL_SPMM") == "0":
         cols = [spmv_sell_sharded(sh, X[:, j], mesh) for j in range(k)]
         return jnp.stack(cols, axis=1)
-    reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
+    reduce2 = _reduce2_default(sh)
     prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
     nowindow = _os.environ.get("SMVP_SELL_NOWINDOW") == "1"
     group = _spmm_group(sh.NSl, sh.CT, jnp.dtype(sh.vals.dtype).itemsize)
@@ -384,11 +395,10 @@ def _spmm_sell_sharded(
     ncols_pad = sh.CT * LANES
     X = X.astype(sh.vals.dtype)
     resident = sh.CT * LANES * X.dtype.itemsize * kg <= _RESIDENT_X_LIMIT
-    precision = (
-        jax.lax.Precision.HIGH
-        if sh.vals.dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
+    # HIGHEST wherever precision is consulted: Mosaic on v5e rejects
+    # Precision.HIGH (r4 hardware session); bf16 mode defaults to the
+    # reduce2 ladder instead (see _reduce2_default).
+    precision = jax.lax.Precision.HIGHEST
     if X.shape[0] < ncols_pad:
         X = jnp.pad(X, ((0, ncols_pad - X.shape[0]), (0, 0)))
     x_tiles = pack_columns(X, sh.CT, kg)
@@ -467,7 +477,7 @@ def spmm_sell_sharded_t(sh_t: ShardedSell, G: jax.Array,
 
     k = int(G.shape[1])
     compat = _os.environ.get("SMVP_SELL_COMPAT") == "1"
-    reduce2 = _os.environ.get("SMVP_SELL_REDUCE2") == "1"
+    reduce2 = _reduce2_default(sh_t)
     prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
     nowindow = _os.environ.get("SMVP_SELL_NOWINDOW") == "1"
     if compat or _os.environ.get("SMVP_SELL_SPMM") == "0":
@@ -506,11 +516,7 @@ def _spmm_sell_sharded_t(
     if G.shape[0] < rows_full:
         G = jnp.pad(G, ((0, rows_full - G.shape[0]), (0, 0)))
     resident = sh_t.CT * LANES * G.dtype.itemsize * kg <= _RESIDENT_X_LIMIT
-    precision = (
-        jax.lax.Precision.HIGH
-        if sh_t.vals.dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
+    precision = jax.lax.Precision.HIGHEST  # HIGH unsupported on v5e
     interpret = _use_interpret()
     n_chunks = sh_t.S // sh_t.chunk
 

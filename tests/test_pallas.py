@@ -634,3 +634,138 @@ def test_env_flag_matrix(rung, stage, bf16, monkeypatch):
     scale = np.abs(y_ref).max() + 1e-30
     tol = 5e-5 if (bf16 or env.get("SMVP_SELL_REDUCE2")) else 1e-6
     assert np.abs(y - y_ref).max() / scale < tol, env
+
+
+# ---------------------------------------------------------------------------
+# Mosaic static-constraint validator (ops/mosaic_check.py) — the off-TPU
+# guard that makes round-3's failure class (interpreter-green kernels
+# that Mosaic rejects on hardware) unreachable.
+# ---------------------------------------------------------------------------
+
+
+def test_mosaic_check_rejects_round3_blockspec():
+    """The exact round-3 failure: (1, chunk) block over (8, chunk)."""
+    from smvp_toolkit_tpu.ops.mosaic_check import (
+        MosaicConstraintError, check_block,
+    )
+
+    with pytest.raises(MosaicConstraintError):
+        check_block((1, 1024), (8, 1024), np.float32)
+    # ...and the legal shapes around it
+    check_block((1, 1, 1024), (8, 1, 1024), np.int32)  # the r4 fix
+    check_block((1, 1024), (1, 1024), np.float32)  # 1-chunk canary
+    check_block((1024, 128), (8192, 128), np.float32)
+    check_block((1024, 1), (8192, 1), np.int32)
+
+
+def test_mosaic_check_dtype_tiles():
+    from smvp_toolkit_tpu.ops.mosaic_check import (
+        MosaicConstraintError, check_block, sublane_tile,
+    )
+
+    assert sublane_tile(np.float32) == 8
+    assert sublane_tile(jnp.bfloat16) == 16
+    assert sublane_tile(np.int8) == 32
+    # 8-row bf16 block over a taller array: not a 16-multiple
+    with pytest.raises(MosaicConstraintError):
+        check_block((8, 128), (64, 128), jnp.bfloat16)
+    # int8 needs 32-row tiles
+    with pytest.raises(MosaicConstraintError):
+        check_block((16, 128), (64, 128), np.int8)
+    check_block((32, 128), (64, 128), np.int8)
+
+
+def test_mosaic_check_element_mixing():
+    from jax.experimental import pallas as pl
+
+    from smvp_toolkit_tpu.ops.mosaic_check import (
+        MosaicConstraintError, check_block,
+    )
+
+    with pytest.raises(MosaicConstraintError):
+        check_block((pl.Element(16), 128), (256, 128), np.float32)
+    check_block((pl.Element(16), pl.Element(128)), (256, 128), np.float32)
+
+
+def test_mosaic_check_runs_in_every_launch(monkeypatch):
+    """Every kernel variant's actual specs pass the validator — the
+    checks fire at trace time inside _sell_spmv_call, so simply tracing
+    each variant over a MULTI-CHUNK plan is the regression test."""
+    import smvp_toolkit_tpu.ops.spmv_pallas as sp
+
+    coo = _load("memplus.mtx").pad(512)
+    r, c, v = coo.to_numpy()
+    plan = build_sell_plan(r, c, v, coo.shape)
+    assert plan.n_chunks >= 2
+    op = SellSpMV(plan, _triplets=(r, c, v))
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
+    op(x)  # resident
+    monkeypatch.setattr(sp, "_RESIDENT_X_LIMIT", -1)
+    op(x)  # scalar-prefetch Element windows
+    monkeypatch.setenv("SMVP_SELL_PREFETCH", "0")
+    op(x)  # host window stack
+    monkeypatch.undo()
+    X = jnp.asarray(rng.randn(coo.shape[1], 4).astype(np.float32))
+    op.matmat(X)  # fused SpMM
+    op.vjp_vals(x, jnp.asarray(rng.randn(coo.shape[0]).astype(np.float32)))
+
+
+def test_mosaic_check_plan_alignment_guards():
+    """A plan with a mis-aligned base must fail at operator build."""
+    import dataclasses
+
+    from smvp_toolkit_tpu.ops.mosaic_check import (
+        MosaicConstraintError, check_plan_alignment,
+    )
+
+    coo = _load("curtis54.mtx").pad(128)
+    r, c, v = coo.to_numpy()
+    plan = build_sell_plan(r, c, v, coo.shape)
+    check_plan_alignment(plan)  # planner output is always legal
+    bad = dataclasses.replace(
+        plan, tile_base=plan.tile_base + np.int32(1)
+    )
+    with pytest.raises(MosaicConstraintError):
+        check_plan_alignment(bad)
+    with pytest.raises(MosaicConstraintError):
+        SellSpMV(bad)
+
+
+def test_precision_high_rejected_compiled_only():
+    """Precision.HIGH raises for compiled operators (Mosaic rejects it
+    on v5e) but stays allowed in interpreter mode (CPU tests)."""
+    import jax
+
+    from smvp_toolkit_tpu.ops.mosaic_check import MosaicConstraintError
+
+    coo = _load("curtis54.mtx").pad(128)
+    op = SellSpMV.from_coo(coo, precision=jax.lax.Precision.HIGH)
+    assert op.interpret  # CPU: interpreter mode, HIGH tolerated
+    with pytest.raises(MosaicConstraintError):
+        SellSpMV.from_coo(
+            coo, interpret=False, precision=jax.lax.Precision.HIGH
+        )
+
+
+def test_bf16_defaults_to_reduce2():
+    """bf16 value mode runs the double-bf16 reduce by default (HIGH is
+    unavailable on hardware; reduce2 is lossless for bf16 products) and
+    still matches the bf16-rounded oracle exactly."""
+    import ml_dtypes
+
+    coo = _load("memplus.mtx").pad(512)
+    r, c, v = coo.to_numpy()
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    rng = np.random.RandomState(7)
+    x = rng.randn(coo.shape[1]).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x))).astype(np.float64)
+    xb = x.astype(ml_dtypes.bfloat16)
+    y_ref = np.zeros(coo.shape[0])
+    np.add.at(
+        y_ref, r,
+        v.astype(ml_dtypes.bfloat16).astype(np.float64)
+        * xb[c].astype(np.float64),
+    )
+    scale = np.abs(y_ref).max() + 1e-30
+    assert np.abs(y - y_ref).max() / scale < 1e-6
