@@ -216,7 +216,7 @@ def _supervise() -> int:
     return rc if rc is not None else 1
 
 
-def _emit(kernel, device, stats, coo, fallback):
+def _emit(kernel, device, stats, coo, fallback, rungs_failed=()):
     from smvp_toolkit_tpu.bench import hbm_bandwidth_gbs, spmv_bytes_csr
 
     nnzs = stats.nnz_per_s(coo.nnz)
@@ -240,6 +240,11 @@ def _emit(kernel, device, stats, coo, fallback):
         "roofline_device": roof_dev,
         "fallback": fallback,
     }
+    if rungs_failed:
+        # Self-describing degradation (VERDICT r3): a record produced by
+        # a lower ladder rung must say which rungs failed and why, so a
+        # green-looking headline can never mask a broken flagship kernel.
+        rec["rungs_failed"] = list(rungs_failed)
     print(json.dumps(rec))
     if not fallback and device.platform == "tpu":
         # Persist the measurement so later runs that cannot reach the
@@ -274,11 +279,15 @@ def _main_tpu(coo, y_ref, ref_scale) -> int:
     x = jax.device_put(np.ones((coo.shape[1],), dtype=np.float32))
 
     iterations, repeats = 200, 5
-    # Ladder: default SELL kernel → static full-reduce (NOWINDOW) →
-    # compat one-hot. Each rung is exactly one remote compile.
-    ladder = (("pallas", {}),
+    # Ladder: double-bf16 reduce (fastest measured, r4 session: 147 vs
+    # 164 us on memplus, err ~2e-6 vs the 1e-3 gate) → exact HIGHEST
+    # kernel → static full-reduce (NOWINDOW) → compat one-hot. Each rung
+    # is exactly one remote compile; failed rungs ride the emitted JSON.
+    ladder = (("pallas-reduce2", {"SMVP_SELL_REDUCE2": "1"}),
+              ("pallas", {}),
               ("pallas-nowindow", {"SMVP_SELL_NOWINDOW": "1"}),
               ("pallas-compat", {"SMVP_SELL_COMPAT": "1"}))
+    rungs_failed = []
     for mode, env in ladder:
         os.environ.update(env)
         try:
@@ -294,12 +303,20 @@ def _main_tpu(coo, y_ref, ref_scale) -> int:
             y = np.asarray(acc).astype(np.float64) / iterations
             err = np.abs(y - y_ref).max() / ref_scale
             if err < 1e-3:
-                _emit(mode, device, stats, coo, fallback=False)
+                _emit(mode, device, stats, coo, fallback=False,
+                      rungs_failed=rungs_failed)
                 return 0
             _hb(f"{mode} FAILED validation (rel err {err:.3g}); "
                 "next ladder rung")
+            rungs_failed.append(
+                {"mode": mode, "error": f"validation rel err {err:.3g}"}
+            )
         except Exception as e:  # noqa: BLE001 — try the next rung
             _hb(f"{mode} raised {type(e).__name__}: {e}; next ladder rung")
+            rungs_failed.append(
+                {"mode": mode,
+                 "error": f"{type(e).__name__}: {str(e)[:300]}"}
+            )
         finally:
             for k in env:
                 os.environ.pop(k, None)

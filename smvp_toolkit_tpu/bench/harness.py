@@ -223,30 +223,38 @@ def bench_spmv_fused(
     # The matrix is a closure constant, NOT a traced argument: SpMV
     # implementations may do host-side planning on it (the Pallas path
     # builds its SELL plan with numpy), which is impossible on tracers.
+    # closure_convert then extracts the captured device arrays (the
+    # SELL planes can be hundreds of MB) and passes them as jit
+    # PARAMETERS — embedded-constant HLO blew past the remote compile
+    # service's request-size limit at ~4M rows (HTTP 413, r4 session).
+    closed, consts = jax.closure_convert(
+        lambda xx: spmv(matrix, xx), x
+    )
+
     @jax.jit
-    def run(x):
+    def run(x, consts):
         def body(i, acc):
             # acc-dependent perturbation that is always exactly 0.0 at
             # runtime but defeats loop-invariant code motion.
             xi = x.at[0].add(
                 jnp.where(i < 0, acc.reshape(-1)[0], 0.0).astype(x.dtype)
             )
-            y = spmv(matrix, xi)
+            y = closed(xi, *consts)
             return acc + y.astype(out.dtype)
 
         return jax.lax.fori_loop(
             0, iterations, body, jnp.zeros(out.shape, out.dtype)
         )
 
-    acc = run(x)
+    acc = run(x, consts)
     acc.block_until_ready()
     for _ in range(max(warmup, 1) - 1):
-        run(x).block_until_ready()
+        run(x, consts).block_until_ready()
 
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter_ns()
-        run(x).block_until_ready()
+        run(x, consts).block_until_ready()
         t1 = time.perf_counter_ns()
         samples.append((t1 - t0) / 1e6 / iterations)
 
