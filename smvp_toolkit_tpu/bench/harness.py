@@ -223,13 +223,17 @@ def bench_spmv_fused(
     # The matrix is a closure constant, NOT a traced argument: SpMV
     # implementations may do host-side planning on it (the Pallas path
     # builds its SELL plan with numpy), which is impossible on tracers.
-    # closure_convert then extracts the captured device arrays (the
-    # SELL planes can be hundreds of MB) and passes them as jit
-    # PARAMETERS — embedded-constant HLO blew past the remote compile
+    # The closed-over device arrays (SELL planes can be hundreds of MB)
+    # must then be re-bound as jit PARAMETERS: captured-constant HLO
+    # embeds them as dense literals, which blew past the remote compile
     # service's request-size limit at ~4M rows (HTTP 413, r4 session).
-    closed, consts = jax.closure_convert(
-        lambda xx: spmv(matrix, xx), x
-    )
+    # jax.closure_convert does NOT hoist concrete arrays (only tracers),
+    # so hoist them by hand from the traced jaxpr.
+    closed_jaxpr = jax.make_jaxpr(lambda xx: spmv(matrix, xx))(x)
+    consts = closed_jaxpr.consts
+
+    def closed(xx, consts):
+        return jax.core.eval_jaxpr(closed_jaxpr.jaxpr, consts, xx)[0]
 
     @jax.jit
     def run(x, consts):
@@ -239,7 +243,7 @@ def bench_spmv_fused(
             xi = x.at[0].add(
                 jnp.where(i < 0, acc.reshape(-1)[0], 0.0).astype(x.dtype)
             )
-            y = closed(xi, *consts)
+            y = closed(xi, consts)
             return acc + y.astype(out.dtype)
 
         return jax.lax.fori_loop(
