@@ -59,6 +59,22 @@ def coo_of(name):
     return _COO[name]
 
 
+RESULTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "results",
+    "tpu_stage2_results.jsonl",
+)
+
+
+def _record(rec):
+    """Persist one stage record (pass or fail) — failure telemetry must
+    survive the environment, not just the watch log (VERDICT r3)."""
+    import json
+
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
 def timed(tag, fn, *args, repeats=3, warmup=1, per=1):
     """Wall-time a jitted fn (block_until_ready); prints ms and rate."""
     try:
@@ -72,9 +88,15 @@ def timed(tag, fn, *args, repeats=3, warmup=1, per=1):
         ms = min(samples) / per
         print(f"{tag}: {ms*1e3:10.2f} us/unit  ({1.0/(ms*1e-3):8.0f} /s)",
               flush=True)
+        _record({"ts": time.time(), "kind": "stage2", "tag": tag,
+                 "ok": True, "avg_us": ms * 1e3,
+                 "device": jax.devices()[0].device_kind})
         return ms
     except Exception as e:  # noqa: BLE001 — stage isolation by design
         print(f"{tag} FAILED: {str(e)[:300]}", flush=True)
+        _record({"ts": time.time(), "kind": "stage2", "tag": tag,
+                 "ok": False,
+                 "error": f"{type(e).__name__}: {str(e)[:300]}"})
         return None
 
 
@@ -119,7 +141,7 @@ def _attr_kernel(which, ns, nsw, wt, precision):
                 val_ref[0:ns, :] + lidx_ref[0:ns, :].astype(jnp.float32)
             )
             return
-        x_win = x_ref[pl.ds(bases_ref[0, step], wt), :]
+        x_win = x_ref[pl.ds(pl.multiple_of(bases_ref[0, step], 16), wt), :]
         if which == "no-table":
             table = jnp.broadcast_to(x_win[0:1, :], val_ref.shape)
         else:
@@ -140,8 +162,8 @@ def _attr_kernel(which, ns, nsw, wt, precision):
             y_ref[:] += prod[0:ns, :]
             return
         # v6 windowed reduce (matches the production kernel).
-        sb = bases_ref[1, step]
-        rel_s = sl_ref[:] - sb
+        sb = pl.multiple_of(bases_ref[1, step], 8)
+        rel_s = sl_ref[0] - sb
         nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
         seg = (nsw_iota == rel_s).astype(jnp.float32)
         y_ref[pl.ds(sb, nsw), :] += jnp.dot(
@@ -175,12 +197,15 @@ def attr_call(op, which):
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, 1), lambda i: (i, 0)),
-                pl.BlockSpec((1, chunk), lambda i: (i, 0)),
+                # 3-D slice_of layout (see ops/spmv_pallas.py: the 2-D
+                # (1, chunk) block is illegal for multi-chunk plans).
+                pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
         )(op.bases, x.reshape(ct, LANES), op.vals,
-          op.lidx, op.rel_tile, op.slice_of)
+          op.lidx, op.rel_tile,
+          op.slice_of.reshape(plan.n_chunks, 1, chunk))
         return y.reshape(-1)[: plan.shape[0]]
 
     return f
