@@ -233,7 +233,11 @@ def run(rung, iterations=200):
         @jax.jit
         def loop(args):
             def body(i, acc):
-                eps = jnp.where(i < 0, acc, jnp.float32(0))
+                # acc*1e-38 is unknowable at compile time (the earlier
+                # where(i<0,...) guard folded: XLA proves i>=0, hoists
+                # the then-invariant pallas_call, and every rung "runs"
+                # in 0.3 us) but underflows to 0 numerically.
+                eps = acc * jnp.float32(1e-38)
                 a = list(args)
                 a[fidx] = a[fidx].at[(0,) * a[fidx].ndim].add(
                     eps.astype(a[fidx].dtype)
@@ -241,13 +245,18 @@ def run(rung, iterations=200):
                 y = fn(*a)
                 return acc + y.reshape(-1)[0].astype(jnp.float32)
 
-            return jax.lax.fori_loop(0, iterations, body, jnp.float32(0))
+            return jax.lax.fori_loop(0, iterations, body, jnp.float32(1))
 
-        jax.block_until_ready(loop(args))
+        # Sync by HOST FETCH, not block_until_ready: through the axon
+        # tunnel block_until_ready has been observed to return before
+        # the computation completes (copy4-rv "ran" 50 iterations in
+        # 163 us; the fetch then waited 468 ms). np.asarray is a real
+        # barrier, and the result is one f32 scalar.
+        np.asarray(loop(args))
         samples = []
         for _ in range(3):
             t1 = time.perf_counter_ns()
-            jax.block_until_ready(loop(args))
+            np.asarray(loop(args))
             samples.append((time.perf_counter_ns() - t1) / 1e3
                            / iterations)
         us = min(samples)
