@@ -94,7 +94,7 @@ def _attr_kernel(which, ns, nsw, wt, bf16, reduce2, precision):
             )
         else:
             table = sp._table_select(
-                rel_ref, x_win, wt, precision, bf16, reduce2
+                rel_ref[:], x_win, wt, precision, bf16, reduce2
             )
         if which == "no-shuffle":
             g = table

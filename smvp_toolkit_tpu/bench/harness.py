@@ -246,21 +246,37 @@ def bench_spmv_fused(
             y = closed(xi, consts)
             return acc + y.astype(out.dtype)
 
-        return jax.lax.fori_loop(
+        acc = jax.lax.fori_loop(
             0, iterations, body, jnp.zeros(out.shape, out.dtype)
         )
+        # One-element probe output: the timed region syncs by HOST FETCH
+        # of this scalar. Through the remote-TPU (axon) tunnel,
+        # block_until_ready has been observed to return before the device
+        # loop completes (a 50-iteration loop "finished" in 163 us; the
+        # subsequent fetch waited 468 ms — experiments/micro3_tpu.py),
+        # which would silently undercount every timing sample. A
+        # device→host copy of one f32 is a real barrier: PJRT output
+        # buffers only materialize when the whole program has executed.
+        return acc, acc.reshape(-1)[:1]
 
-    acc = run(x, consts)
-    acc.block_until_ready()
+    acc, probe = run(x, consts)
+    np.asarray(probe)
     for _ in range(max(warmup, 1) - 1):
-        run(x, consts).block_until_ready()
+        np.asarray(run(x, consts)[1])
 
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter_ns()
-        run(x, consts).block_until_ready()
+        probe = run(x, consts)[1]
+        np.asarray(probe)
         t1 = time.perf_counter_ns()
-        samples.append((t1 - t0) / 1e6 / iterations)
+        # A second fetch of the now-materialized probe measures the pure
+        # host⇄device round trip (~1 ms through the tunnel); subtract it
+        # so the sync barrier does not inflate the per-iteration average.
+        t2 = time.perf_counter_ns()
+        np.asarray(probe)
+        rtt = time.perf_counter_ns() - t2
+        samples.append(max(t1 - t0 - rtt, 0) / 1e6 / iterations)
 
     # Expand the per-repeat loop averages to one sample per iteration so
     # TimingStats totals/extrema mean what the reference-format report

@@ -50,8 +50,11 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
-def _table_select(rel_ref, x_win, wt, precision, bf16_values, reduce2):
+def _table_select(rel, x_win, wt, precision, bf16_values, reduce2):
     """One-hot select of each sublane's 128-wide x tile (MXU matmul).
+
+    ``rel`` is the (chunk, 1) int32 tile-offset column (values outside
+    [0, wt) — dead markers — produce an all-zero one-hot row).
 
     bf16 value mode: x is already bf16, a single DEFAULT pass selects it
     exactly. f32 mode: ``precision`` (HIGHEST = 6-pass by default), or
@@ -61,19 +64,51 @@ def _table_select(rel_ref, x_win, wt, precision, bf16_values, reduce2):
     """
     wt_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wt), 1)
     if bf16_values:
-        oht = (rel_ref[:] == wt_iota).astype(jnp.bfloat16)
+        oht = (rel == wt_iota).astype(jnp.bfloat16)
         return jnp.dot(oht, x_win, preferred_element_type=jnp.float32)
     if reduce2:
-        oht = (rel_ref[:] == wt_iota).astype(jnp.bfloat16)
+        oht = (rel == wt_iota).astype(jnp.bfloat16)
         hi = x_win.astype(jnp.bfloat16)
         lo = (x_win - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return jnp.dot(
             oht, hi, preferred_element_type=jnp.float32
         ) + jnp.dot(oht, lo, preferred_element_type=jnp.float32)
-    oht = (rel_ref[:] == wt_iota).astype(jnp.float32)
+    oht = (rel == wt_iota).astype(jnp.float32)
     return jnp.dot(
         oht, x_win, preferred_element_type=jnp.float32, precision=precision
     )
+
+
+# Packed-plane layout (bf16 value mode): ONE int32 plane carries the
+# value, the one-hot tile offset, and the lane index of every slot —
+#   bits 16..31  bfloat16 value bits (f32 extension = `& 0xFFFF0000`
+#                bitcast to f32: bf16→f32 is exactly "append 16 zeros")
+#   bits  7..15  rel tile offset, replicated across the sublane's lanes
+#                (dead sublanes store _PACK_REL_DEAD, which lies outside
+#                every [0, wt) one-hot window since wt <= 511 is gated)
+#   bits  0..6   lane index (always in [0, 128))
+# This fuses the kernel's three per-chunk input streams (bf16 values,
+# int8 lane indices, i32 rel column) into one: micro3 measured the
+# 4-stream plane layout at ~125-250 GB/s against ~480 GB/s for a single
+# stream (experiments/micro3_tpu.py) — DMA stream count, not byte
+# count, throttles the launch, so one 4 B/slot stream beats the
+# 3.03 B/slot split. Unpack is three VPU bit-ops per chunk.
+_PACK_REL_SHIFT = 7  # rel sits above the 7 lane-index bits
+_PACK_REL_DEAD = (1 << 9) - 1  # 9-bit rel field; 511 marks dead sublanes
+_PACK_WT_MAX = _PACK_REL_DEAD  # plans with wt > 511 keep split planes
+
+
+def _unpack_plane(w):
+    """(vals_f32, lidx_i32, rel_col) from one packed int32 chunk block."""
+    vals = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(w, jnp.int32(-65536)), jnp.float32
+    )
+    lidx = jnp.bitwise_and(w, jnp.int32(127))
+    rel = jnp.bitwise_and(
+        jax.lax.shift_right_logical(w[:, 0:1], _PACK_REL_SHIFT),
+        jnp.int32(_PACK_REL_DEAD),
+    )
+    return vals, lidx, rel
 
 
 def spmm_launch_group(n_slices: int, n_coltiles: int,
@@ -220,7 +255,7 @@ def _make_sell_kernel(precision, ns, nsw, wt, bf16_values, reduce2=False):
         # bf16, so a single MXU pass selects it exactly — the precision
         # tax disappears along with half the HBM traffic.
         table = _table_select(
-            rel_ref, x_ref[0], wt, precision, bf16_values, reduce2
+            rel_ref[:], x_ref[0], wt, precision, bf16_values, reduce2
         )
         # 2. In-tile gather: a single VPU lane shuffle (indices may be
         # int8-compressed in HBM; widen in-register).
@@ -267,7 +302,7 @@ def _make_sell_kernel_resident(precision, ns, nsw, wt, bf16_values,
         xb = pl.multiple_of(bases_ref[0, step], 16)
         x_win = x_ref[pl.ds(xb, wt), :]  # (wt, k*LANES)
         table = _table_select(
-            rel_ref, x_win, wt, precision, bf16_values, reduce2
+            rel_ref[:], x_win, wt, precision, bf16_values, reduce2
         )
         g = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
         vals = val_ref[:].astype(jnp.float32)
@@ -303,7 +338,7 @@ def _make_sell_kernel_prefetch(precision, ns, nsw, wt, bf16_values,
             y_ref[:] = jnp.zeros_like(y_ref)
 
         table = _table_select(
-            rel_ref, x_ref[:], wt, precision, bf16_values, reduce2
+            rel_ref[:], x_ref[:], wt, precision, bf16_values, reduce2
         )
         g = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
         vals = val_ref[:].astype(jnp.float32)
@@ -311,6 +346,37 @@ def _make_sell_kernel_prefetch(precision, ns, nsw, wt, bf16_values,
         # the same concatenate idiom as the gather (one Mosaic pattern).
         prod = (vals if k == 1
                 else jnp.concatenate([vals] * k, axis=1)) * g
+        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
+                      precision, reduce2)
+
+    return _sell_kernel
+
+
+def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
+                             resident=True):
+    """Packed-plane kernel (bf16 value mode): val‖rel‖lidx ride in ONE
+    int32 plane (see ``_unpack_plane``), so each grid step issues two
+    input DMAs (packed plane + slice ids) instead of four. x is either
+    VMEM-resident (dynamic wt-window at bases[0]) or a per-chunk
+    scalar-prefetch window, exactly as the split-plane variants.
+    """
+
+    def _sell_kernel(bases_ref, x_ref, pk_ref, sl_ref, y_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        vals, lidx, rel = _unpack_plane(pk_ref[:])
+        if resident:
+            xb = pl.multiple_of(bases_ref[0, step], 16)
+            x_win = x_ref[pl.ds(xb, wt), :]
+        else:
+            x_win = x_ref[:]
+        table = _table_select(rel, x_win, wt, precision, True, reduce2)
+        g = jnp.take_along_axis(table, lidx, axis=1)
+        prod = vals * g
         _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
                       precision, reduce2)
 
@@ -359,7 +425,7 @@ def _make_sell_kernel_streamy(precision, nsb, nsw, wt, bf16_values,
             else x_ref[:]
         )
         table = _table_select(
-            rel_ref, x_win, wt, precision, bf16_values, reduce2
+            rel_ref[:], x_win, wt, precision, bf16_values, reduce2
         )
         g = jnp.take_along_axis(
             table, lidx_ref[:].astype(jnp.int32), axis=1
@@ -438,7 +504,7 @@ def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident,
             else x_ref[0]
         )
         table = _table_select(
-            rel_ref, x_win, wt, precision, bf16_values, False
+            rel_ref[:], x_win, wt, precision, bf16_values, False
         )
         xg = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
         sb = pl.multiple_of(bases_ref[1, step], 8)
@@ -540,7 +606,7 @@ def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, bases, *, n_chunks, chunk,
     ns, nsw, wt, interpret, precision=jax.lax.Precision.HIGHEST,
     resident=True, onehot_dense=False, reduce2=False, prefetch=True,
-    nsb=0, k=1,
+    nsb=0, k=1, packed_plane=None,
 ):
     """Dispatch one SELL launch. ``bases`` is i32 (2, n_chunks):
     row 0 = per-chunk x tile-window starts, row 1 = per-chunk y
@@ -562,6 +628,58 @@ def _sell_spmv_call(
     # tiling rule for every chunk count (see _seg_reduce's note — the
     # 2-D (1, chunk) block was the round-3 hardware failure).
     sl3 = slice_of.reshape(n_chunks, 1, chunk)
+    if packed_plane is not None:
+        # Packed-plane launch (bf16 values; val‖rel‖lidx in one int32
+        # plane): two input streams per grid step instead of four —
+        # stream count, not byte count, throttles the plane DMA
+        # (micro3 ladder, experiments/micro3_tpu.py).
+        if nsb > 0 or onehot_dense or k != 1:
+            raise ValueError(
+                "packed plane supports the resident/prefetch SpMV only"
+            )
+        kern = _make_sell_kernel_packed(
+            precision, ns, nsw, wt, reduce2, resident=resident
+        )
+        if resident:
+            ct = x_tiles.shape[0]
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
+                pl.BlockSpec((ct, LANES), lambda i: (0, 0)),  # res. x
+                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
+            ]
+            opnds = (bases, x_tiles, packed_plane, sl3)
+            check_pallas_args(in_specs, opnds, label="sell-packed")
+            return pl.pallas_call(
+                kern,
+                grid=(n_chunks,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+                interpret=interpret,
+            )(*opnds)
+        in_specs = [
+            pl.BlockSpec(
+                (pl.Element(wt), pl.Element(LANES)),
+                lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
+            ),
+            pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
+        ]
+        opnds = (x_tiles, packed_plane, sl3)
+        check_pallas_args(in_specs, opnds, label="sell-packed-prefetch")
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ns, LANES), lambda i, b: (0, 0)),
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            interpret=interpret,
+        )(bases, *opnds)
     if nsb > 0:
         # v7 flush-behind: y streams through VMEM one (nsb, 128) block
         # at a time; the scalar-prefetched bases drive both the x window
@@ -818,6 +936,38 @@ class SellSpMV:
         self._triplets = _triplets  # host (r, c, v) for lazy transpose
         self._t_op: "SellSpMV | None" = None
         self._slot_map: np.ndarray | None = None  # triplet -> flat slot
+        self._packed_cache: jax.Array | None = None  # val‖rel‖lidx plane
+
+    def _packed(self) -> jax.Array:
+        """The packed val‖rel‖lidx int32 plane (built lazily, cached).
+
+        Only meaningful in bf16 value mode with wt <= _PACK_WT_MAX (the
+        9-bit rel field; dead sublanes store _PACK_REL_DEAD, which falls
+        outside every one-hot window). Bit-exact vs the split planes:
+        the value field is the SAME bf16 rounding as ``self.vals``, and
+        bf16→f32 extension appends zero bits.
+        """
+        if self._packed_cache is None:
+            plan = self.plan
+            # The whole build sits under ensure_compile_time_eval: the
+            # fused benchmark loop constructs/calls operators during a
+            # jit trace, where a bare jnp.asarray would hand numpy a
+            # tracer (plan arrays themselves are always host numpy).
+            with jax.ensure_compile_time_eval():
+                bits = (
+                    np.asarray(jnp.asarray(plan.vals, jnp.bfloat16))
+                    .view(np.uint16)
+                    .astype(np.uint32)
+                    << 16
+                )
+                rel = np.where(
+                    plan.rel_tile < 0, _PACK_REL_DEAD, plan.rel_tile
+                ).astype(np.uint32)  # (S, 1) broadcasts over lanes
+                pk = bits | (rel << _PACK_REL_SHIFT) | plan.lane_idx.astype(
+                    np.uint32
+                )
+                self._packed_cache = jnp.asarray(pk.view(np.int32))
+        return self._packed_cache
 
     @staticmethod
     def from_coo(coo: COOMatrix, **kw) -> "SellSpMV":
@@ -1278,29 +1428,106 @@ class SellSpMV:
             not resident
             and os.environ.get("SMVP_SELL_PREFETCH") != "0"
         )
-        y = _sell_spmv_call(
-            x_tiles,
-            vals.astype(self.value_dtype),
-            self.lidx,
-            self.rel_tile,
-            self.slice_of,
-            self.bases,
-            n_chunks=plan.n_chunks,
-            chunk=plan.chunk,
-            ns=plan.n_slices,
-            nsw=nsw,
-            wt=plan.window_tiles,
-            interpret=self.interpret,
-            precision=self.precision,
-            resident=resident,
-            # The compat one-hot kernel has no streamed-y variant —
-            # streamed plans always run the main kernel family.
-            onehot_dense=onehot_dense and not plan.y_block_slices,
-            reduce2=reduce2,
-            prefetch=prefetch,
-            nsb=plan.y_block_slices,
+        # Packed-plane route (SMVP_SELL_PACK=1, bf16 values): val‖rel‖
+        # lidx fused into one int32 stream — only for the operator's own
+        # static plane (trainable-vals traces pass a live plane) and
+        # plans whose rel fits the 9-bit field.
+        packed = (
+            os.environ.get("SMVP_SELL_PACK") == "1"
+            and self._bf16
+            and vals is self.vals
+            and plan.window_tiles <= _PACK_WT_MAX
+            and not onehot_dense
+            and not plan.y_block_slices
+            and (resident or prefetch)
         )
+        # Split launch (SMVP_SELL_SPLIT=N): partition the chunk sweep
+        # across N pallas_calls and sum the partial ys — an A/B probe of
+        # whether independent launches overlap their plane DMA (micro3's
+        # "dual" rung measured 2 x 2-stream calls at 579 GB/s aggregate
+        # vs ~250 GB/s for one 4-stream call). Plane slices are pre-cut
+        # on the host and cached as separate device arrays: an in-trace
+        # slice feeding a pallas_call cannot fuse into the custom call,
+        # so XLA would materialize a copy and double the plane traffic.
+        n_split = max(1, int(os.environ.get("SMVP_SELL_SPLIT", "1")))
+        if (
+            plan.y_block_slices
+            or onehot_dense
+            or not (resident or prefetch)
+            or vals is not self.vals
+        ):
+            n_split = 1
+        n_split = min(n_split, plan.n_chunks)
+
+        def launch(a, b, planes):
+            pvals, plidx, prel, psl, pbases, ppk = planes
+            return _sell_spmv_call(
+                x_tiles,
+                pvals.astype(self.value_dtype),
+                plidx,
+                prel,
+                psl,
+                pbases,
+                n_chunks=b - a,
+                chunk=plan.chunk,
+                ns=plan.n_slices,
+                nsw=nsw,
+                wt=plan.window_tiles,
+                interpret=self.interpret,
+                precision=self.precision,
+                resident=resident,
+                # The compat one-hot kernel has no streamed-y variant —
+                # streamed plans always run the main kernel family.
+                onehot_dense=onehot_dense and not plan.y_block_slices,
+                reduce2=reduce2,
+                prefetch=prefetch,
+                nsb=plan.y_block_slices,
+                packed_plane=ppk,
+            )
+
+        if n_split == 1:
+            full = (
+                vals, self.lidx, self.rel_tile, self.slice_of, self.bases,
+                self._packed() if packed else None,
+            )
+            y = launch(0, plan.n_chunks, full)
+        else:
+            y = None
+            for a, b, planes in self._split_planes(n_split, packed):
+                part = launch(a, b, planes)
+                y = part if y is None else y + part
         return y.reshape(-1)[: self.shape[0]]
+
+    def _split_planes(self, n_split: int, packed: bool):
+        """Host-cached per-range plane slices for the split launch."""
+        key = (n_split, packed)
+        cache = getattr(self, "_split_cache", None)
+        if cache is None:
+            cache = self._split_cache = {}
+        if key not in cache:
+            plan = self.plan
+            per = -(-plan.n_chunks // n_split)
+            pk = self._packed() if packed else None
+            out = []
+            with jax.ensure_compile_time_eval():
+                for a in range(0, plan.n_chunks, per):
+                    b = min(a + per, plan.n_chunks)
+                    lo, hi = a * plan.chunk, b * plan.chunk
+                    out.append((
+                        a, b,
+                        (
+                            jnp.asarray(self.vals[lo:hi]),
+                            jnp.asarray(self.lidx[lo:hi]),
+                            jnp.asarray(self.rel_tile[lo:hi]),
+                            jnp.asarray(self.slice_of[a:b]),
+                            jnp.asarray(self.bases[:, a:b]),
+                            jnp.asarray(pk[lo:hi])
+                            if pk is not None
+                            else None,
+                        ),
+                    ))
+            cache[key] = out
+        return cache[key]
 
 
 # ---------------------------------------------------------------------------

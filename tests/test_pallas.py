@@ -769,3 +769,87 @@ def test_bf16_defaults_to_reduce2():
     )
     scale = np.abs(y_ref).max() + 1e-30
     assert np.abs(y - y_ref).max() / scale < 1e-6
+
+
+@pytest.mark.parametrize("name", SAMPLES_SMALL + ["memplus.mtx"])
+def test_packed_plane_bit_exact(name, monkeypatch):
+    """The packed val‖rel‖lidx int32 plane (SMVP_SELL_PACK=1, bf16 value
+    mode) must be BIT-exact vs the split-plane kernel: the value field is
+    the same bf16 rounding and bf16→f32 extension appends zero bits, so
+    the arithmetic is identical — only the HBM layout changes (micro3's
+    stream-count finding, experiments/micro3_tpu.py)."""
+    coo = _load(name)
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
+    base = np.asarray(op(x))
+    monkeypatch.setenv("SMVP_SELL_PACK", "1")
+    y = np.asarray(op(x))
+    assert np.array_equal(y, base)
+
+
+def test_packed_plane_roundtrip():
+    """Unpacking the packed plane recovers vals/lidx/rel exactly
+    (dead sublanes' rel becomes the out-of-window marker)."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import (
+        _PACK_REL_DEAD,
+        _PACK_REL_SHIFT,
+    )
+
+    coo = _load("memplus.mtx")
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    pk = np.asarray(op._packed())
+    vals = (pk & np.int32(-65536)).view(np.float32)
+    lidx = pk & 127
+    rel = (pk.view(np.uint32) >> _PACK_REL_SHIFT).astype(np.int64) & 511
+    assert np.array_equal(vals, np.asarray(op.vals).astype(np.float32))
+    assert np.array_equal(lidx, np.asarray(op.lidx).astype(np.int32))
+    expect_rel = np.where(op.plan.rel_tile < 0, _PACK_REL_DEAD,
+                          op.plan.rel_tile)
+    assert np.array_equal(rel, np.broadcast_to(expect_rel, rel.shape))
+
+
+def test_packed_plane_gates(monkeypatch):
+    """f32 value mode never routes to the packed kernel (the plane has
+    no room for 32-bit values) — SMVP_SELL_PACK=1 must be a no-op."""
+    coo = _load("curtis54.mtx")
+    op = SellSpMV.from_coo(coo)  # f32
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
+    base = np.asarray(op(x))
+    monkeypatch.setenv("SMVP_SELL_PACK", "1")
+    assert np.array_equal(np.asarray(op(x)), base)
+    assert op._packed_cache is None  # gate short-circuits the build
+
+
+@pytest.mark.parametrize("n_split", [2, 3])
+def test_split_launch_agrees(n_split, monkeypatch):
+    """SMVP_SELL_SPLIT=N partitions the chunk sweep across N launches
+    whose partial ys sum to the single-launch result (up to f32
+    re-association at the split boundaries)."""
+    coo = _load("memplus.mtx")
+    for vd in (jnp.float32, jnp.bfloat16):
+        op = SellSpMV.from_coo(coo, value_dtype=vd)
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
+        base = np.asarray(op(x))
+        monkeypatch.setenv("SMVP_SELL_SPLIT", str(n_split))
+        y = np.asarray(op(x))
+        monkeypatch.delenv("SMVP_SELL_SPLIT")
+        scale = np.abs(base).max() + 1e-30
+        assert np.abs(y - base).max() / scale < 1e-5
+
+
+def test_split_and_packed_compose(monkeypatch):
+    """Packed planes slice per split range (host-cached device arrays,
+    no in-trace copies) and the composition stays correct."""
+    coo = _load("pdp08-pg4.mtx")
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
+    base = np.asarray(op(x))
+    monkeypatch.setenv("SMVP_SELL_PACK", "1")
+    monkeypatch.setenv("SMVP_SELL_SPLIT", "2")
+    y = np.asarray(op(x))
+    scale = np.abs(base).max() + 1e-30
+    assert np.abs(y - base).max() / scale < 1e-5
