@@ -353,20 +353,35 @@ def _make_sell_kernel_prefetch(precision, ns, nsw, wt, bf16_values,
 
 
 def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
-                             resident=True):
+                             resident=True, k=1, nsb=0):
     """Packed-plane kernel (bf16 value mode): val‖rel‖lidx ride in ONE
     int32 plane (see ``_unpack_plane``), so each grid step issues two
     input DMAs (packed plane + slice ids) instead of four. x is either
     VMEM-resident (dynamic wt-window at bases[0]) or a per-chunk
     scalar-prefetch window, exactly as the split-plane variants.
+
+    ``k > 1`` is the fused SpMM (k-wide x/y lanes, see the resident
+    variant's note); ``nsb > 0`` is the streamed-y v7 flush-behind mode
+    (one (nsb, 128) output block selected by bases[2], zeroed when the
+    block id advances, block-LOCAL slice offsets) — mutually exclusive,
+    enforced by the caller.
     """
+    out_ns = nsb if nsb > 0 else ns
 
     def _sell_kernel(bases_ref, x_ref, pk_ref, sl_ref, y_ref):
         step = pl.program_id(0)
 
-        @pl.when(step == 0)
-        def _init():
-            y_ref[:] = jnp.zeros_like(y_ref)
+        if nsb > 0:
+            blk = bases_ref[2, step]
+            prev = bases_ref[2, jnp.maximum(step - 1, 0)]
+
+            @pl.when(jnp.logical_or(step == 0, blk != prev))
+            def _init():
+                y_ref[:] = jnp.zeros_like(y_ref)
+        else:
+            @pl.when(step == 0)
+            def _init():
+                y_ref[:] = jnp.zeros_like(y_ref)
 
         vals, lidx, rel = _unpack_plane(pk_ref[:])
         if resident:
@@ -375,10 +390,10 @@ def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
         else:
             x_win = x_ref[:]
         table = _table_select(rel, x_win, wt, precision, True, reduce2)
-        g = jnp.take_along_axis(table, lidx, axis=1)
-        prod = vals * g
-        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
-                      precision, reduce2)
+        g = _gather_tile(table, lidx, k)
+        prod = (vals if k == 1 else jnp.concatenate([vals] * k, axis=1)) * g
+        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], out_ns,
+                      min(nsw, out_ns), precision, reduce2)
 
     return _sell_kernel
 
@@ -633,18 +648,53 @@ def _sell_spmv_call(
         # plane): two input streams per grid step instead of four —
         # stream count, not byte count, throttles the plane DMA
         # (micro3 ladder, experiments/micro3_tpu.py).
-        if nsb > 0 or onehot_dense or k != 1:
+        if onehot_dense or (k != 1 and nsb > 0):
             raise ValueError(
-                "packed plane supports the resident/prefetch SpMV only"
+                "packed plane: resident/prefetch SpMV, fused SpMM, or "
+                "streamed-y SpMV (not fused+streamed)"
             )
         kern = _make_sell_kernel_packed(
-            precision, ns, nsw, wt, reduce2, resident=resident
+            precision, ns, nsw, wt, reduce2, resident=resident, k=k,
+            nsb=nsb,
         )
+        if nsb > 0:
+            # Streamed-y v7: the output index map needs the prefetched
+            # block ids, so this launch is always scalar-prefetch.
+            in_specs = [
+                (
+                    pl.BlockSpec(
+                        (x_tiles.shape[0], LANES), lambda i, b: (0, 0)
+                    )
+                    if resident
+                    else pl.BlockSpec(
+                        (pl.Element(wt), pl.Element(LANES)),
+                        lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
+                    )
+                ),
+                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
+            ]
+            opnds = (x_tiles, packed_plane, sl3)
+            check_pallas_args(in_specs, opnds, label="sell-packed-streamy")
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_chunks,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (nsb, LANES), lambda i, b: (b[2, i], 0)
+                ),
+            )
+            return pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+                interpret=interpret,
+            )(bases, *opnds)
         if resident:
             ct = x_tiles.shape[0]
             in_specs = [
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
-                pl.BlockSpec((ct, LANES), lambda i: (0, 0)),  # res. x
+                pl.BlockSpec((ct, k * LANES), lambda i: (0, 0)),  # res. x
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
             ]
@@ -654,13 +704,15 @@ def _sell_spmv_call(
                 kern,
                 grid=(n_chunks,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
-                out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+                out_specs=pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct(
+                    (ns, k * LANES), jnp.float32
+                ),
                 interpret=interpret,
             )(*opnds)
         in_specs = [
             pl.BlockSpec(
-                (pl.Element(wt), pl.Element(LANES)),
+                (pl.Element(wt), pl.Element(k * LANES)),
                 lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
             ),
             pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
@@ -672,12 +724,12 @@ def _sell_spmv_call(
             num_scalar_prefetch=1,
             grid=(n_chunks,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((ns, LANES), lambda i, b: (0, 0)),
+            out_specs=pl.BlockSpec((ns, k * LANES), lambda i, b: (0, 0)),
         )
         return pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
         )(bases, *opnds)
     if nsb > 0:
@@ -1068,6 +1120,12 @@ class SellSpMV:
             if os.environ.get("SMVP_SELL_NOWINDOW") == "1"
             else self.nsw
         )
+        packed = (
+            os.environ.get("SMVP_SELL_PACK") == "1"
+            and self._bf16
+            and vals is self.vals
+            and plan.window_tiles <= _PACK_WT_MAX
+        )
         y = _sell_spmv_call(
             x_tiles,
             vals.astype(self.value_dtype),
@@ -1088,6 +1146,7 @@ class SellSpMV:
             prefetch=prefetch,
             nsb=0,
             k=kg,
+            packed_plane=self._packed() if packed else None,
         )  # (NS, kg*LANES)
         return unpack_columns(y, plan.n_slices, kg)[: self.shape[0]]
 
@@ -1438,7 +1497,6 @@ class SellSpMV:
             and vals is self.vals
             and plan.window_tiles <= _PACK_WT_MAX
             and not onehot_dense
-            and not plan.y_block_slices
             and (resident or prefetch)
         )
         # Split launch (SMVP_SELL_SPLIT=N): partition the chunk sweep

@@ -853,3 +853,26 @@ def test_split_and_packed_compose(monkeypatch):
     y = np.asarray(op(x))
     scale = np.abs(base).max() + 1e-30
     assert np.abs(y - base).max() / scale < 1e-5
+
+
+def test_packed_plane_spmm_and_streamed(monkeypatch):
+    """The packed plane also drives the fused SpMM (k-wide lanes) and
+    streamed-y v7 launches — both bit-exact vs their split-plane twins."""
+    from smvp_toolkit_tpu.ops.sell_plan import build_streamed_sell_plan
+
+    coo = _load("memplus.mtx")
+    rng = np.random.RandomState(17)
+    X = jnp.asarray(rng.randn(coo.shape[1], 8).astype(np.float32))
+
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    base_mm = np.asarray(op.matmat(X))
+    r, c, v = coo.to_numpy()
+    plan_s = build_streamed_sell_plan(
+        r, c, v, coo.shape, chunk=1024, y_block_rows=4096
+    )
+    op_s = SellSpMV(plan_s, value_dtype=jnp.bfloat16)
+    base_st = np.asarray(op_s(X[:, 0]))
+
+    monkeypatch.setenv("SMVP_SELL_PACK", "1")
+    assert np.array_equal(np.asarray(op.matmat(X)), base_mm)
+    assert np.array_equal(np.asarray(op_s(X[:, 0])), base_st)
