@@ -1457,6 +1457,17 @@ class SellSpMV:
         if x.shape[0] < ncols_pad:
             x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
         x_tiles = x.reshape(plan.n_coltiles, LANES)
+        return self._apply_tiles(x_tiles, vals)
+
+    def _apply_tiles(self, x_tiles: jax.Array,
+                     vals: jax.Array | None = None) -> jax.Array:
+        """The launch half of :meth:`_apply`: x already cast to the
+        value dtype and packed as (n_coltiles, 128) tiles. Exposed so
+        per-apply x prep can be hoisted out of tight benchmark loops
+        (experiments/tpu_r4_session7.py measures its cost)."""
+        plan = self.plan
+        if vals is None:
+            vals = self.vals
         resident = (
             plan.n_coltiles * LANES * x_tiles.dtype.itemsize
             <= _RESIDENT_X_LIMIT
