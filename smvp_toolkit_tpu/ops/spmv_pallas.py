@@ -398,6 +398,58 @@ def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
     return _sell_kernel
 
 
+def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
+                            packed=False):
+    """Grid-fused benchmark kernel: grid = (iterations, n_chunks).
+
+    The benchmark's iteration loop lives INSIDE the Mosaic grid instead
+    of an XLA while loop: on the tunneled dev stack every XLA loop
+    iteration costs ~130-150 µs regardless of body (measured:
+    experiments/tpu_r4_session9/10 — a bare scalar-carry fori_loop
+    iteration is as expensive as a full memplus SpMV), while pallas
+    grid steps cost < 0.3 µs. Semantics match the reference's timed
+    loop (main-cli.c:402-420): y is recomputed from scratch every
+    iteration (re-zeroed when the chunk index wraps), and the packed
+    planes are genuinely re-streamed from HBM each iteration (their
+    block index changes every step, so the pipeline re-fetches), so
+    the measured rate is the kernel's steady-state HBM + compute rate
+    with no loop-apparatus tax. x stays VMEM-resident across
+    iterations (the reference's x stays cache-resident likewise).
+    """
+
+    def _body(bases_ref, x_win_fn, vals, lidx, rel, sl_ref, y_ref, ch):
+        @pl.when(ch == 0)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        table = _table_select(
+            rel, x_win_fn(), wt, precision, bf16_values, reduce2
+        )
+        g = jnp.take_along_axis(table, lidx, axis=1)
+        prod = vals * g
+        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, ch], ns, nsw,
+                      precision, reduce2)
+
+    if packed:
+        def _sell_kernel(bases_ref, x_ref, pk_ref, sl_ref, y_ref):
+            ch = pl.program_id(1)
+            vals, lidx, rel = _unpack_plane(pk_ref[:])
+            xb = pl.multiple_of(bases_ref[0, ch], 16)
+            _body(bases_ref, lambda: x_ref[pl.ds(xb, wt), :], vals, lidx,
+                  rel, sl_ref, y_ref, ch)
+    else:
+        def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref,
+                         sl_ref, y_ref):
+            ch = pl.program_id(1)
+            xb = pl.multiple_of(bases_ref[0, ch], 16)
+            _body(bases_ref, lambda: x_ref[pl.ds(xb, wt), :],
+                  val_ref[:].astype(jnp.float32),
+                  lidx_ref[:].astype(jnp.int32), rel_ref[:], sl_ref,
+                  y_ref, ch)
+
+    return _sell_kernel
+
+
 # Above this many bytes of x tile array the resident-x variant would
 # crowd VMEM (~16 MB/core on v5e, shared with the double-buffered packed
 # planes); larger matrices take the scalar-prefetch windowed variant
@@ -1443,6 +1495,79 @@ class SellSpMV:
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self._apply(x, self.vals)
+
+    def bench_loop(self, x: jax.Array, iterations: int) -> jax.Array:
+        """N sequential SpMVs in ONE launch: grid = (iterations, chunks).
+
+        Returns the final iteration's y (each iteration recomputes y
+        from scratch; the packed planes re-stream from HBM per
+        iteration — see :func:`_make_sell_kernel_bench`). This is the
+        benchmark-protocol runner for the tunneled dev stack, where an
+        XLA loop iteration costs ~140 µs regardless of body; production
+        consumers compose ``__call__`` normally. Resident-x,
+        resident-y plans only (the benchmark matrices all qualify).
+        """
+        plan = self.plan
+        if plan.y_block_slices:
+            raise ValueError("bench_loop requires a resident-y plan")
+        ncols_pad = plan.n_coltiles * LANES
+        x = x.astype(self.value_dtype)
+        if x.shape[0] < ncols_pad:
+            x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
+        x_tiles = x.reshape(plan.n_coltiles, LANES)
+        if (plan.n_coltiles * LANES * x_tiles.dtype.itemsize
+                > _RESIDENT_X_LIMIT):
+            raise ValueError("bench_loop requires a VMEM-resident x")
+        reduce2 = os.environ.get(
+            "SMVP_SELL_REDUCE2", "1" if self._bf16 else "0"
+        ) == "1"
+        nsw = (
+            plan.n_slices
+            if os.environ.get("SMVP_SELL_NOWINDOW") == "1"
+            else self.nsw
+        )
+        packed = (
+            os.environ.get("SMVP_SELL_PACK") == "1"
+            and self._bf16
+            and plan.window_tiles <= _PACK_WT_MAX
+        )
+        chunk, nch, ns = plan.chunk, plan.n_chunks, plan.n_slices
+        ct = plan.n_coltiles
+        sl3 = self.slice_of.reshape(nch, 1, chunk)
+        kern = _make_sell_kernel_bench(
+            self.precision, ns, nsw, plan.window_tiles, self._bf16,
+            reduce2, packed=packed,
+        )
+        if packed:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((ct, LANES), lambda it, ch: (0, 0)),
+                pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda it, ch: (ch, 0, 0)),
+            ]
+            opnds = (self.bases, x_tiles, self._packed(), sl3)
+        else:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((ct, LANES), lambda it, ch: (0, 0)),
+                pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((chunk, 1), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda it, ch: (ch, 0, 0)),
+            ]
+            opnds = (self.bases, x_tiles, self.vals, self.lidx,
+                     self.rel_tile, sl3)
+        check_pallas_args(in_specs[1:], opnds[1:],
+                          label="sell-bench-grid")
+        y = pl.pallas_call(
+            kern,
+            grid=(iterations, nch),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ns, LANES), lambda it, ch: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            interpret=self.interpret,
+        )(*opnds)
+        return y.reshape(-1)[: self.shape[0]]
 
     def _apply(self, x: jax.Array, vals: jax.Array) -> jax.Array:
         """y = A·x with the packed values plane passed explicitly.
