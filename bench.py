@@ -216,7 +216,8 @@ def _supervise() -> int:
     return rc if rc is not None else 1
 
 
-def _emit(kernel, device, stats, coo, fallback, rungs_failed=()):
+def _emit(kernel, device, stats, coo, fallback, rungs_failed=(),
+          extra=None):
     from smvp_toolkit_tpu.bench import hbm_bandwidth_gbs, spmv_bytes_csr
 
     nnzs = stats.nnz_per_s(coo.nnz)
@@ -245,6 +246,8 @@ def _emit(kernel, device, stats, coo, fallback, rungs_failed=()):
         # a lower ladder rung must say which rungs failed and why, so a
         # green-looking headline can never mask a broken flagship kernel.
         rec["rungs_failed"] = list(rungs_failed)
+    if extra:
+        rec.update(extra)
     print(json.dumps(rec))
     if not fallback and device.platform == "tpu":
         # Persist the measurement so later runs that cannot reach the
@@ -265,12 +268,27 @@ def _emit(kernel, device, stats, coo, fallback, rungs_failed=()):
 
 def _main_tpu(coo, y_ref, ref_scale) -> int:
     """Minimal-compile TPU path: ONE fused-loop compile per ladder rung,
-    validation riding the loop's own accumulator."""
+    validation riding the loop's own accumulator.
+
+    The top rungs run the GRID-FUSED protocol (``SellSpMV.bench_loop``):
+    the benchmark's N sequential SpMVs execute inside ONE Mosaic grid
+    (y re-zeroed and the packed planes re-streamed from HBM every
+    iteration — the reference's timed loop, main-cli.c:402-420). On
+    this tunneled dev stack an XLA while-loop iteration costs ~140 µs
+    regardless of body (measured, PERFORMANCE.md round-4 session 9/10)
+    — a harness artifact a production TPU does not pay — so the
+    grid-fused rate is the kernel's true steady-state rate. Timing is
+    the least-squares slope of T(N), T(2N), T(4N) (5 fetch-synced
+    samples each), which cancels dispatch and one-time costs exactly;
+    validation gates the final-iteration y against a dtype-matched
+    oracle.
+    """
     import jax
     import numpy as np
 
     from smvp_toolkit_tpu.bench import bench_spmv_fused
-    from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_coo
+    from smvp_toolkit_tpu.bench.harness import TimingStats
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV, sell_op_coo
 
     device = jax.devices()[0]
     _hb(f"device acquired: {device.device_kind}")
@@ -278,16 +296,93 @@ def _main_tpu(coo, y_ref, ref_scale) -> int:
     # device_put is a transfer, not a compiled program — unlike jnp.ones.
     x = jax.device_put(np.ones((coo.shape[1],), dtype=np.float32))
 
+    # bf16 oracle: the kernel rounds v (and x — exact for ones) to bf16,
+    # so the gate must compare against the bf16-rounded row sums, not
+    # report input rounding (~4e-3) as kernel error.
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    r_h, _c_h, v_h = coo.to_numpy()
+    y_ref16 = np.zeros(coo.shape[0])
+    np.add.at(y_ref16, r_h,
+              v_h.astype(ml_dtypes.bfloat16).astype(np.float64))
+    ref16_scale = np.abs(y_ref16).max() + 1e-30
+
+    rungs_failed = []
+
+    def _gridfused(mode, env, value_dtype, oracle, oscale):
+        """One grid-fused rung; returns True when emitted."""
+        os.environ.update(env)
+        try:
+            _hb(f"planning SELL ({mode}, host-side)")
+            op = SellSpMV.from_coo(coo, value_dtype=value_dtype)
+            base_n = 4000
+            pts, times = [base_n, 2 * base_n, 4 * base_n], []
+            y_last = None
+            for n in pts:
+                _hb(f"compiling+running grid-fused loop ({mode}, N={n})")
+                f = jax.jit(lambda xx, _n=n: op.bench_loop(xx, _n))
+                y_last = np.asarray(f(x))
+                samples = []
+                for _ in range(5):
+                    t0 = time.perf_counter_ns()
+                    np.asarray(f(x))
+                    samples.append((time.perf_counter_ns() - t0) / 1e3)
+                times.append(min(samples))
+            err = np.abs(
+                y_last.astype(np.float64) - oracle
+            ).max() / oscale
+            if err >= 1e-3:
+                raise ValueError(f"validation rel err {err:.3g}")
+            A = np.vstack([pts, np.ones(3)]).T
+            (slope, intercept), *_ = np.linalg.lstsq(
+                A, np.asarray(times), rcond=None
+            )
+            if slope <= 0:
+                raise ValueError(
+                    f"non-positive fitted slope {slope:.3g} us/iter "
+                    f"(times {times})"
+                )
+            stats = TimingStats(
+                times_ms=np.full(pts[-1], slope / 1e3),
+                iterations=pts[-1], per_launch=True,
+            )
+            _emit(mode, device, stats, coo, fallback=False,
+                  rungs_failed=rungs_failed,
+                  extra={"method": "grid-fused",
+                         "value_dtype": str(np.dtype(value_dtype)),
+                         "fit_points": pts,
+                         "fit_times_us": [round(t, 1) for t in times],
+                         "intercept_ms": round(float(intercept) / 1e3, 3),
+                         "validation_err": float(err)})
+            return True
+        except Exception as e:  # noqa: BLE001 — try the next rung
+            _hb(f"{mode} failed: {type(e).__name__}: {e}; next rung")
+            rungs_failed.append(
+                {"mode": mode,
+                 "error": f"{type(e).__name__}: {str(e)[:300]}"}
+            )
+            return False
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+
+    if _gridfused("pallas-gridfused-bf16", {}, jnp.bfloat16,
+                  y_ref16, ref16_scale):
+        return 0
+    if _gridfused("pallas-gridfused", {"SMVP_SELL_REDUCE2": "1"},
+                  jnp.float32, y_ref, ref_scale):
+        return 0
+
     iterations, repeats = 200, 5
-    # Ladder: double-bf16 reduce (fastest measured, r4 session: 147 vs
-    # 164 us on memplus, err ~2e-6 vs the 1e-3 gate) → exact HIGHEST
-    # kernel → static full-reduce (NOWINDOW) → compat one-hot. Each rung
-    # is exactly one remote compile; failed rungs ride the emitted JSON.
+    # Fallback ladder (XLA-loop protocol — carries the ~140 µs/iter
+    # harness tax): double-bf16 reduce → exact HIGHEST kernel → static
+    # full-reduce (NOWINDOW) → compat one-hot. Each rung is exactly one
+    # remote compile; failed rungs ride the emitted JSON.
     ladder = (("pallas-reduce2", {"SMVP_SELL_REDUCE2": "1"}),
               ("pallas", {}),
               ("pallas-nowindow", {"SMVP_SELL_NOWINDOW": "1"}),
               ("pallas-compat", {"SMVP_SELL_COMPAT": "1"}))
-    rungs_failed = []
     for mode, env in ladder:
         os.environ.update(env)
         try:

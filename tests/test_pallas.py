@@ -876,3 +876,20 @@ def test_packed_plane_spmm_and_streamed(monkeypatch):
     monkeypatch.setenv("SMVP_SELL_PACK", "1")
     assert np.array_equal(np.asarray(op.matmat(X)), base_mm)
     assert np.array_equal(np.asarray(op_s(X[:, 0])), base_st)
+
+
+def test_bench_loop_matches_single_apply(monkeypatch):
+    """The grid-fused benchmark runner (iteration loop inside the Mosaic
+    grid) recomputes y from scratchevery iteration — its final y must be
+    BIT-identical to one __call__, packed or not."""
+    coo = _load("memplus.mtx")
+    rng = np.random.RandomState(23)
+    x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
+    for vd in (jnp.float32, jnp.bfloat16):
+        op = SellSpMV.from_coo(coo, value_dtype=vd)
+        base = np.asarray(op(x))
+        assert np.array_equal(np.asarray(op.bench_loop(x, 3)), base)
+    monkeypatch.setenv("SMVP_SELL_PACK", "1")
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    assert np.array_equal(np.asarray(op.bench_loop(x, 2)),
+                          np.asarray(op(x)))
