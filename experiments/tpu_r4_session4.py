@@ -124,7 +124,7 @@ def _attr_kernel(which, ns, nsw, wt, bf16, reduce2, precision):
         if which == "no-reduce":
             y_ref[:] = prod  # revisited block: flushed once at the end
             return
-        sp._reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
+        sp._reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, step], ns, nsw,
                          precision, reduce2)
 
     return kern

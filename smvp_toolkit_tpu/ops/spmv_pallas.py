@@ -111,6 +111,81 @@ def _unpack_plane(w):
     return vals, lidx, rel
 
 
+# rel‖slice plane (SMVP_SELL_RELSL): the two per-SUBLANE metadata
+# streams — rel tile offsets ((chunk, 1) column) and slice ids
+# ((1, chunk) row) — merge into ONE (1, 1, chunk) int32 stream:
+#   bits 0..8   rel tile offset (dead sublanes: _PACK_REL_DEAD = 511,
+#               outside every [0, wt) window since wt <= 511 is gated)
+#   bits 9..31  slice id, logical-shifted (dead: _RELSL_SL_DEAD, which
+#               stays above every reduce window after the - sb shift)
+# This drops the launch to 3 input streams at the split planes'
+# 3.03 B/slot (vs the packed plane's 2 streams at 4 B/slot). The table
+# one-hot is built TRANSPOSED from the (1, chunk) row (no in-kernel
+# transpose): ohtT[w, s] = (w == rel[s]), and the select contracts
+# dim 0 of both operands (ohtT^T · x_win on the MXU).
+_RELSL_SL_SHIFT = 9  # rel occupies bits 0..8 (no lane index in this word)
+_RELSL_SL_DEAD = (1 << (32 - _RELSL_SL_SHIFT)) - 1
+
+
+def _table_select_t(rel_row, x_win, wt, precision, bf16_values, reduce2):
+    """:func:`_table_select` from the (1, chunk) rel orientation.
+
+    Builds the one-hot transposed — (wt, chunk) — and contracts dim 0
+    of both operands, avoiding a sublane↔lane transpose of rel."""
+    wt_iota = jax.lax.broadcasted_iota(jnp.int32, (wt, 1), 0)
+    dims = (((0,), (0,)), ((), ()))
+    if bf16_values:
+        ohtT = (wt_iota == rel_row).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            ohtT, x_win, dims, preferred_element_type=jnp.float32
+        )
+    if reduce2:
+        ohtT = (wt_iota == rel_row).astype(jnp.bfloat16)
+        hi = x_win.astype(jnp.bfloat16)
+        lo = (x_win - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            ohtT, hi, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            ohtT, lo, dims, preferred_element_type=jnp.float32
+        )
+    ohtT = (wt_iota == rel_row).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ohtT, x_win, dims, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _make_sell_kernel_relsl(precision, ns, nsw, wt, bf16_values, reduce2,
+                            resident=True):
+    """3-stream kernel: vals + lane indices + the rel‖slice plane."""
+
+    def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rs_ref, y_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        rs = rs_ref[0]  # (1, chunk)
+        rel_row = jnp.bitwise_and(rs, jnp.int32(_PACK_REL_DEAD))
+        sl_row = jax.lax.shift_right_logical(rs, _RELSL_SL_SHIFT)
+        if resident:
+            xb = pl.multiple_of(bases_ref[0, step], 16)
+            x_win = x_ref[pl.ds(xb, wt), :]
+        else:
+            x_win = x_ref[:]
+        table = _table_select_t(
+            rel_row, x_win, wt, precision, bf16_values, reduce2
+        )
+        g = jnp.take_along_axis(table, lidx_ref[:].astype(jnp.int32),
+                                axis=1)
+        prod = val_ref[:].astype(jnp.float32) * g
+        _reduce_store(y_ref, prod, sl_row, bases_ref[1, step], ns, nsw,
+                      precision, reduce2)
+
+    return _sell_kernel
+
+
 def spmm_launch_group(n_slices: int, n_coltiles: int,
                       itemsize: int) -> int:
     """Per-launch column group for fused SpMM — THE shared VMEM policy.
@@ -176,7 +251,7 @@ def _gather_tile(table, lidx, k):
     )
 
 
-def _seg_reduce(prod, sl_ref, sb, nsw, precision, reduce2):
+def _seg_reduce(prod, sl_row, sb, nsw, precision, reduce2):
     """Row reduce: sum sublanes into their slice (one-hot MXU matmul).
 
     Windowed (v6): the one-hot contracts only the chunk's NSW-slice
@@ -185,7 +260,8 @@ def _seg_reduce(prod, sl_ref, sb, nsw, precision, reduce2):
     Dead sublanes (``sl_ref == -1``) fall outside any window. The
     caller accumulates the (nsw, LANES) result at y offset ``sb``.
 
-    ``sl_ref`` is the chunk's (1, 1, chunk) slice-id block — stored 3-D
+    ``sl_row`` is the chunk's (1, chunk) slice-id row (read from the
+    3-D slice-id block — stored 3-D
     so the BlockSpec's last two dims (1, chunk) EQUAL the array dims and
     satisfy Mosaic's tiling rule for any chunk count (a 2-D (1, chunk)
     block over an (n_chunks, chunk) array is rejected whenever
@@ -199,7 +275,7 @@ def _seg_reduce(prod, sl_ref, sb, nsw, precision, reduce2):
     products carry <= 16 mantissa bits (always true in bf16 value mode);
     ~1e-5 relative for arbitrary f32 products.
     """
-    rel = sl_ref[0] - sb  # (1, chunk); dead (-1 - sb) stays negative
+    rel = sl_row - sb  # (1, chunk); dead (-1 - sb) stays negative
     nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
     if reduce2:
         seg = (nsw_iota == rel).astype(jnp.bfloat16)
@@ -214,7 +290,8 @@ def _seg_reduce(prod, sl_ref, sb, nsw, precision, reduce2):
     )
 
 
-def _reduce_store(y_ref, prod, sl_ref, sb, ns, nsw, precision, reduce2):
+def _reduce_store(y_ref, prod, sl_row, sb, ns, nsw, precision,
+                  reduce2):
     """Windowed reduce + dynamic store; static full-block store when
     the window covers all slices (NSW == NS) — that path is bit-for-bit
     the pre-v6 kernel and doubles as the Mosaic escape hatch
@@ -225,11 +302,11 @@ def _reduce_store(y_ref, prod, sl_ref, sb, ns, nsw, precision, reduce2):
     Mosaic rejects dynamic sublane offsets it cannot statically prove
     aligned (the round-3 shard_map hardware failure)."""
     if nsw >= ns:
-        y_ref[:] += _seg_reduce(prod, sl_ref, 0, ns, precision, reduce2)
+        y_ref[:] += _seg_reduce(prod, sl_row, 0, ns, precision, reduce2)
     else:
         sb = pl.multiple_of(sb, 8)
         y_ref[pl.ds(sb, nsw), :] += _seg_reduce(
-            prod, sl_ref, sb, nsw, precision, reduce2
+            prod, sl_row, sb, nsw, precision, reduce2
         )
 
 
@@ -266,7 +343,7 @@ def _make_sell_kernel(precision, ns, nsw, wt, bf16_values, reduce2=False):
         # bf16 is a storage format here.
         prod = val_ref[:].astype(jnp.float32) * g
         # 4. Windowed row reduce, accumulated at the chunk's y offset.
-        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
+        _reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, step], ns, nsw,
                       precision, reduce2)
 
     return _sell_kernel
@@ -310,7 +387,7 @@ def _make_sell_kernel_resident(precision, ns, nsw, wt, bf16_values,
         # the same concatenate idiom as the gather (one Mosaic pattern).
         prod = (vals if k == 1
                 else jnp.concatenate([vals] * k, axis=1)) * g
-        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
+        _reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, step], ns, nsw,
                       precision, reduce2)
 
     return _sell_kernel
@@ -346,7 +423,7 @@ def _make_sell_kernel_prefetch(precision, ns, nsw, wt, bf16_values,
         # the same concatenate idiom as the gather (one Mosaic pattern).
         prod = (vals if k == 1
                 else jnp.concatenate([vals] * k, axis=1)) * g
-        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], ns, nsw,
+        _reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, step], ns, nsw,
                       precision, reduce2)
 
     return _sell_kernel
@@ -392,14 +469,14 @@ def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
         table = _table_select(rel, x_win, wt, precision, True, reduce2)
         g = _gather_tile(table, lidx, k)
         prod = (vals if k == 1 else jnp.concatenate([vals] * k, axis=1)) * g
-        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], out_ns,
+        _reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, step], out_ns,
                       min(nsw, out_ns), precision, reduce2)
 
     return _sell_kernel
 
 
 def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
-                            packed=False):
+                            packed=False, relsl=False):
     """Grid-fused benchmark kernel: grid = (iterations, n_chunks).
 
     The benchmark's iteration loop lives INSIDE the Mosaic grid instead
@@ -427,7 +504,7 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
         )
         g = jnp.take_along_axis(table, lidx, axis=1)
         prod = vals * g
-        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, ch], ns, nsw,
+        _reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, ch], ns, nsw,
                       precision, reduce2)
 
     if packed:
@@ -437,6 +514,28 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
             xb = pl.multiple_of(bases_ref[0, ch], 16)
             _body(bases_ref, lambda: x_ref[pl.ds(xb, wt), :], vals, lidx,
                   rel, sl_ref, y_ref, ch)
+    elif relsl:
+        def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rs_ref,
+                         y_ref):
+            ch = pl.program_id(1)
+
+            @pl.when(ch == 0)
+            def _init():
+                y_ref[:] = jnp.zeros_like(y_ref)
+
+            rs = rs_ref[0]
+            rel_row = jnp.bitwise_and(rs, jnp.int32(_PACK_REL_DEAD))
+            sl_row = jax.lax.shift_right_logical(rs, _RELSL_SL_SHIFT)
+            xb = pl.multiple_of(bases_ref[0, ch], 16)
+            table = _table_select_t(
+                rel_row, x_ref[pl.ds(xb, wt), :], wt, precision,
+                bf16_values, reduce2,
+            )
+            g = jnp.take_along_axis(table, lidx_ref[:].astype(jnp.int32),
+                                    axis=1)
+            prod = val_ref[:].astype(jnp.float32) * g
+            _reduce_store(y_ref, prod, sl_row, bases_ref[1, ch], ns, nsw,
+                          precision, reduce2)
     else:
         def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref,
                          sl_ref, y_ref):
@@ -498,7 +597,7 @@ def _make_sell_kernel_streamy(precision, nsb, nsw, wt, bf16_values,
             table, lidx_ref[:].astype(jnp.int32), axis=1
         )
         prod = val_ref[:].astype(jnp.float32) * g
-        _reduce_store(y_ref, prod, sl_ref, bases_ref[1, step], nsb, nsw,
+        _reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, step], nsb, nsw,
                       precision, reduce2)
 
     return _sell_kernel
@@ -673,7 +772,7 @@ def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, bases, *, n_chunks, chunk,
     ns, nsw, wt, interpret, precision=jax.lax.Precision.HIGHEST,
     resident=True, onehot_dense=False, reduce2=False, prefetch=True,
-    nsb=0, k=1, packed_plane=None,
+    nsb=0, k=1, packed_plane=None, relsl_plane=None,
 ):
     """Dispatch one SELL launch. ``bases`` is i32 (2, n_chunks):
     row 0 = per-chunk x tile-window starts, row 1 = per-chunk y
@@ -695,6 +794,61 @@ def _sell_spmv_call(
     # tiling rule for every chunk count (see _seg_reduce's note — the
     # 2-D (1, chunk) block was the round-3 hardware failure).
     sl3 = slice_of.reshape(n_chunks, 1, chunk)
+    if relsl_plane is not None:
+        # 3-stream launch: vals + lane indices + the rel‖slice plane
+        # (the two per-sublane metadata streams merged — see
+        # _make_sell_kernel_relsl). 3.03 B/slot at 3 streams.
+        if nsb > 0 or onehot_dense or k != 1:
+            raise ValueError(
+                "relsl plane supports the resident/prefetch SpMV only"
+            )
+        rs3 = relsl_plane.reshape(n_chunks, 1, chunk)
+        kern = _make_sell_kernel_relsl(
+            precision, ns, nsw, wt, bf16_values, reduce2,
+            resident=resident,
+        )
+        if resident:
+            ct = x_tiles.shape[0]
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
+                pl.BlockSpec((ct, LANES), lambda i: (0, 0)),  # res. x
+                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
+            ]
+            opnds = (bases, x_tiles, vals, lidx, rs3)
+            check_pallas_args(in_specs, opnds, label="sell-relsl")
+            return pl.pallas_call(
+                kern,
+                grid=(n_chunks,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+                interpret=interpret,
+            )(*opnds)
+        in_specs = [
+            pl.BlockSpec(
+                (pl.Element(wt), pl.Element(LANES)),
+                lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
+            ),
+            pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
+        ]
+        opnds = (x_tiles, vals, lidx, rs3)
+        check_pallas_args(in_specs, opnds, label="sell-relsl-prefetch")
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ns, LANES), lambda i, b: (0, 0)),
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            interpret=interpret,
+        )(bases, *opnds)
     if packed_plane is not None:
         # Packed-plane launch (bf16 values; val‖rel‖lidx in one int32
         # plane): two input streams per grid step instead of four —
@@ -1072,6 +1226,25 @@ class SellSpMV:
                 )
                 self._packed_cache = jnp.asarray(pk.view(np.int32))
         return self._packed_cache
+
+    def _relsl(self) -> jax.Array:
+        """The merged rel‖slice (n_chunks, chunk) int32 plane (cached).
+
+        Gated on wt <= _PACK_WT_MAX and n_slices < _RELSL_SL_DEAD; dead
+        markers land outside every one-hot window (see the module-level
+        layout note)."""
+        if getattr(self, "_relsl_cache", None) is None:
+            plan = self.plan
+            with jax.ensure_compile_time_eval():
+                rel = np.where(
+                    plan.rel_tile < 0, _PACK_REL_DEAD, plan.rel_tile
+                ).astype(np.uint32).reshape(plan.n_chunks, plan.chunk)
+                sl = np.where(
+                    plan.slice_of < 0, _RELSL_SL_DEAD, plan.slice_of
+                ).astype(np.uint32)
+                rs = rel | (sl << _RELSL_SL_SHIFT)
+                self._relsl_cache = jnp.asarray(rs.view(np.int32))
+        return self._relsl_cache
 
     @staticmethod
     def from_coo(coo: COOMatrix, **kw) -> "SellSpMV":
@@ -1531,12 +1704,18 @@ class SellSpMV:
             and self._bf16
             and plan.window_tiles <= _PACK_WT_MAX
         )
+        relsl = (
+            not packed
+            and os.environ.get("SMVP_SELL_RELSL") == "1"
+            and plan.window_tiles <= _PACK_WT_MAX
+            and plan.n_slices < _RELSL_SL_DEAD
+        )
         chunk, nch, ns = plan.chunk, plan.n_chunks, plan.n_slices
         ct = plan.n_coltiles
         sl3 = self.slice_of.reshape(nch, 1, chunk)
         kern = _make_sell_kernel_bench(
             self.precision, ns, nsw, plan.window_tiles, self._bf16,
-            reduce2, packed=packed,
+            reduce2, packed=packed, relsl=relsl,
         )
         if packed:
             in_specs = [
@@ -1546,6 +1725,16 @@ class SellSpMV:
                 pl.BlockSpec((1, 1, chunk), lambda it, ch: (ch, 0, 0)),
             ]
             opnds = (self.bases, x_tiles, self._packed(), sl3)
+        elif relsl:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((ct, LANES), lambda it, ch: (0, 0)),
+                pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda it, ch: (ch, 0, 0)),
+            ]
+            opnds = (self.bases, x_tiles, self.vals, self.lidx,
+                     self._relsl().reshape(nch, 1, chunk))
         else:
             in_specs = [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1635,6 +1824,18 @@ class SellSpMV:
             and not onehot_dense
             and (resident or prefetch)
         )
+        # 3-stream rel‖slice route (SMVP_SELL_RELSL=1): the two
+        # per-sublane metadata streams merge; vals/lidx ride unchanged
+        # (works for traced vals planes and both value dtypes).
+        relsl = (
+            not packed
+            and os.environ.get("SMVP_SELL_RELSL") == "1"
+            and plan.window_tiles <= _PACK_WT_MAX
+            and plan.n_slices < _RELSL_SL_DEAD
+            and not onehot_dense
+            and not plan.y_block_slices
+            and (resident or prefetch)
+        )
         # Split launch (SMVP_SELL_SPLIT=N): partition the chunk sweep
         # across N pallas_calls and sum the partial ys — an A/B probe of
         # whether independent launches overlap their plane DMA (micro3's
@@ -1654,7 +1855,7 @@ class SellSpMV:
         n_split = min(n_split, plan.n_chunks)
 
         def launch(a, b, planes):
-            pvals, plidx, prel, psl, pbases, ppk = planes
+            pvals, plidx, prel, psl, pbases, ppk, prs = planes
             return _sell_spmv_call(
                 x_tiles,
                 pvals.astype(self.value_dtype),
@@ -1677,24 +1878,26 @@ class SellSpMV:
                 prefetch=prefetch,
                 nsb=plan.y_block_slices,
                 packed_plane=ppk,
+                relsl_plane=prs,
             )
 
         if n_split == 1:
             full = (
                 vals, self.lidx, self.rel_tile, self.slice_of, self.bases,
                 self._packed() if packed else None,
+                self._relsl() if relsl else None,
             )
             y = launch(0, plan.n_chunks, full)
         else:
             y = None
-            for a, b, planes in self._split_planes(n_split, packed):
+            for a, b, planes in self._split_planes(n_split, packed, relsl):
                 part = launch(a, b, planes)
                 y = part if y is None else y + part
         return y.reshape(-1)[: self.shape[0]]
 
-    def _split_planes(self, n_split: int, packed: bool):
+    def _split_planes(self, n_split: int, packed: bool, relsl: bool = False):
         """Host-cached per-range plane slices for the split launch."""
-        key = (n_split, packed)
+        key = (n_split, packed, relsl)
         cache = getattr(self, "_split_cache", None)
         if cache is None:
             cache = self._split_cache = {}
@@ -1702,6 +1905,7 @@ class SellSpMV:
             plan = self.plan
             per = -(-plan.n_chunks // n_split)
             pk = self._packed() if packed else None
+            rs = self._relsl() if relsl else None
             out = []
             with jax.ensure_compile_time_eval():
                 for a in range(0, plan.n_chunks, per):
@@ -1717,6 +1921,9 @@ class SellSpMV:
                             jnp.asarray(self.bases[:, a:b]),
                             jnp.asarray(pk[lo:hi])
                             if pk is not None
+                            else None,
+                            jnp.asarray(rs[a:b])
+                            if rs is not None
                             else None,
                         ),
                     ))

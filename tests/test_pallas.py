@@ -893,3 +893,44 @@ def test_bench_loop_matches_single_apply(monkeypatch):
     op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
     assert np.array_equal(np.asarray(op.bench_loop(x, 2)),
                           np.asarray(op(x)))
+
+
+@pytest.mark.parametrize("vd", [jnp.float32, jnp.bfloat16])
+def test_relsl_plane_bit_exact(vd, monkeypatch):
+    """The merged rel‖slice plane (SMVP_SELL_RELSL=1, 3 input streams,
+    transposed one-hot table build) is bit-exact vs the split planes in
+    both value dtypes, through __call__, bench_loop, and split."""
+    coo = _load("memplus.mtx")
+    op = SellSpMV.from_coo(coo, value_dtype=vd)
+    rng = np.random.RandomState(29)
+    x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
+    base = np.asarray(op(x))
+    monkeypatch.setenv("SMVP_SELL_RELSL", "1")
+    assert np.array_equal(np.asarray(op(x)), base)
+    assert np.array_equal(np.asarray(op.bench_loop(x, 2)), base)
+    monkeypatch.setenv("SMVP_SELL_SPLIT", "2")
+    scale = np.abs(base).max() + 1e-30
+    assert np.abs(np.asarray(op(x)) - base).max() / scale < 1e-5
+
+
+def test_relsl_roundtrip():
+    """Unpacking the rel‖slice plane recovers rel_tile and slice_of
+    exactly (dead markers land outside every window)."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import (
+        _PACK_REL_DEAD,
+        _RELSL_SL_DEAD,
+        _RELSL_SL_SHIFT,
+    )
+
+    coo = _load("pdp08-pg4.mtx")
+    op = SellSpMV.from_coo(coo)
+    rs = np.asarray(op._relsl()).view(np.uint32)
+    plan = op.plan
+    rel = (rs & 511).astype(np.int64)
+    sl = (rs >> _RELSL_SL_SHIFT).astype(np.int64)
+    exp_rel = np.where(plan.rel_tile < 0, _PACK_REL_DEAD, plan.rel_tile)
+    exp_sl = np.where(plan.slice_of < 0, _RELSL_SL_DEAD, plan.slice_of)
+    assert np.array_equal(
+        rel, exp_rel.reshape(plan.n_chunks, plan.chunk)
+    )
+    assert np.array_equal(sl, exp_sl)
