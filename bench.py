@@ -377,11 +377,15 @@ def _main_tpu(coo, y_ref, ref_scale) -> int:
     iterations, repeats = 200, 5
     # Fallback ladder (XLA-loop protocol — carries the ~140 µs/iter
     # harness tax): double-bf16 reduce → exact HIGHEST kernel → static
-    # full-reduce (NOWINDOW) → compat one-hot. Each rung is exactly one
-    # remote compile; failed rungs ride the emitted JSON.
-    ladder = (("pallas-reduce2", {"SMVP_SELL_REDUCE2": "1"}),
-              ("pallas", {}),
-              ("pallas-nowindow", {"SMVP_SELL_NOWINDOW": "1"}),
+    # full-reduce (NOWINDOW) → compat one-hot. The lower rungs pin the
+    # default relsl layout OFF so a broken new layout can never take
+    # down the whole ladder. Each rung is exactly one remote compile;
+    # failed rungs ride the emitted JSON.
+    ladder = (("pallas-reduce2", {"SMVP_SELL_REDUCE2": "1",
+                                  "SMVP_SELL_RELSL": "0"}),
+              ("pallas", {"SMVP_SELL_RELSL": "0"}),
+              ("pallas-nowindow", {"SMVP_SELL_NOWINDOW": "1",
+                                   "SMVP_SELL_RELSL": "0"}),
               ("pallas-compat", {"SMVP_SELL_COMPAT": "1"}))
     for mode, env in ladder:
         os.environ.update(env)

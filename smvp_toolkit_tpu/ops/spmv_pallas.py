@@ -1706,7 +1706,7 @@ class SellSpMV:
         )
         relsl = (
             not packed
-            and os.environ.get("SMVP_SELL_RELSL") == "1"
+            and os.environ.get("SMVP_SELL_RELSL", "1") == "1"
             and plan.window_tiles <= _PACK_WT_MAX
             and plan.n_slices < _RELSL_SL_DEAD
         )
@@ -1824,12 +1824,15 @@ class SellSpMV:
             and not onehot_dense
             and (resident or prefetch)
         )
-        # 3-stream rel‖slice route (SMVP_SELL_RELSL=1): the two
+        # 3-stream rel‖slice route (the DEFAULT where its gates pass —
+        # SMVP_SELL_RELSL=0 reverts to split planes): the two
         # per-sublane metadata streams merge; vals/lidx ride unchanged
         # (works for traced vals planes and both value dtypes).
+        # Measured fastest layout at every grid-fused cell (session 13:
+        # synth-10M c2048 44.7 vs 33.5 packed / ~32 split Gnnz/s).
         relsl = (
             not packed
-            and os.environ.get("SMVP_SELL_RELSL") == "1"
+            and os.environ.get("SMVP_SELL_RELSL", "1") == "1"
             and plan.window_tiles <= _PACK_WT_MAX
             and plan.n_slices < _RELSL_SL_DEAD
             and not onehot_dense
