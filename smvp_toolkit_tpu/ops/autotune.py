@@ -35,6 +35,15 @@ __all__ = ["RATES", "plan_cost_us", "pick_plan", "calibrate_rates",
 # measured 241 us on memplus implies >= 7e6 MAC/us at 6 passes; v5e
 # peak is ~98e6 MAC/us bf16 — assume ~40% sustained for skinny one-hot
 # shapes until a hardware session calibrates it).
+#
+# CAVEAT (round 4, sessions 9-13): the round-4 calibration
+# (experiments/results/autotune_rates.json) was fit to XLA-loop-protocol
+# records, which carry a ~140 µs/ITERATION harness tax on the tunneled
+# dev stack (PERFORMANCE.md) — its absolute terms are inflated, though
+# the chunk ORDERING it predicted matched the loop-protocol sweeps. The
+# production default chunk (2048, spmv_pallas._auto_plan) comes from
+# the honest grid-fused measurements instead; re-fit these RATES from
+# kind="grid-fused3" records before trusting absolute plan_cost_us.
 RATES = {
     "hbm_gb_s": 819.0,          # HBM speed of light
     "mxu_mac_us": 4.0e7,        # sustained MXU MAC/us per DEFAULT pass

@@ -277,6 +277,15 @@ def _seg_reduce(prod, sl_row, sb, nsw, precision, reduce2):
     """
     rel = sl_row - sb  # (1, chunk); dead (-1 - sb) stays negative
     nsw_iota = jax.lax.broadcasted_iota(jnp.int32, (nsw, 1), 0)
+    if reduce2 == "1pass":
+        # Single-pass bf16 reduce (SMVP_SELL_REDUCE1=1): the product is
+        # rounded to bf16 before the MXU — trades ~8 product mantissa
+        # bits for half of reduce2's MXU passes. Accumulation stays f32.
+        seg = (nsw_iota == rel).astype(jnp.bfloat16)
+        return jnp.dot(
+            seg, prod.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     if reduce2:
         seg = (nsw_iota == rel).astype(jnp.bfloat16)
         hi = prod.astype(jnp.bfloat16)
@@ -1340,6 +1349,8 @@ class SellSpMV:
         reduce2 = os.environ.get(
             "SMVP_SELL_REDUCE2", "1" if self._bf16 else "0"
         ) == "1"
+        if os.environ.get("SMVP_SELL_REDUCE1") == "1":
+            reduce2 = "1pass"  # single-pass bf16 reduce (see _seg_reduce)
         nsw = (
             plan.n_slices
             if os.environ.get("SMVP_SELL_NOWINDOW") == "1"
@@ -1694,6 +1705,8 @@ class SellSpMV:
         reduce2 = os.environ.get(
             "SMVP_SELL_REDUCE2", "1" if self._bf16 else "0"
         ) == "1"
+        if os.environ.get("SMVP_SELL_REDUCE1") == "1":
+            reduce2 = "1pass"  # single-pass bf16 reduce (see _seg_reduce)
         nsw = (
             plan.n_slices
             if os.environ.get("SMVP_SELL_NOWINDOW") == "1"
@@ -1798,6 +1811,8 @@ class SellSpMV:
         reduce2 = os.environ.get(
             "SMVP_SELL_REDUCE2", "1" if self._bf16 else "0"
         ) == "1"
+        if os.environ.get("SMVP_SELL_REDUCE1") == "1":
+            reduce2 = "1pass"  # single-pass bf16 reduce (see _seg_reduce)
         # Escape hatch: SMVP_SELL_NOWINDOW=1 forces the static
         # full-block reduce store (the pre-v6 kernel path; for streamed
         # plans this is a full LOCAL-block reduce — y still streams).
@@ -1972,8 +1987,12 @@ def _triplets_from_coo_host(coo: COOMatrix):
     return r, c, v, coo.shape
 
 
-def _auto_plan(rows, cols, vals, shape, chunk: int = 1024) -> SellPlan:
-    """Flat plan while y fits VMEM; streamed-y (v7) plan beyond it."""
+def _auto_plan(rows, cols, vals, shape, chunk: int = 2048) -> SellPlan:
+    """Flat plan while y fits VMEM; streamed-y (v7) plan beyond it.
+
+    Default chunk 2048: the measured grid-fused winner on every
+    benchmark matrix (sessions 13-14 — memplus 9.3 vs 11.9 µs/iter at
+    c1024, pwt 8.8 vs 9.8, synth-10M 217 vs 286)."""
     from smvp_toolkit_tpu.ops.sell_plan import build_streamed_sell_plan
 
     if shape[0] * 4 > _RESIDENT_Y_LIMIT:  # NS*LANES*4 ≈ nrows*4 bytes
