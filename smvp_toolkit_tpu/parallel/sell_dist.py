@@ -28,7 +28,13 @@ from smvp_toolkit_tpu.ops.sell_plan import (
     build_sell_plan,
     common_window,
 )
-from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call, _use_interpret
+from smvp_toolkit_tpu.ops.spmv_pallas import (
+    _PACK_WT_MAX,
+    _RELSL_SL_DEAD,
+    _RELSL_SL_SHIFT,
+    _sell_spmv_call,
+    _use_interpret,
+)
 from smvp_toolkit_tpu.parallel.mesh import DP_AXIS
 
 __all__ = [
@@ -63,6 +69,11 @@ class ShardedSell:
     slice_window: int = dataclasses.field(
         default=0, metadata=dict(static=True)
     )
+    # Merged rel‖slice plane (i32 (n, n_chunks, chunk)) — present when
+    # the relsl gates pass at shard time (wt <= 511, NSl < 2^23); the
+    # per-device launch then runs the 3-stream kernel (the single-chip
+    # default, ops/spmv_pallas.py).
+    relsl: jax.Array | None = None
 
     @property
     def S(self) -> int:
@@ -213,6 +224,15 @@ def _stack_shard_plans(
         else jnp.int32
     )
     blk = NamedSharding(mesh, P(DP_AXIS))
+    relsl = None
+    if WT <= _PACK_WT_MAX and NSl < _RELSL_SL_DEAD:
+        relu = np.where(rel < 0, 511, rel).astype(np.uint32)
+        slu = np.where(slc < 0, _RELSL_SL_DEAD, slc).astype(np.uint32)
+        rs = (
+            relu.reshape(n, n_chunks, chunk)
+            | (slu << _RELSL_SL_SHIFT)
+        ).view(np.int32)
+        relsl = jax.device_put(jnp.asarray(rs), blk)
     return ShardedSell(
         vals=jax.device_put(jnp.asarray(vals, dtype=vdt), blk),
         lidx=jax.device_put(jnp.asarray(lidx, dtype=ldt), blk),
@@ -228,6 +248,7 @@ def _stack_shard_plans(
         window_tiles=WT,
         n_slices_local=NSl,
         slice_window=NSW,
+        relsl=relsl,
     )
 
 
@@ -244,17 +265,24 @@ def spmv_sell_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh) -> jax.Array:
     reduce2 = _reduce2_default(sh)
     prefetch = _os.environ.get("SMVP_SELL_PREFETCH") != "0"
     nowindow = _os.environ.get("SMVP_SELL_NOWINDOW") == "1"
+    relsl = (
+        sh.relsl is not None
+        and not compat
+        and _os.environ.get("SMVP_SELL_RELSL", "1") == "1"
+    )
     return _spmv_sell_sharded(sh, x, mesh, compat, reduce2, prefetch,
-                              nowindow)
+                              nowindow, relsl)
 
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "compat", "reduce2", "prefetch", "nowindow"),
+    static_argnames=("mesh", "compat", "reduce2", "prefetch", "nowindow",
+                     "relsl"),
 )
 def _spmv_sell_sharded(
     sh: ShardedSell, x: jax.Array, mesh: Mesh, compat: bool,
     reduce2: bool = False, prefetch: bool = True, nowindow: bool = False,
+    relsl: bool = False,
 ) -> jax.Array:
     ncols_pad = sh.CT * LANES
     x = x.astype(sh.vals.dtype)  # bf16 value mode streams x in bf16 too
@@ -274,7 +302,7 @@ def _spmv_sell_sharded(
     interpret = _use_interpret()
     n_chunks = sh.S // sh.chunk
 
-    def local(vals, lidx, rel, slc, tbase, xt):
+    def local(vals, lidx, rel, slc, tbase, rs, xt):
         y = _sell_spmv_call(
             xt,
             vals[0],
@@ -297,13 +325,23 @@ def _spmv_sell_sharded(
             onehot_dense=compat,
             reduce2=reduce2,
             prefetch=prefetch,
+            relsl_plane=rs[0] if relsl else None,
         )
         return y[None]
 
+    # The relsl operand must exist for shard_map's in_specs even when
+    # the 3-stream route is off; a (n, 1, 1, 1) dummy keeps the spec
+    # shape-compatible at zero cost (unused operands drop out of HLO).
+    rs_arg = (
+        sh.relsl
+        if relsl
+        else jnp.zeros((sh.n_shards, 1, 1), jnp.int32)
+    )
     y_blocks = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
+            P(DP_AXIS),
             P(DP_AXIS),
             P(DP_AXIS),
             P(DP_AXIS),
@@ -315,7 +353,8 @@ def _spmv_sell_sharded(
         # pallas_call's out_shape carries no varying-mesh-axis annotation;
         # the output sharding is fully described by out_specs.
         check_vma=False,
-    )(sh.vals, sh.lidx, sh.rel_tile, sh.slice_of, sh.tile_base, x_tiles)
+    )(sh.vals, sh.lidx, sh.rel_tile, sh.slice_of, sh.tile_base, rs_arg,
+      x_tiles)
     # Drop per-shard slice padding (NSl is rounded up to 8 slices), then
     # concatenate shards in row order and trim global row padding.
     ns_true = sh.rows_per_shard // LANES
