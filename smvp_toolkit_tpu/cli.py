@@ -743,7 +743,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     return exit_code
 
 
-SOLVE_METHODS = ("cg", "pcg", "pcg-amg", "pcg-cheb", "pcg-neumann", "pcg-ic0",
+SOLVE_METHODS = ("cg", "cg-fused", "pcg", "pcg-amg", "pcg-cheb",
+                 "pcg-neumann", "pcg-ic0",
                  "pcg-ssor", "pcg-bjac", "bicgstab", "bicgstab-ilu",
                  "bicgstab-amg", "gmres", "gmres-ilu", "gmres-amg",
                  "minres", "chebyshev")
@@ -854,6 +855,19 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
     if method == "cg":
         xs, res = conjugate_gradient(csr, b, num_iters=iters, spmv=spmv,
                                      tol=tol)
+    elif method == "cg-fused":
+        # The whole fixed-iteration solve inside ONE Pallas launch
+        # (ops/cg_fused.py) — no per-iteration launch or loop overhead.
+        if is_complex:
+            log("ERROR", "--solve cg-fused needs a real SPD system")
+            return 2
+        from smvp_toolkit_tpu.ops.cg_fused import fused_cg
+        from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+        op = sell_op_csr(csr)
+        xs = fused_cg(op, b, iters)
+        r_final = b - op(xs)[: b.shape[0]].astype(b.dtype)
+        res = jnp.linalg.norm(r_final)[None]
     elif method == "pcg":
         xs, res = pcg(csr, b, diagonal(coo), num_iters=iters, spmv=spmv,
                       tol=tol)
@@ -1061,8 +1075,9 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
         f"relative residual {relres:.3e}",
     )
     if not np.isfinite(relres) or relres > 1.0:
-        spd_methods = ("cg", "pcg", "pcg-amg", "pcg-cheb", "pcg-neumann",
-                       "pcg-ic0", "pcg-ssor", "pcg-bjac", "chebyshev")
+        spd_methods = ("cg", "cg-fused", "pcg", "pcg-amg", "pcg-cheb",
+                       "pcg-neumann", "pcg-ic0", "pcg-ssor", "pcg-bjac",
+                       "chebyshev")
         hint = (
             "more iterations, a tighter preconditioner (larger ILU "
             "sweeps), or gmres"

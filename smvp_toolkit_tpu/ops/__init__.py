@@ -23,6 +23,7 @@ from smvp_toolkit_tpu.ops.algebra import (
     add,
     matmul,
 )
+from smvp_toolkit_tpu.ops.cg_fused import fused_cg
 from smvp_toolkit_tpu.ops.ilu import (
     ilu0,
     ic0,
@@ -32,6 +33,7 @@ from smvp_toolkit_tpu.ops.ilu import (
 )
 
 __all__ = [
+    "fused_cg",
     "spmv_coo",
     "spmv_csr",
     "spmv_csr_cumsum",

@@ -934,3 +934,69 @@ def test_relsl_roundtrip():
         rel, exp_rel.reshape(plan.n_chunks, plan.chunk)
     )
     assert np.array_equal(sl, exp_sl)
+
+
+def test_fused_cg_solves_spd():
+    """The fused in-kernel CG (grid = (iters, chunks), solver state in
+    VMEM scratch — ops/cg_fused.py) matches the dense solve and the
+    XLA conjugate_gradient to f32 accuracy, in both metadata layouts."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_models import _spd_coo
+
+    from smvp_toolkit_tpu.ops.cg_fused import fused_cg
+
+    coo, a = _spd_coo(n=300, seed=2)
+    b = np.random.RandomState(3).rand(300).astype(np.float32)
+    op = SellSpMV.from_coo(coo)
+    x = np.asarray(fused_cg(op, jnp.asarray(b), 60))
+    xref = np.linalg.solve(a, b.astype(np.float64))
+    assert np.abs(x - xref).max() / np.abs(xref).max() < 1e-5
+
+
+def test_fused_cg_split_plane_variant(monkeypatch):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_models import _spd_coo
+
+    from smvp_toolkit_tpu.ops.cg_fused import fused_cg
+
+    coo, a = _spd_coo(n=24, seed=0)
+    b = np.random.RandomState(1).rand(24).astype(np.float32)
+    op = SellSpMV.from_coo(coo)
+    x1 = np.asarray(fused_cg(op, jnp.asarray(b), 30))
+    monkeypatch.setenv("SMVP_SELL_RELSL", "0")
+    x2 = np.asarray(fused_cg(op, jnp.asarray(b), 30))
+    xref = np.linalg.solve(a, b.astype(np.float64))
+    assert np.abs(x1 - xref).max() / np.abs(xref).max() < 1e-5
+    assert np.abs(x2 - x1).max() <= 1e-5 * np.abs(x1).max()
+
+
+def test_fused_cg_rejects_rectangular():
+    from smvp_toolkit_tpu.ops.cg_fused import fused_cg
+
+    r, c, v = random_coo(np.random.RandomState(0), 64, 32, 200)
+    op = SellSpMV.from_coo(
+        COOMatrix.from_numpy(r, c, v, shape=(64, 32), pad_to=64)
+    )
+    with pytest.raises(ValueError, match="square"):
+        fused_cg(op, jnp.ones(64), 5)
+
+
+def test_fused_cg_vmem_gate():
+    """Systems whose five (T,128) state vectors exceed the VMEM budget
+    must be rejected with a clear message (the 1M-row attempt crashes
+    the Mosaic compile on real hardware)."""
+    from smvp_toolkit_tpu.formats.coo import COOMatrix
+    from smvp_toolkit_tpu.ops.cg_fused import fused_cg
+
+    n = 600_000
+    rd = np.arange(n, dtype=np.int64)
+    coo = COOMatrix.from_numpy(
+        rd, rd, np.ones(n, np.float32), shape=(n, n), pad_to=512
+    )
+    op = SellSpMV.from_coo(coo)
+    with pytest.raises(ValueError, match="VMEM"):
+        fused_cg(op, jnp.ones(n), 3)
