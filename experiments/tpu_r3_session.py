@@ -57,6 +57,8 @@ def _coo(name):
             cfg = {
                 "synth-10M": dict(n=1_000_000, nnz_per_row=10,
                                   bandwidth=256, seed=0),
+                "synth-10M-dense": dict(n=200_000, nnz_per_row=50,
+                                        bandwidth=256, seed=7),
                 "synth-4M": dict(n=4_000_000, nnz_per_row=6,
                                  bandwidth=192, seed=11),
                 "synth-40k": dict(n=40_000, nnz_per_row=6, bandwidth=64,
