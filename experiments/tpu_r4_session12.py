@@ -32,12 +32,15 @@ s3.RESULTS = RESULTS
 QUICK = os.environ.get("SMVP_SESSION_QUICK") == "1"
 
 
-def run_cell(name, chunk, base_n, env, label):
+def run_cell(name, chunk, base_n, env, label, y_block_rows=None):
     import jax
     import jax.numpy as jnp
 
     from smvp_toolkit_tpu.ops import spmv_pallas as sp
-    from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+    from smvp_toolkit_tpu.ops.sell_plan import (
+        build_sell_plan,
+        build_streamed_sell_plan,
+    )
 
     for k, v in env.items():
         os.environ[k] = v
@@ -46,7 +49,13 @@ def run_cell(name, chunk, base_n, env, label):
             base_n = 2
         coo = s3._coo(name)
         r, c, v = coo.to_numpy()
-        plan = build_sell_plan(r, c, v, coo.shape, chunk=chunk)
+        if y_block_rows:
+            plan = build_streamed_sell_plan(
+                r, c, v, coo.shape, chunk=chunk,
+                y_block_rows=y_block_rows,
+            )
+        else:
+            plan = build_sell_plan(r, c, v, coo.shape, chunk=chunk)
         op = sp.SellSpMV(plan, interpret=None if QUICK else False,
                          value_dtype=jnp.bfloat16)
         rng = np.random.default_rng(0)

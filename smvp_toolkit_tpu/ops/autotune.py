@@ -40,10 +40,14 @@ __all__ = ["RATES", "plan_cost_us", "pick_plan", "calibrate_rates",
 # (experiments/results/autotune_rates.json) was fit to XLA-loop-protocol
 # records, which carry a ~140 µs/ITERATION harness tax on the tunneled
 # dev stack (PERFORMANCE.md) — its absolute terms are inflated, though
-# the chunk ORDERING it predicted matched the loop-protocol sweeps. The
-# production default chunk (2048, spmv_pallas._auto_plan) comes from
-# the honest grid-fused measurements instead; re-fit these RATES from
-# kind="grid-fused3" records before trusting absolute plan_cost_us.
+# the chunk ORDERING it predicted matched the loop-protocol sweeps.
+# The HONEST calibration (experiments/calibrate_gridfused.py, fit to 11
+# clean grid-fused cells) ships as
+# experiments/results/autotune_rates_gridfused.json — mxu_mac_us
+# 1.01e8 (≈ v5e bf16 peak), shuffle 308 Gel/s, grid_step 0.61 µs —
+# and matches the measured best chunk on 3 of 4 matrices (pwt misses
+# by 8% at launch-shadowed sizes). The production default chunk (2048,
+# spmv_pallas._auto_plan) is the measured winner everywhere.
 RATES = {
     "hbm_gb_s": 819.0,          # HBM speed of light
     "mxu_mac_us": 4.0e7,        # sustained MXU MAC/us per DEFAULT pass

@@ -485,7 +485,7 @@ def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
 
 
 def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
-                            packed=False, relsl=False):
+                            packed=False, relsl=False, nsb=0):
     """Grid-fused benchmark kernel: grid = (iterations, n_chunks).
 
     The benchmark's iteration loop lives INSIDE the Mosaic grid instead
@@ -503,8 +503,21 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
     iterations (the reference's x stays cache-resident likewise).
     """
 
+    out_ns = nsb if nsb > 0 else ns
+    out_nsw = min(nsw, out_ns)
+
+    def _init_pred(bases_ref, ch):
+        # Streamed-y: re-zero whenever the prefetched block id advances
+        # (and at every iteration's first chunk). Resident-y: first
+        # chunk only.
+        if nsb > 0:
+            blk = bases_ref[2, ch]
+            prev = bases_ref[2, jnp.maximum(ch - 1, 0)]
+            return jnp.logical_or(ch == 0, blk != prev)
+        return ch == 0
+
     def _body(bases_ref, x_win_fn, vals, lidx, rel, sl_ref, y_ref, ch):
-        @pl.when(ch == 0)
+        @pl.when(_init_pred(bases_ref, ch))
         def _init():
             y_ref[:] = jnp.zeros_like(y_ref)
 
@@ -513,8 +526,8 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
         )
         g = jnp.take_along_axis(table, lidx, axis=1)
         prod = vals * g
-        _reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, ch], ns, nsw,
-                      precision, reduce2)
+        _reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, ch], out_ns,
+                      out_nsw, precision, reduce2)
 
     if packed:
         def _sell_kernel(bases_ref, x_ref, pk_ref, sl_ref, y_ref):
@@ -528,7 +541,7 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
                          y_ref):
             ch = pl.program_id(1)
 
-            @pl.when(ch == 0)
+            @pl.when(_init_pred(bases_ref, ch))
             def _init():
                 y_ref[:] = jnp.zeros_like(y_ref)
 
@@ -543,8 +556,8 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
             g = jnp.take_along_axis(table, lidx_ref[:].astype(jnp.int32),
                                     axis=1)
             prod = val_ref[:].astype(jnp.float32) * g
-            _reduce_store(y_ref, prod, sl_row, bases_ref[1, ch], ns, nsw,
-                          precision, reduce2)
+            _reduce_store(y_ref, prod, sl_row, bases_ref[1, ch], out_ns,
+                          out_nsw, precision, reduce2)
     else:
         def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref,
                          sl_ref, y_ref):
@@ -607,6 +620,45 @@ def _make_sell_kernel_streamy(precision, nsb, nsw, wt, bf16_values,
         )
         prod = val_ref[:].astype(jnp.float32) * g
         _reduce_store(y_ref, prod, sl_ref[0], bases_ref[1, step], nsb, nsw,
+                      precision, reduce2)
+
+    return _sell_kernel
+
+
+def _make_sell_kernel_streamy_relsl(precision, nsb, nsw, wt, bf16_values,
+                                    reduce2, resident_x):
+    """Streamed-y v7 kernel on the 3-stream rel‖slice layout — the
+    flagship configuration at scale: session 19 showed the RESIDENT y
+    block's VMEM pressure blocks DMA/compute overlap past ~0.5M rows
+    (69 vs 46 Gnnz/s at 10M nnz); small streamed y blocks restore it.
+    Slice offsets in the rel‖slice plane are block-LOCAL (the streamed
+    planner's convention)."""
+
+    def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rs_ref, y_ref):
+        step = pl.program_id(0)
+        blk = bases_ref[2, step]
+        prev = bases_ref[2, jnp.maximum(step - 1, 0)]
+
+        @pl.when(jnp.logical_or(step == 0, blk != prev))
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        rs = rs_ref[0]
+        rel_row = jnp.bitwise_and(rs, jnp.int32(_PACK_REL_DEAD))
+        sl_row = jax.lax.shift_right_logical(rs, _RELSL_SL_SHIFT)
+        x_win = (
+            x_ref[pl.ds(pl.multiple_of(bases_ref[0, step], 16), wt), :]
+            if resident_x
+            else x_ref[:]
+        )
+        table = _table_select_t(
+            rel_row, x_win, wt, precision, bf16_values, reduce2
+        )
+        g = jnp.take_along_axis(
+            table, lidx_ref[:].astype(jnp.int32), axis=1
+        )
+        prod = val_ref[:].astype(jnp.float32) * g
+        _reduce_store(y_ref, prod, sl_row, bases_ref[1, step], nsb, nsw,
                       precision, reduce2)
 
     return _sell_kernel
@@ -807,11 +859,49 @@ def _sell_spmv_call(
         # 3-stream launch: vals + lane indices + the rel‖slice plane
         # (the two per-sublane metadata streams merged — see
         # _make_sell_kernel_relsl). 3.03 B/slot at 3 streams.
-        if nsb > 0 or onehot_dense or k != 1:
+        if onehot_dense or k != 1:
             raise ValueError(
-                "relsl plane supports the resident/prefetch SpMV only"
+                "relsl plane supports SpMV launches only"
             )
         rs3 = relsl_plane.reshape(n_chunks, 1, chunk)
+        if nsb > 0:
+            # Streamed-y v7 on the relsl layout (block ids prefetched
+            # via bases[2]; see _make_sell_kernel_streamy_relsl).
+            in_specs = [
+                (
+                    pl.BlockSpec(
+                        (x_tiles.shape[0], LANES), lambda i, b: (0, 0)
+                    )
+                    if resident
+                    else pl.BlockSpec(
+                        (pl.Element(wt), pl.Element(LANES)),
+                        lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
+                    )
+                ),
+                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+                pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda i, b: (i, 0, 0)),
+            ]
+            opnds = (x_tiles, vals, lidx, rs3)
+            check_pallas_args(in_specs, opnds,
+                              label="sell-relsl-streamy")
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_chunks,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (nsb, LANES), lambda i, b: (b[2, i], 0)
+                ),
+            )
+            return pl.pallas_call(
+                _make_sell_kernel_streamy_relsl(
+                    precision, nsb, min(nsw, nsb), wt, bf16_values,
+                    reduce2, resident,
+                ),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+                interpret=interpret,
+            )(bases, *opnds)
         kern = _make_sell_kernel_relsl(
             precision, ns, nsw, wt, bf16_values, reduce2,
             resident=resident,
@@ -1692,8 +1782,6 @@ class SellSpMV:
         resident-y plans only (the benchmark matrices all qualify).
         """
         plan = self.plan
-        if plan.y_block_slices:
-            raise ValueError("bench_loop requires a resident-y plan")
         ncols_pad = plan.n_coltiles * LANES
         x = x.astype(self.value_dtype)
         if x.shape[0] < ncols_pad:
@@ -1725,11 +1813,63 @@ class SellSpMV:
         )
         chunk, nch, ns = plan.chunk, plan.n_chunks, plan.n_slices
         ct = plan.n_coltiles
+        nsb = plan.y_block_slices
         sl3 = self.slice_of.reshape(nch, 1, chunk)
         kern = _make_sell_kernel_bench(
             self.precision, ns, nsw, plan.window_tiles, self._bf16,
-            reduce2, packed=packed, relsl=relsl,
+            reduce2, packed=packed, relsl=relsl, nsb=nsb,
         )
+        if nsb > 0 and packed:
+            raise ValueError(
+                "streamed-y bench_loop supports relsl/split-plane modes"
+            )
+        if nsb > 0:
+            # Streamed-y v7: 2-D grid with scalar-prefetched block ids
+            # driving the output index map; blocks re-write per
+            # iteration (flush on id change, exactly the production
+            # flush-behind).
+            if relsl:
+                in_specs = [
+                    pl.BlockSpec((ct, LANES), lambda it, ch, b: (0, 0)),
+                    pl.BlockSpec((chunk, LANES),
+                                 lambda it, ch, b: (ch, 0)),
+                    pl.BlockSpec((chunk, LANES),
+                                 lambda it, ch, b: (ch, 0)),
+                    pl.BlockSpec((1, 1, chunk),
+                                 lambda it, ch, b: (ch, 0, 0)),
+                ]
+                opnds = (x_tiles, self.vals, self.lidx,
+                         self._relsl().reshape(nch, 1, chunk))
+            else:
+                in_specs = [
+                    pl.BlockSpec((ct, LANES), lambda it, ch, b: (0, 0)),
+                    pl.BlockSpec((chunk, LANES),
+                                 lambda it, ch, b: (ch, 0)),
+                    pl.BlockSpec((chunk, LANES),
+                                 lambda it, ch, b: (ch, 0)),
+                    pl.BlockSpec((chunk, 1), lambda it, ch, b: (ch, 0)),
+                    pl.BlockSpec((1, 1, chunk),
+                                 lambda it, ch, b: (ch, 0, 0)),
+                ]
+                opnds = (x_tiles, self.vals, self.lidx, self.rel_tile,
+                         sl3)
+            check_pallas_args(in_specs, opnds,
+                              label="sell-bench-grid-streamy")
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(iterations, nch),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (nsb, LANES), lambda it, ch, b: (b[2, ch], 0)
+                ),
+            )
+            y = pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+                interpret=self.interpret,
+            )(self.bases, *opnds)
+            return y.reshape(-1)[: self.shape[0]]
         if packed:
             in_specs = [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1851,7 +1991,6 @@ class SellSpMV:
             and plan.window_tiles <= _PACK_WT_MAX
             and plan.n_slices < _RELSL_SL_DEAD
             and not onehot_dense
-            and not plan.y_block_slices
             and (resident or prefetch)
         )
         # Split launch (SMVP_SELL_SPLIT=N): partition the chunk sweep
