@@ -119,6 +119,42 @@ def main() -> int:
         hit = _CACHE.get(id(enc))
         return hit[1].plan if hit is not None else None
 
+    def sell_op_of(enc):
+        """The cached SELL operator behind a pallas wrapper."""
+        from smvp_toolkit_tpu.ops.spmv_pallas import _CACHE
+
+        hit = _CACHE.get(id(enc))
+        return hit[1] if hit is not None else None
+
+    def gridfused_ms(enc, x, nnz):
+        """Grid-fused per-iteration ms on TPU (None off-TPU/unsupported).
+
+        The XLA-loop protocol bench_spmv_fused uses carries a ~140
+        µs/iteration harness tax on the tunneled dev stack
+        (PERFORMANCE.md round-4); the grid-fused slope is the kernel's
+        true steady-state rate. Two points (N, 2N) with 3 fetch-synced
+        samples each — dispatch and one-time costs cancel."""
+        if device.platform != "tpu":
+            return None
+        op = sell_op_of(enc)
+        if op is None:
+            return None
+        base_n = max(200, min(4000, int(2e8 / max(nnz, 1))))
+        try:
+            times = []
+            for n in (base_n, 2 * base_n):
+                f = jax.jit(lambda xx, _n=n: op.bench_loop(xx, _n))
+                np.asarray(f(x))
+                samples = []
+                for _ in range(3):
+                    t0 = _time.perf_counter_ns()
+                    np.asarray(f(x))
+                    samples.append((_time.perf_counter_ns() - t0) / 1e6)
+                times.append(min(samples))
+            return max(times[1] - times[0], 1e-9) / base_n
+        except Exception:
+            return None
+
     for name, coo in matrices.items():
         x = jnp.ones((coo.shape[1],), jnp.float32)
         r, c, v = coo.to_numpy()
@@ -320,6 +356,16 @@ def main() -> int:
                             rec["sell_roofline_frac"] = round(
                                 agbs / hbm_bandwidth_gbs(device), 5
                             )
+                        gf_ms = gridfused_ms(enc, x, coo.nnz)
+                        if gf_ms is not None:
+                            rec["gridfused_avg_ms"] = round(gf_ms, 6)
+                            rec["gridfused_gnnz_per_s"] = round(
+                                coo.nnz / gf_ms / 1e6, 3
+                            )
+                            if ref_ms := REFERENCE_MS.get((name, alg)):
+                                rec["gridfused_vs_reference"] = round(
+                                    ref_ms / gf_ms, 2
+                                )
                     ref_ms = REFERENCE_MS.get((name, alg))
                     if ref_ms:
                         rec["vs_reference"] = round(ref_ms / stats.avg_ms, 2)
