@@ -156,8 +156,13 @@ def _table_select_t(rel_row, x_win, wt, precision, bf16_values, reduce2):
 
 
 def _make_sell_kernel_relsl(precision, ns, nsw, wt, bf16_values, reduce2,
-                            resident=True):
-    """3-stream kernel: vals + lane indices + the rel‖slice plane."""
+                            resident=True, k=1):
+    """3-stream kernel: vals + lane indices + the rel‖slice plane.
+
+    ``k > 1`` is the fused SpMM: x/y widen to ``k*128`` lanes (column j
+    in lanes ``j*128:(j+1)*128``) and the transposed one-hot select and
+    the reduce simply run k× wider — same packing as the split-plane
+    fused SpMM (see the resident variant)."""
 
     def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rs_ref, y_ref):
         step = pl.program_id(0)
@@ -177,9 +182,10 @@ def _make_sell_kernel_relsl(precision, ns, nsw, wt, bf16_values, reduce2,
         table = _table_select_t(
             rel_row, x_win, wt, precision, bf16_values, reduce2
         )
-        g = jnp.take_along_axis(table, lidx_ref[:].astype(jnp.int32),
-                                axis=1)
-        prod = val_ref[:].astype(jnp.float32) * g
+        g = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
+        vals = val_ref[:].astype(jnp.float32)
+        prod = (vals if k == 1
+                else jnp.concatenate([vals] * k, axis=1)) * g
         _reduce_store(y_ref, prod, sl_row, bases_ref[1, step], ns, nsw,
                       precision, reduce2)
 
@@ -485,7 +491,7 @@ def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
 
 
 def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
-                            packed=False, relsl=False, nsb=0):
+                            packed=False, relsl=False, nsb=0, k=1):
     """Grid-fused benchmark kernel: grid = (iterations, n_chunks).
 
     The benchmark's iteration loop lives INSIDE the Mosaic grid instead
@@ -553,9 +559,10 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
                 rel_row, x_ref[pl.ds(xb, wt), :], wt, precision,
                 bf16_values, reduce2,
             )
-            g = jnp.take_along_axis(table, lidx_ref[:].astype(jnp.int32),
-                                    axis=1)
-            prod = val_ref[:].astype(jnp.float32) * g
+            g = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
+            vals = val_ref[:].astype(jnp.float32)
+            prod = (vals if k == 1
+                    else jnp.concatenate([vals] * k, axis=1)) * g
             _reduce_store(y_ref, prod, sl_row, bases_ref[1, ch], out_ns,
                           out_nsw, precision, reduce2)
     else:
@@ -859,9 +866,9 @@ def _sell_spmv_call(
         # 3-stream launch: vals + lane indices + the rel‖slice plane
         # (the two per-sublane metadata streams merged — see
         # _make_sell_kernel_relsl). 3.03 B/slot at 3 streams.
-        if onehot_dense or k != 1:
+        if onehot_dense or (k != 1 and nsb > 0):
             raise ValueError(
-                "relsl plane supports SpMV launches only"
+                "relsl plane: SpMV, fused SpMM, or streamed-y SpMV"
             )
         rs3 = relsl_plane.reshape(n_chunks, 1, chunk)
         if nsb > 0:
@@ -904,13 +911,13 @@ def _sell_spmv_call(
             )(bases, *opnds)
         kern = _make_sell_kernel_relsl(
             precision, ns, nsw, wt, bf16_values, reduce2,
-            resident=resident,
+            resident=resident, k=k,
         )
         if resident:
             ct = x_tiles.shape[0]
             in_specs = [
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # bases
-                pl.BlockSpec((ct, LANES), lambda i: (0, 0)),  # res. x
+                pl.BlockSpec((ct, k * LANES), lambda i: (0, 0)),  # res. x
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((chunk, LANES), lambda i: (i, 0)),
                 pl.BlockSpec((1, 1, chunk), lambda i: (i, 0, 0)),
@@ -921,13 +928,15 @@ def _sell_spmv_call(
                 kern,
                 grid=(n_chunks,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
-                out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+                out_specs=pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct(
+                    (ns, k * LANES), jnp.float32
+                ),
                 interpret=interpret,
             )(*opnds)
         in_specs = [
             pl.BlockSpec(
-                (pl.Element(wt), pl.Element(LANES)),
+                (pl.Element(wt), pl.Element(k * LANES)),
                 lambda i, b: (pl.multiple_of(b[0, i], 16), 0),
             ),
             pl.BlockSpec((chunk, LANES), lambda i, b: (i, 0)),
@@ -940,12 +949,12 @@ def _sell_spmv_call(
             num_scalar_prefetch=1,
             grid=(n_chunks,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((ns, LANES), lambda i, b: (0, 0)),
+            out_specs=pl.BlockSpec((ns, k * LANES), lambda i, b: (0, 0)),
         )
         return pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
         )(bases, *opnds)
     if packed_plane is not None:
@@ -1452,6 +1461,12 @@ class SellSpMV:
             and vals is self.vals
             and plan.window_tiles <= _PACK_WT_MAX
         )
+        relsl = (
+            not packed
+            and os.environ.get("SMVP_SELL_RELSL", "1") == "1"
+            and plan.window_tiles <= _PACK_WT_MAX
+            and plan.n_slices < _RELSL_SL_DEAD
+        )
         y = _sell_spmv_call(
             x_tiles,
             vals.astype(self.value_dtype),
@@ -1473,6 +1488,7 @@ class SellSpMV:
             nsb=0,
             k=kg,
             packed_plane=self._packed() if packed else None,
+            relsl_plane=self._relsl() if relsl else None,
         )  # (NS, kg*LANES)
         return unpack_columns(y, plan.n_slices, kg)[: self.shape[0]]
 
@@ -1769,6 +1785,71 @@ class SellSpMV:
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self._apply(x, self.vals)
+
+    def bench_loop_mat(self, X: jax.Array, iterations: int) -> jax.Array:
+        """N sequential fused SpMMs in ONE launch (grid-fused, k-wide).
+
+        The SpMM twin of :meth:`bench_loop`: Y = A·X recomputed each
+        iteration inside the Mosaic grid, planes re-streamed per
+        iteration, X resident in the fused lane layout. relsl layout,
+        resident-x/-y plans only.
+        """
+        plan = self.plan
+        if plan.y_block_slices:
+            raise ValueError("bench_loop_mat requires a resident-y plan")
+        kg = int(X.shape[1])
+        if kg == 1:
+            return self.bench_loop(X[:, 0], iterations)[:, None]
+        if not (
+            os.environ.get("SMVP_SELL_RELSL", "1") == "1"
+            and plan.window_tiles <= _PACK_WT_MAX
+            and plan.n_slices < _RELSL_SL_DEAD
+        ):
+            raise ValueError("bench_loop_mat runs the relsl layout only")
+        ncols_pad = plan.n_coltiles * LANES
+        X = X.astype(self.value_dtype)
+        if X.shape[0] < ncols_pad:
+            X = jnp.pad(X, ((0, ncols_pad - X.shape[0]), (0, 0)))
+        x_tiles = pack_columns(X, plan.n_coltiles, kg)
+        if (plan.n_coltiles * kg * LANES * x_tiles.dtype.itemsize
+                > _RESIDENT_X_LIMIT):
+            raise ValueError("bench_loop_mat requires a VMEM-resident X")
+        reduce2 = os.environ.get(
+            "SMVP_SELL_REDUCE2", "1" if self._bf16 else "0"
+        ) == "1"
+        if os.environ.get("SMVP_SELL_REDUCE1") == "1":
+            reduce2 = "1pass"
+        nsw = (
+            plan.n_slices
+            if os.environ.get("SMVP_SELL_NOWINDOW") == "1"
+            else self.nsw
+        )
+        chunk, nch, ns = plan.chunk, plan.n_chunks, plan.n_slices
+        ct = plan.n_coltiles
+        kern = _make_sell_kernel_bench(
+            self.precision, ns, nsw, plan.window_tiles, self._bf16,
+            reduce2, relsl=True, k=kg,
+        )
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ct, kg * LANES), lambda it, ch: (0, 0)),
+            pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+            pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda it, ch: (ch, 0, 0)),
+        ]
+        opnds = (self.bases, x_tiles, self.vals, self.lidx,
+                 self._relsl().reshape(nch, 1, chunk))
+        check_pallas_args(in_specs[1:], opnds[1:],
+                          label="sell-bench-grid-spmm")
+        y = pl.pallas_call(
+            kern,
+            grid=(iterations, nch),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ns, kg * LANES), lambda it, ch: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((ns, kg * LANES), jnp.float32),
+            interpret=self.interpret,
+        )(*opnds)
+        return unpack_columns(y, ns, kg)[: self.shape[0]]
 
     def bench_loop(self, x: jax.Array, iterations: int) -> jax.Array:
         """N sequential SpMVs in ONE launch: grid = (iterations, chunks).

@@ -277,3 +277,29 @@ def test_spmm_edge_training_gradients():
     ref = (np.asarray(W17, np.float64)[r]
            * np.asarray(X17, np.float64)[c]).sum(axis=1)
     np.testing.assert_allclose(gvm, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_relsl_layout_and_gridfused_bench(monkeypatch):
+    """The fused SpMM on the relsl layout (the default) is bit-exact vs
+    the split-plane launch, and bench_loop_mat's final Y matches one
+    matmat call."""
+    import os as _os
+    import sys
+
+    sys.path.insert(0, _os.path.dirname(__file__))
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.ops.spmv_pallas import SellSpMV
+
+    coo = read_mtx("/root/reference/sample-data/memplus.mtx")
+    rng = np.random.RandomState(31)
+    X = jnp.asarray(rng.randn(coo.shape[1], 8).astype(np.float32))
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    base = np.asarray(op.matmat(X))
+    monkeypatch.setenv("SMVP_SELL_RELSL", "0")
+    assert np.array_equal(np.asarray(op.matmat(X)), base)
+    monkeypatch.delenv("SMVP_SELL_RELSL")
+    assert np.array_equal(np.asarray(op.bench_loop_mat(X, 2)), base)
