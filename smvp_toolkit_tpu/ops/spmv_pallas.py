@@ -491,7 +491,8 @@ def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
 
 
 def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
-                            packed=False, relsl=False, nsb=0, k=1):
+                            packed=False, relsl=False, nsb=0, k=1,
+                            resident=True):
     """Grid-fused benchmark kernel: grid = (iterations, n_chunks).
 
     The benchmark's iteration loop lives INSIDE the Mosaic grid instead
@@ -554,9 +555,13 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
             rs = rs_ref[0]
             rel_row = jnp.bitwise_and(rs, jnp.int32(_PACK_REL_DEAD))
             sl_row = jax.lax.shift_right_logical(rs, _RELSL_SL_SHIFT)
-            xb = pl.multiple_of(bases_ref[0, ch], 16)
+            if resident:
+                xb = pl.multiple_of(bases_ref[0, ch], 16)
+                x_win = x_ref[pl.ds(xb, wt), :]
+            else:
+                x_win = x_ref[:]  # scalar-prefetch (wt, k*128) window
             table = _table_select_t(
-                rel_row, x_ref[pl.ds(xb, wt), :], wt, precision,
+                rel_row, x_win, wt, precision,
                 bf16_values, reduce2,
             )
             g = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
@@ -1811,9 +1816,10 @@ class SellSpMV:
         if X.shape[0] < ncols_pad:
             X = jnp.pad(X, ((0, ncols_pad - X.shape[0]), (0, 0)))
         x_tiles = pack_columns(X, plan.n_coltiles, kg)
-        if (plan.n_coltiles * kg * LANES * x_tiles.dtype.itemsize
-                > _RESIDENT_X_LIMIT):
-            raise ValueError("bench_loop_mat requires a VMEM-resident X")
+        resident = (
+            plan.n_coltiles * kg * LANES * x_tiles.dtype.itemsize
+            <= _RESIDENT_X_LIMIT
+        )
         reduce2 = os.environ.get(
             "SMVP_SELL_REDUCE2", "1" if self._bf16 else "0"
         ) == "1"
@@ -1828,27 +1834,59 @@ class SellSpMV:
         ct = plan.n_coltiles
         kern = _make_sell_kernel_bench(
             self.precision, ns, nsw, plan.window_tiles, self._bf16,
-            reduce2, relsl=True, k=kg,
+            reduce2, relsl=True, k=kg, resident=resident,
         )
+        rs3 = self._relsl().reshape(nch, 1, chunk)
+        if resident:
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((ct, kg * LANES), lambda it, ch: (0, 0)),
+                pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda it, ch: (ch, 0, 0)),
+            ]
+            opnds = (self.bases, x_tiles, self.vals, self.lidx, rs3)
+            check_pallas_args(in_specs[1:], opnds[1:],
+                              label="sell-bench-grid-spmm")
+            y = pl.pallas_call(
+                kern,
+                grid=(iterations, nch),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((ns, kg * LANES),
+                                       lambda it, ch: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((ns, kg * LANES),
+                                               jnp.float32),
+                interpret=self.interpret,
+            )(*opnds)
+            return unpack_columns(y, ns, kg)[: self.shape[0]]
+        # > VMEM X: per-chunk scalar-prefetch windows (the production
+        # fused-SpMM mode at scale) — X stays in HBM, each (wt, k*128)
+        # window is DMA'd per chunk per iteration.
         in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ct, kg * LANES), lambda it, ch: (0, 0)),
-            pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
-            pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda it, ch: (ch, 0, 0)),
+            pl.BlockSpec(
+                (pl.Element(plan.window_tiles), pl.Element(kg * LANES)),
+                lambda it, ch, b: (pl.multiple_of(b[0, ch], 16), 0),
+            ),
+            pl.BlockSpec((chunk, LANES), lambda it, ch, b: (ch, 0)),
+            pl.BlockSpec((chunk, LANES), lambda it, ch, b: (ch, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda it, ch, b: (ch, 0, 0)),
         ]
-        opnds = (self.bases, x_tiles, self.vals, self.lidx,
-                 self._relsl().reshape(nch, 1, chunk))
-        check_pallas_args(in_specs[1:], opnds[1:],
-                          label="sell-bench-grid-spmm")
-        y = pl.pallas_call(
-            kern,
+        opnds = (x_tiles, self.vals, self.lidx, rs3)
+        check_pallas_args(in_specs, opnds,
+                          label="sell-bench-grid-spmm-prefetch")
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(iterations, nch),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((ns, kg * LANES), lambda it, ch: (0, 0)),
+            out_specs=pl.BlockSpec((ns, kg * LANES),
+                                   lambda it, ch, b: (0, 0)),
+        )
+        y = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, kg * LANES), jnp.float32),
             interpret=self.interpret,
-        )(*opnds)
+        )(self.bases, *opnds)
         return unpack_columns(y, ns, kg)[: self.shape[0]]
 
     def bench_loop(self, x: jax.Array, iterations: int) -> jax.Array:
