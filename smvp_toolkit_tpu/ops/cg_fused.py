@@ -50,6 +50,7 @@ from smvp_toolkit_tpu.ops.sell_plan import LANES
 from smvp_toolkit_tpu.ops.spmv_pallas import (
     _PACK_REL_DEAD,
     _RELSL_SL_SHIFT,
+    _mosaic_kwargs,
     _reduce_store,
     _table_select,
     _table_select_t,
@@ -150,16 +151,21 @@ def fused_cg(op: SellSpMV, b: jax.Array, num_iters: int) -> jax.Array:
     # has no nnz there), so the dot products are unaffected.
     t_tiles = max(ns, ct)
     # VMEM gate: b + x + r + p + q are five (T, 128) f32 residents next
-    # to the double-buffered plane blocks — past ~460k rows the kernel
-    # no longer fits a 16 MB v5e core (the 1M-row attempt crashes the
-    # Mosaic compile). Large systems keep the scan-loop CG, whose state
-    # lives in HBM.
+    # to the double-buffered plane blocks — past ~460k rows they exceed
+    # Mosaic's DEFAULT VMEM budget and the compile crashes. Raising the
+    # budget un-gates larger systems: SMVP_SELL_VMEM_MB=100 runs the
+    # 1M-row solve (20 MB state) at 2.9x the scan-loop CG on v5e
+    # (measured, session 22 — the chip's physical VMEM exceeds the
+    # default budget). Past that, the scan-loop CG (state in HBM) is
+    # the fallback.
     state_bytes = 5 * t_tiles * LANES * 4
-    if state_bytes > 9 * 2**20:
+    budget = int(os.environ.get("SMVP_SELL_VMEM_MB", "0")) * 2**20
+    if state_bytes > max(9 * 2**20, budget - 4 * 2**20):
         raise ValueError(
             f"fused_cg state ({state_bytes/2**20:.0f} MB for "
-            f"{n} rows) exceeds the VMEM budget — use "
-            "models.conjugate_gradient for systems past ~460k rows"
+            f"{n} rows) exceeds the VMEM budget — raise "
+            "SMVP_SELL_VMEM_MB (100 runs 1M rows on v5e) or use "
+            "models.conjugate_gradient"
         )
     reduce2 = os.environ.get(
         "SMVP_SELL_REDUCE2", "1" if op._bf16 else "0"
@@ -216,5 +222,6 @@ def fused_cg(op: SellSpMV, b: jax.Array, num_iters: int) -> jax.Array:
             pltpu.VMEM((t_tiles, LANES), jnp.float32),  # q
         ],
         interpret=op.interpret,
+        **_mosaic_kwargs(),
     )(*opnds)
     return x.reshape(-1)[:n]

@@ -50,6 +50,23 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
+def _mosaic_kwargs() -> dict:
+    """Optional pallas_call kwargs from SMVP_SELL_VMEM_MB.
+
+    Mosaic's default VMEM budget can sit below the physical VMEM;
+    raising it restores input double-buffering for launches whose
+    resident blocks + intermediates crowd the default (the overlap
+    question of PERFORMANCE.md sessions 17-20)."""
+    mb = os.environ.get("SMVP_SELL_VMEM_MB")
+    if not mb:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=int(mb) * 2**20
+        )
+    }
+
+
 def _table_select(rel, x_win, wt, precision, bf16_values, reduce2):
     """One-hot select of each sublane's 128-wide x tile (MXU matmul).
 
@@ -810,6 +827,7 @@ def _sell_vals_grad_call(
                 (n_chunks * chunk, LANES), jnp.float32
             ),
             interpret=interpret,
+            **_mosaic_kwargs(),
         )(*opnds)
     ct = x_tiles.shape[0]
     in_specs = [
@@ -832,6 +850,7 @@ def _sell_vals_grad_call(
             (n_chunks * chunk, LANES), jnp.float32
         ),
         interpret=interpret,
+        **_mosaic_kwargs(),
     )(*opnds)
 
 
@@ -913,6 +932,7 @@ def _sell_spmv_call(
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
                 interpret=interpret,
+                **_mosaic_kwargs(),
             )(bases, *opnds)
         kern = _make_sell_kernel_relsl(
             precision, ns, nsw, wt, bf16_values, reduce2,
@@ -938,6 +958,7 @@ def _sell_spmv_call(
                     (ns, k * LANES), jnp.float32
                 ),
                 interpret=interpret,
+                **_mosaic_kwargs(),
             )(*opnds)
         in_specs = [
             pl.BlockSpec(
@@ -961,6 +982,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
+            **_mosaic_kwargs(),
         )(bases, *opnds)
     if packed_plane is not None:
         # Packed-plane launch (bf16 values; val‖rel‖lidx in one int32
@@ -1008,6 +1030,7 @@ def _sell_spmv_call(
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
                 interpret=interpret,
+                **_mosaic_kwargs(),
             )(bases, *opnds)
         if resident:
             ct = x_tiles.shape[0]
@@ -1028,6 +1051,7 @@ def _sell_spmv_call(
                     (ns, k * LANES), jnp.float32
                 ),
                 interpret=interpret,
+                **_mosaic_kwargs(),
             )(*opnds)
         in_specs = [
             pl.BlockSpec(
@@ -1050,6 +1074,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
+            **_mosaic_kwargs(),
         )(bases, *opnds)
     if nsb > 0:
         # v7 flush-behind: y streams through VMEM one (nsb, 128) block
@@ -1092,6 +1117,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
+            **_mosaic_kwargs(),
         )(bases, *opnds)
     if onehot_dense:
         # Compatibility mode: build the one-hot planes with XLA outside
@@ -1136,6 +1162,7 @@ def _sell_spmv_call(
             out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
+            **_mosaic_kwargs(),
         )(*opnds)
     if resident:
         ct = x_tiles.shape[0]
@@ -1158,6 +1185,7 @@ def _sell_spmv_call(
             out_specs=pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
+            **_mosaic_kwargs(),
         )(*opnds)
 
     if prefetch:
@@ -1189,6 +1217,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
+            **_mosaic_kwargs(),
         )(bases, *opnds)
 
     # Fallback: per-chunk x windows as a handful of overlapping dynamic
@@ -1220,6 +1249,7 @@ def _sell_spmv_call(
         out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
         interpret=interpret,
+        **_mosaic_kwargs(),
     )(*opnds)
 
 
@@ -1381,6 +1411,7 @@ class SellSpMV:
             self._t_op = SellSpMV(
                 plan_t,
                 interpret=self.interpret,
+                **_mosaic_kwargs(),
                 precision=self.precision,
                 value_dtype=self.value_dtype,
                 _triplets=(c, r, v),
@@ -1584,6 +1615,7 @@ class SellSpMV:
             nsw=self.nsw,
             wt=plan.window_tiles,
             interpret=self.interpret,
+            **_mosaic_kwargs(),
             precision=self.precision,
             resident=resident,
             bf16_values=self.value_dtype == jnp.dtype(jnp.bfloat16),
@@ -1647,6 +1679,7 @@ class SellSpMV:
             nsw=self.nsw,
             wt=plan.window_tiles,
             interpret=self.interpret,
+            **_mosaic_kwargs(),
             precision=self.precision,
             resident=resident,
             bf16_values=self.value_dtype == jnp.dtype(jnp.bfloat16),
@@ -1857,6 +1890,7 @@ class SellSpMV:
                 out_shape=jax.ShapeDtypeStruct((ns, kg * LANES),
                                                jnp.float32),
                 interpret=self.interpret,
+                **_mosaic_kwargs(),
             )(*opnds)
             return unpack_columns(y, ns, kg)[: self.shape[0]]
         # > VMEM X: per-chunk scalar-prefetch windows (the production
@@ -1886,6 +1920,7 @@ class SellSpMV:
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, kg * LANES), jnp.float32),
             interpret=self.interpret,
+            **_mosaic_kwargs(),
         )(self.bases, *opnds)
         return unpack_columns(y, ns, kg)[: self.shape[0]]
 
@@ -1987,6 +2022,7 @@ class SellSpMV:
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
                 interpret=self.interpret,
+                **_mosaic_kwargs(),
             )(self.bases, *opnds)
             return y.reshape(-1)[: self.shape[0]]
         if packed:
@@ -2027,6 +2063,7 @@ class SellSpMV:
             out_specs=pl.BlockSpec((ns, LANES), lambda it, ch: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=self.interpret,
+            **_mosaic_kwargs(),
         )(*opnds)
         return y.reshape(-1)[: self.shape[0]]
 
