@@ -39,8 +39,8 @@ from tpu_r4_session import RESULTS, _record
 s3.RESULTS = RESULTS
 QUICK = os.environ.get("SMVP_SESSION_QUICK") == "1"
 
-VARIANTS = ("full", "no-reduce", "no-gather", "no-table", "no-unpack",
-            "stream")
+VARIANTS = ("full", "full-assign", "no-reduce", "no-gather", "no-table",
+            "no-unpack", "stream")
 
 
 def build(variant, op):
@@ -57,7 +57,7 @@ def build(variant, op):
     LANES = 128
     reduce2 = True  # bf16 default ladder
     precision = op.precision
-    small_out = variant != "full"
+    small_out = variant not in ("full", "full-assign")
 
     def kern(bases_ref, x_ref, val_ref, lidx_ref, rs_ref, y_ref):
         it, ch = pl.program_id(0), pl.program_id(1)
@@ -102,6 +102,13 @@ def build(variant, op):
         if variant == "full":
             sp._reduce_store(y_ref, prod, sl_row, bases_ref[1, ch], ns,
                              nsw, precision, reduce2)
+        elif variant == "full-assign":
+            # Same reduce compute, but STORE instead of accumulate at
+            # the window (wrong result by design — isolates the y RMW).
+            sb = pl.multiple_of(bases_ref[1, ch], 8)
+            y_ref[pl.ds(sb, nsw), :] = sp._seg_reduce(
+                prod, sl_row, sb, nsw, precision, reduce2
+            )
         else:
             y_ref[:] += prod[0:8, :]
 
