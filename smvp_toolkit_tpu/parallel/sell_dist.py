@@ -39,6 +39,7 @@ from smvp_toolkit_tpu.parallel.mesh import DP_AXIS
 
 __all__ = [
     "ShardedSell", "shard_sell", "shard_sell_transpose",
+    "bench_loop_sharded",
     "spmv_sell_sharded", "spmm_sell_sharded", "spmm_sell_sharded_t",
     "differentiable_spmm_sharded",
 ]
@@ -373,6 +374,74 @@ def _reduce2_default(sh: ShardedSell) -> bool:
         "SMVP_SELL_REDUCE2",
         "1" if sh.vals.dtype == jnp.bfloat16 else "0",
     ) == "1"
+
+
+def bench_loop_sharded(sh: ShardedSell, x: jax.Array, mesh: Mesh,
+                       iterations: int) -> jax.Array:
+    """N sequential sharded SpMVs in ONE launch per device.
+
+    The shard_map twin of ``SellSpMV.bench_loop`` (grid-fused benchmark
+    protocol, PERFORMANCE.md round-4): every device runs its local
+    grid = (N, n_chunks) sweep, y re-zeroed per iteration, planes
+    re-streamed per iteration. relsl layout, resident x. Returns the
+    final global y.
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from smvp_toolkit_tpu.ops.spmv_pallas import (
+        _make_sell_kernel_bench,
+        _mosaic_kwargs,
+    )
+
+    if sh.relsl is None:
+        raise ValueError("bench_loop_sharded needs the relsl plane")
+    ncols_pad = sh.CT * LANES
+    x = x.astype(sh.vals.dtype)
+    if x.shape[0] < ncols_pad:
+        x = jnp.pad(x, (0, ncols_pad - x.shape[0]))
+    x_tiles = x.reshape(sh.CT, LANES)
+    interpret = _use_interpret()
+    n_chunks = sh.S // sh.chunk
+    bf16 = sh.vals.dtype == jnp.bfloat16
+    reduce2 = _reduce2_default(sh)
+    nsw = sh.slice_window if sh.slice_window > 0 else sh.NSl
+    kern = _make_sell_kernel_bench(
+        jax.lax.Precision.HIGHEST, sh.NSl, nsw, sh.WT, bf16, reduce2,
+        relsl=True,
+    )
+    chunk, ct, nsl = sh.chunk, sh.CT, sh.NSl
+
+    def local(vals, lidx, tbase, rs, xt):
+        y = pl.pallas_call(
+            kern,
+            grid=(iterations, n_chunks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((ct, LANES), lambda it, ch: (0, 0)),
+                pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
+                pl.BlockSpec((1, 1, chunk), lambda it, ch: (ch, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((nsl, LANES), lambda it, ch: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nsl, LANES), jnp.float32),
+            interpret=interpret,
+            **_mosaic_kwargs(),
+        )(tbase[0], xt, vals[0], lidx[0],
+          rs[0].reshape(n_chunks, 1, chunk))
+        return y[None]
+
+    y_blocks = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P()),
+        out_specs=P(DP_AXIS),
+        check_vma=False,
+    )(sh.vals, sh.lidx, sh.tile_base, sh.relsl, x_tiles)
+    ns_true = sh.rows_per_shard // LANES
+    y = y_blocks[:, :ns_true, :].reshape(-1)
+    return y[: sh.shape[0]]
 
 
 def _spmm_group(NSl: int, CT: int, itemsize: int) -> int:

@@ -740,3 +740,30 @@ def test_sharded_spmm_escape_hatches(monkeypatch):
 
     monkeypatch.setattr(spp, "_RESIDENT_Y_LIMIT", 1024)
     check()
+
+
+def test_bench_loop_sharded_matches_spmv():
+    """The grid-fused sharded benchmark runner's final y equals one
+    spmv_sell_sharded apply (same per-device relsl kernels)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+    from smvp_toolkit_tpu.parallel.sell_dist import (
+        bench_loop_sharded,
+        shard_sell,
+        spmv_sell_sharded,
+    )
+
+    coo = read_mtx("/root/reference/sample-data/memplus.mtx")
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
+    sh = shard_sell(coo, mesh, value_dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.RandomState(5).randn(coo.shape[1]).astype(np.float32)
+    )
+    y1 = np.asarray(spmv_sell_sharded(sh, x, mesh))
+    assert np.array_equal(
+        np.asarray(bench_loop_sharded(sh, x, mesh, 3)), y1
+    )
