@@ -19,7 +19,9 @@ The slot-rate law (throughput ~= occupancy x 135 Gslot/s at
 c2048-relsl) converts any occupancy win directly into a predicted
 rate; a winner is then validated by ONE grid-fused TPU cell.
 
-Run: PYTHONPATH=/root/repo python experiments/colperm_probe.py
+Run: PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python experiments/colperm_probe.py
+(JAX_PLATFORMS=cpu because the loader's COOMatrix.pad touches jnp and
+the default axon platform needs the tunnel plugin on PYTHONPATH.)
 """
 
 import os
@@ -67,6 +69,11 @@ def true_sublanes(r, c, ncols):
     rs = np.where(~same, idx, 0)
     np.maximum.accumulate(rs, out=rs)
     dup = idx - rs
+    # Bit-packed key field widths: dup 16b, slice 24b — assert instead
+    # of silently colliding on pathological inputs.
+    assert (len(dup) == 0 or int(dup.max()) < (1 << 16)) and (
+        len(sl) == 0 or int(sl.max()) < (1 << 24)
+    ), "true_sublanes key fields overflow; widen the packing"
     key = (tl[order] << 40) | (sl[order] << 16) | dup
     return len(np.unique(key))
 
@@ -124,9 +131,12 @@ def col_minrow_perm(r, c, ncols):
     return inv
 
 
-def pack_bound(r, nnz):
-    """Absolute sublane lower bound for this row partition: each
-    sublane holds <= 128 entries of one slice."""
+def pack_bound(r):
+    """Sublane lower bound for this row partition from slice nnz alone:
+    each sublane holds <= 128 entries of one slice. NOTE (round 5):
+    this omits the per-row degree term — all entries of one row sit at
+    one lane, so a slice also needs >= max-row-degree sublanes; see
+    experiments/occ_analysis.py for the sharper bound."""
     sl = (r >> 7).astype(np.int64)
     per = np.bincount(sl)
     return int(np.sum(-(-per // 128)))
@@ -138,7 +148,7 @@ def main():
         r, c, v, shape = load(name)
         nnz = len(r)
         nat = plan_stats(r, c, v, shape)
-        lb = pack_bound(r, nnz)
+        lb = pack_bound(r)
         rows = [("natural", nat)]
         for tag, mk in (("col-sig", col_sig_perm),
                         ("col-minrow", col_minrow_perm)):

@@ -31,6 +31,25 @@ if os.environ.get("SMVP_TESTS_TPU") != "1":
 
 SAMPLE_DIR = "/root/reference/sample-data"
 
+
+def pytest_sessionstart(session):
+    """Build the native fast-path libraries before collecting tests.
+
+    A fresh checkout has no ``native/*.so``; round 4 shipped with 30+
+    native tests silently skipping because nothing ran ``make``. Build
+    here (a few seconds, once) and FAIL LOUDLY if anything is still
+    missing — skip-on-missing now only covers deliberately disabled
+    builds (``SMVP_NO_NATIVE_BUILD=1``).
+    """
+    from smvp_toolkit_tpu.native import ensure_native
+
+    missing, out = ensure_native()
+    if missing and os.environ.get("SMVP_NO_NATIVE_BUILD") != "1":
+        raise pytest.UsageError(
+            "native libraries missing after build attempt: "
+            f"{', '.join(missing)}\n{out[-2000:]}"
+        )
+
 SAMPLES_SMALL = ["ibm32.mtx", "curtis54.mtx", "pdp08-pg4.mtx"]
 SAMPLES_LARGE = ["memplus.mtx", "pwt.mtx"]
 SAMPLES_ALL = SAMPLES_SMALL + SAMPLES_LARGE
