@@ -2393,3 +2393,81 @@ def spmv_cisr_pallas(cisr, x: jax.Array) -> jax.Array:
     ``spmv_cisr.py``.
     """
     return _cached_op(cisr, _triplets_from_cisr_host)(x)
+
+
+class CoClusteredSellSpMV:
+    """SELL-T1 operator on jointly co-clustered coordinates.
+
+    The co-clustering planner (ops/cocluster.py) re-derives the
+    row->slice and col->tile assignments jointly, lifting occupancy —
+    the linear factor of kernel throughput — beyond what any natural-
+    order plan can reach. The price is a coordinate change: the inner
+    kernel computes y' = A'·x' where x' = scatter(x, col_map) and
+    y = y'[row_map].
+
+    Fast path (solvers, benchmarks): stay in PERMUTED space via
+    ``to_permuted`` / ``from_permuted`` at the boundaries and call
+    ``inner`` (or ``bench_loop``) directly — zero per-iteration
+    conversion cost, exactly the SELL-C-sigma preprocessing contract.
+    Convenience path: ``__call__`` takes/returns natural coordinates
+    (pays one device gather + scatter per call).
+
+    Capability accelerated: the reference CSR hot loop
+    (main-cli.c:410-416).
+    """
+
+    def __init__(self, coo: COOMatrix, value_dtype=None, chunk: int = 2048,
+                 interpret: bool | None = None, **cocluster_kw):
+        from smvp_toolkit_tpu.ops.cocluster import cocluster_plan
+
+        r, c, v = coo.to_numpy()
+        out = cocluster_plan(
+            np.asarray(r, np.int64), np.asarray(c, np.int64), v,
+            coo.shape, chunk=chunk, **cocluster_kw,
+        )
+        if out is None:
+            raise RuntimeError(
+                "co-clustering needs native/libcocluster.so (run make -C "
+                "smvp_toolkit_tpu/native)"
+            )
+        self.result, plan = out
+        self.shape = coo.shape  # NATURAL shape (inner.shape is padded)
+        self.inner = SellSpMV(
+            plan, value_dtype=value_dtype, interpret=interpret,
+            _triplets=(
+                self.result.row_map[np.asarray(r, np.int64)],
+                self.result.col_map[np.asarray(c, np.int64)],
+                v,
+            ),
+        )
+        with jax.ensure_compile_time_eval():
+            self._col_map = jnp.asarray(self.result.col_map)
+            self._row_map = jnp.asarray(self.result.row_map)
+
+    @property
+    def occupancy(self) -> float:
+        return self.inner.plan.nnz / float(self.inner.plan.slots())
+
+    def to_permuted(self, x: jax.Array) -> jax.Array:
+        """Natural x -> permuted/padded x' (one device scatter)."""
+        m_pad = self.result.shape_padded[1]
+        return jnp.zeros((m_pad,) + x.shape[1:], x.dtype).at[
+            self._col_map
+        ].set(x[: self.shape[1]])
+
+    def from_permuted(self, y: jax.Array) -> jax.Array:
+        """Permuted y' -> natural y (one device gather)."""
+        return y[self._row_map]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.from_permuted(self.inner(self.to_permuted(x)))
+
+    def bench_loop(self, x_permuted: jax.Array, iterations: int):
+        """Grid-fused benchmark loop in permuted coordinates."""
+        return self.inner.bench_loop(x_permuted, iterations)
+
+
+def sell_op_coo_coclustered(coo: COOMatrix, **kw) -> CoClusteredSellSpMV:
+    """Co-clustered SELL operator for a concrete COO matrix (host
+    planning + refinement; no device compile)."""
+    return CoClusteredSellSpMV(coo, **kw)

@@ -1,0 +1,178 @@
+"""Joint row x column co-clustering: objective, maps, and SpMV parity.
+
+The co-clustering planner exists to raise SELL occupancy (the linear
+throughput factor of the slot-rate law); these tests pin down (a) the
+native objective against a numpy recomputation, (b) map invariants,
+(c) bit-consistent SpMV in permuted coordinates, and (d) that the
+refinement actually improves the benchmark matrices it was built for.
+"""
+
+import numpy as np
+import pytest
+
+from smvp_toolkit_tpu.formats.coo import COOMatrix
+from smvp_toolkit_tpu.ops.cocluster import (
+    cocluster,
+    cocluster_objective,
+    cocluster_plan,
+)
+
+from conftest import SAMPLE_DIR, random_coo
+
+LANES = 128
+
+pytestmark = pytest.mark.skipif(
+    cocluster_objective(
+        np.array([0], dtype=np.int64), np.array([0], dtype=np.int64), (1, 1)
+    )
+    is None,
+    reason="native libcocluster.so not built",
+)
+
+
+def numpy_objective(rows, cols, n, m, row_assign, col_assign):
+    """Reference S_true: sum over (slice, tile) cells of max per-row
+    entry count."""
+    s = row_assign[rows].astype(np.int64)
+    t = col_assign[cols].astype(np.int64)
+    nt = int(col_assign.max()) + 1
+    # count per (slice, tile, row)
+    key = (s * nt + t) * (n + 1) + rows
+    _, counts = np.unique(key, return_counts=True)
+    u_cell = np.unique(key // (n + 1), return_index=False)
+    # max per cell
+    cell_of = np.unique(key, return_index=False) // (n + 1)
+    _, inv = np.unique(cell_of, return_inverse=True)
+    mx = np.zeros(len(u_cell), dtype=np.int64)
+    np.maximum.at(mx, inv, counts)
+    return int(mx.sum())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_objective_matches_numpy(seed):
+    rng = np.random.RandomState(seed)
+    r, c, v = random_coo(rng, 700, 500, 4000, allow_duplicates=True)[:3]
+    r = r.astype(np.int64)
+    c = c.astype(np.int64)
+    ra = rng.randint(0, 9, size=700).astype(np.int32)
+    ca = rng.randint(0, 7, size=500).astype(np.int32)
+    native = cocluster_objective(r, c, (700, 500), ra, ca)
+    assert native == numpy_objective(r, c, 700, 500, ra, ca)
+
+
+def test_natural_objective_equals_plan_sublanes():
+    """S_true of the natural assignment == the planner's true sublane
+    count (the objective IS the quantity the plan pays for)."""
+    from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+
+    rng = np.random.RandomState(3)
+    r, c, v = random_coo(rng, 900, 900, 6000)[:3]
+    r = r.astype(np.int64)
+    c = c.astype(np.int64)
+    s = cocluster_objective(r, c, (900, 900))
+    plan = build_sell_plan(r, c, np.ones(len(r), np.float32), (900, 900),
+                           chunk=8, allow_small_chunk=True)
+    # plan pads S to the chunk; compare against the unpadded count
+    live = int((plan.slice_of >= 0).sum())
+    assert s == live
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_maps_are_injective_and_improve(seed):
+    rng = np.random.RandomState(seed)
+    r, c, v = random_coo(rng, 1500, 1200, 20000, allow_duplicates=True)[:3]
+    r = r.astype(np.int64)
+    c = c.astype(np.int64)
+    res = cocluster(r, c, (1500, 1200), passes=6)
+    assert res is not None
+    assert len(np.unique(res.row_map)) == 1500
+    assert len(np.unique(res.col_map)) == 1200
+    assert res.row_map.max() < res.shape_padded[0]
+    assert res.col_map.max() < res.shape_padded[1]
+    # slices/tiles respect capacity
+    assert np.bincount(res.row_map // LANES).max() <= LANES
+    assert np.bincount(res.col_map // LANES).max() <= LANES
+    assert res.s_true <= res.s_true_natural
+    # objective agrees with an independent recomputation on the maps
+    ra = (res.row_map // LANES).astype(np.int32)
+    ca = (res.col_map // LANES).astype(np.int32)
+    assert res.s_true == cocluster_objective(
+        r, c, (1500, 1200), ra, ca
+    )
+
+
+def test_spmv_parity_permuted_coordinates():
+    """SpMV through the co-clustered plan == dense oracle (f32)."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.ops.spmv_pallas import CoClusteredSellSpMV
+
+    rng = np.random.RandomState(7)
+    r, c, v = random_coo(rng, 600, 450, 5000)[:3]
+    vals = rng.randn(len(r)).astype(np.float32)
+    coo = COOMatrix.from_numpy(r, c, vals, shape=(600, 450))
+    op = CoClusteredSellSpMV(coo, passes=4)
+    x = rng.randn(450).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    oracle = np.zeros(600, dtype=np.float64)
+    np.add.at(oracle, r, vals.astype(np.float64) * x[c])
+    assert np.abs(y - oracle).max() <= 1e-4 * (np.abs(oracle).max() + 1)
+
+
+def test_permuted_space_roundtrip():
+    """to_permuted / from_permuted match the host maps exactly; the
+    padded positions stay zero through the kernel."""
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.ops.spmv_pallas import CoClusteredSellSpMV
+
+    rng = np.random.RandomState(11)
+    r, c, v = random_coo(rng, 300, 300, 2500)[:3]
+    vals = rng.randn(len(r)).astype(np.float32)
+    coo = COOMatrix.from_numpy(r, c, vals, shape=(300, 300))
+    op = CoClusteredSellSpMV(coo, passes=3)
+    x = rng.randn(300).astype(np.float32)
+    xp = np.asarray(op.to_permuted(jnp.asarray(x)))
+    assert np.allclose(xp[op.result.col_map], x)
+    dead = np.ones(op.result.shape_padded[1], dtype=bool)
+    dead[op.result.col_map] = False
+    assert np.all(xp[dead] == 0)
+    yp = np.asarray(op.inner(jnp.asarray(xp)))
+    y = np.asarray(op.from_permuted(jnp.asarray(yp)))
+    oracle = np.zeros(300, dtype=np.float64)
+    np.add.at(oracle, r, vals.astype(np.float64) * x[c])
+    assert np.abs(y - oracle).max() <= 1e-4 * (np.abs(oracle).max() + 1)
+    dead_rows = np.ones(op.result.shape_padded[0], dtype=bool)
+    dead_rows[op.result.row_map] = False
+    assert np.all(yp[dead_rows] == 0)
+
+
+def test_benchmark_matrix_occupancy_gain():
+    """The planner must beat natural occupancy on memplus (the round-4
+    verdict's target matrix) by a meaningful margin."""
+    from smvp_toolkit_tpu.io.mtx import read_mtx
+
+    coo = read_mtx(f"{SAMPLE_DIR}/memplus.mtx")
+    r, c, v = coo.to_numpy()
+    res = cocluster(
+        np.asarray(r, np.int64), np.asarray(c, np.int64), coo.shape,
+        passes=20,
+    )
+    occ_nat = coo.nnz / (res.s_true_natural * 128.0)
+    occ = res.occupancy(coo.nnz)
+    assert occ > occ_nat * 1.25, (occ_nat, occ)
+
+
+def test_cocluster_plan_matches_objective():
+    rng = np.random.RandomState(13)
+    r, c, v = random_coo(rng, 800, 800, 6000)[:3]
+    vals = np.ones(len(r), dtype=np.float32)
+    out = cocluster_plan(
+        r.astype(np.int64), c.astype(np.int64), vals, (800, 800),
+        chunk=64, passes=4,
+    )
+    assert out is not None
+    res, plan = out
+    live = int((plan.slice_of >= 0).sum())
+    assert live == res.s_true
+    assert plan.shape == res.shape_padded
