@@ -50,14 +50,16 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
-def _mosaic_kwargs() -> dict:
-    """Optional pallas_call kwargs from SMVP_SELL_VMEM_MB.
+def _mosaic_kwargs(vmem_mb: "int | None" = None) -> dict:
+    """Optional pallas_call kwargs: VMEM budget raise.
 
     Mosaic's default VMEM budget can sit below the physical VMEM;
     raising it restores input double-buffering for launches whose
     resident blocks + intermediates crowd the default (the overlap
-    question of PERFORMANCE.md sessions 17-20)."""
-    mb = os.environ.get("SMVP_SELL_VMEM_MB")
+    question of PERFORMANCE.md sessions 17-20). ``vmem_mb`` is the
+    per-operator override (set by the autotuner); the
+    SMVP_SELL_VMEM_MB env knob remains as a global fallback."""
+    mb = vmem_mb if vmem_mb else os.environ.get("SMVP_SELL_VMEM_MB")
     if not mb:
         return {}
     return {
@@ -789,7 +791,7 @@ def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident,
 )
 def _sell_vals_grad_call(
     x_tiles, g2d, lidx, rel_tile, slice_of, bases, *, chunk, ns, nsw, wt,
-    interpret, precision, resident, bf16_values, k=1,
+    interpret, precision, resident, bf16_values, k=1, vmem_mb=None,
 ):
     """Dispatch the packed-values backward kernel; returns (S, LANES)."""
     n_chunks = slice_of.shape[0] * slice_of.shape[1] // chunk
@@ -827,7 +829,7 @@ def _sell_vals_grad_call(
                 (n_chunks * chunk, LANES), jnp.float32
             ),
             interpret=interpret,
-            **_mosaic_kwargs(),
+            **_mosaic_kwargs(vmem_mb),
         )(*opnds)
     ct = x_tiles.shape[0]
     in_specs = [
@@ -850,7 +852,7 @@ def _sell_vals_grad_call(
             (n_chunks * chunk, LANES), jnp.float32
         ),
         interpret=interpret,
-        **_mosaic_kwargs(),
+        **_mosaic_kwargs(vmem_mb),
     )(*opnds)
 
 
@@ -864,7 +866,7 @@ def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, bases, *, n_chunks, chunk,
     ns, nsw, wt, interpret, precision=jax.lax.Precision.HIGHEST,
     resident=True, onehot_dense=False, reduce2=False, prefetch=True,
-    nsb=0, k=1, packed_plane=None, relsl_plane=None,
+    nsb=0, k=1, packed_plane=None, relsl_plane=None, vmem_mb=None,
 ):
     """Dispatch one SELL launch. ``bases`` is i32 (2, n_chunks):
     row 0 = per-chunk x tile-window starts, row 1 = per-chunk y
@@ -932,7 +934,7 @@ def _sell_spmv_call(
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
                 interpret=interpret,
-                **_mosaic_kwargs(),
+                **_mosaic_kwargs(vmem_mb),
             )(bases, *opnds)
         kern = _make_sell_kernel_relsl(
             precision, ns, nsw, wt, bf16_values, reduce2,
@@ -958,7 +960,7 @@ def _sell_spmv_call(
                     (ns, k * LANES), jnp.float32
                 ),
                 interpret=interpret,
-                **_mosaic_kwargs(),
+                **_mosaic_kwargs(vmem_mb),
             )(*opnds)
         in_specs = [
             pl.BlockSpec(
@@ -982,7 +984,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
-            **_mosaic_kwargs(),
+            **_mosaic_kwargs(vmem_mb),
         )(bases, *opnds)
     if packed_plane is not None:
         # Packed-plane launch (bf16 values; val‖rel‖lidx in one int32
@@ -1030,7 +1032,7 @@ def _sell_spmv_call(
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
                 interpret=interpret,
-                **_mosaic_kwargs(),
+                **_mosaic_kwargs(vmem_mb),
             )(bases, *opnds)
         if resident:
             ct = x_tiles.shape[0]
@@ -1051,7 +1053,7 @@ def _sell_spmv_call(
                     (ns, k * LANES), jnp.float32
                 ),
                 interpret=interpret,
-                **_mosaic_kwargs(),
+                **_mosaic_kwargs(vmem_mb),
             )(*opnds)
         in_specs = [
             pl.BlockSpec(
@@ -1074,7 +1076,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
-            **_mosaic_kwargs(),
+            **_mosaic_kwargs(vmem_mb),
         )(bases, *opnds)
     if nsb > 0:
         # v7 flush-behind: y streams through VMEM one (nsb, 128) block
@@ -1117,7 +1119,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
-            **_mosaic_kwargs(),
+            **_mosaic_kwargs(vmem_mb),
         )(bases, *opnds)
     if onehot_dense:
         # Compatibility mode: build the one-hot planes with XLA outside
@@ -1162,7 +1164,7 @@ def _sell_spmv_call(
             out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=interpret,
-            **_mosaic_kwargs(),
+            **_mosaic_kwargs(vmem_mb),
         )(*opnds)
     if resident:
         ct = x_tiles.shape[0]
@@ -1185,7 +1187,7 @@ def _sell_spmv_call(
             out_specs=pl.BlockSpec((ns, k * LANES), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
-            **_mosaic_kwargs(),
+            **_mosaic_kwargs(vmem_mb),
         )(*opnds)
 
     if prefetch:
@@ -1217,7 +1219,7 @@ def _sell_spmv_call(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, k * LANES), jnp.float32),
             interpret=interpret,
-            **_mosaic_kwargs(),
+            **_mosaic_kwargs(vmem_mb),
         )(bases, *opnds)
 
     # Fallback: per-chunk x windows as a handful of overlapping dynamic
@@ -1249,7 +1251,7 @@ def _sell_spmv_call(
         out_specs=pl.BlockSpec((ns, LANES), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
         interpret=interpret,
-        **_mosaic_kwargs(),
+        **_mosaic_kwargs(vmem_mb),
     )(*opnds)
 
 
@@ -1267,11 +1269,16 @@ class SellSpMV:
         interpret: bool | None = None,
         precision=None,
         value_dtype=None,
+        vmem_mb: int | None = None,
         _triplets=None,
     ):
         self.plan = plan
         self.shape = plan.shape
         self.interpret = _use_interpret() if interpret is None else interpret
+        # Per-operator Mosaic VMEM budget override (the autotuner sets
+        # this for big-chunk plans whose resident blocks exceed the
+        # default budget; SMVP_SELL_VMEM_MB remains a global fallback).
+        self.vmem_mb = vmem_mb
         # bf16 value mode: vals AND the x stream are stored/streamed in
         # bfloat16 (halving the dominant HBM traffic) while all kernel
         # arithmetic accumulates in f32. Exact w.r.t. the bf16-rounded
@@ -1411,7 +1418,7 @@ class SellSpMV:
             self._t_op = SellSpMV(
                 plan_t,
                 interpret=self.interpret,
-                **_mosaic_kwargs(),
+                vmem_mb=self.vmem_mb,
                 precision=self.precision,
                 value_dtype=self.value_dtype,
                 _triplets=(c, r, v),
@@ -1525,6 +1532,7 @@ class SellSpMV:
             k=kg,
             packed_plane=self._packed() if packed else None,
             relsl_plane=self._relsl() if relsl else None,
+            vmem_mb=self.vmem_mb,
         )  # (NS, kg*LANES)
         return unpack_columns(y, plan.n_slices, kg)[: self.shape[0]]
 
@@ -1615,7 +1623,7 @@ class SellSpMV:
             nsw=self.nsw,
             wt=plan.window_tiles,
             interpret=self.interpret,
-            **_mosaic_kwargs(),
+            vmem_mb=self.vmem_mb,
             precision=self.precision,
             resident=resident,
             bf16_values=self.value_dtype == jnp.dtype(jnp.bfloat16),
@@ -1679,7 +1687,7 @@ class SellSpMV:
             nsw=self.nsw,
             wt=plan.window_tiles,
             interpret=self.interpret,
-            **_mosaic_kwargs(),
+            vmem_mb=self.vmem_mb,
             precision=self.precision,
             resident=resident,
             bf16_values=self.value_dtype == jnp.dtype(jnp.bfloat16),
@@ -1890,7 +1898,7 @@ class SellSpMV:
                 out_shape=jax.ShapeDtypeStruct((ns, kg * LANES),
                                                jnp.float32),
                 interpret=self.interpret,
-                **_mosaic_kwargs(),
+                **_mosaic_kwargs(self.vmem_mb),
             )(*opnds)
             return unpack_columns(y, ns, kg)[: self.shape[0]]
         # > VMEM X: per-chunk scalar-prefetch windows (the production
@@ -1920,7 +1928,7 @@ class SellSpMV:
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((ns, kg * LANES), jnp.float32),
             interpret=self.interpret,
-            **_mosaic_kwargs(),
+            **_mosaic_kwargs(self.vmem_mb),
         )(self.bases, *opnds)
         return unpack_columns(y, ns, kg)[: self.shape[0]]
 
@@ -2022,7 +2030,7 @@ class SellSpMV:
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
                 interpret=self.interpret,
-                **_mosaic_kwargs(),
+                **_mosaic_kwargs(self.vmem_mb),
             )(self.bases, *opnds)
             return y.reshape(-1)[: self.shape[0]]
         if packed:
@@ -2063,7 +2071,7 @@ class SellSpMV:
             out_specs=pl.BlockSpec((ns, LANES), lambda it, ch: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((ns, LANES), jnp.float32),
             interpret=self.interpret,
-            **_mosaic_kwargs(),
+            **_mosaic_kwargs(self.vmem_mb),
         )(*opnds)
         return y.reshape(-1)[: self.shape[0]]
 
@@ -2192,6 +2200,7 @@ class SellSpMV:
                 nsb=plan.y_block_slices,
                 packed_plane=ppk,
                 relsl_plane=prs,
+                vmem_mb=self.vmem_mb,
             )
 
         if n_split == 1:
