@@ -390,10 +390,7 @@ def _main_tpu(coo, y_ref, ref_scale) -> int:
             return _cc_state["op"]
         from smvp_toolkit_tpu.ops.spmv_pallas import CoClusteredSellSpMV
 
-        op_cc = CoClusteredSellSpMV(
-            coo, value_dtype=jnp.bfloat16,
-            passes=40, col_radius=16, row_radius=16,
-        )
+        op_cc = CoClusteredSellSpMV(coo, value_dtype=jnp.bfloat16)
         res = op_cc.result
         _cc_state["op"] = op_cc
         _cc_state["res"] = res

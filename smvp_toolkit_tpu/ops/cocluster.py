@@ -158,9 +158,9 @@ def cocluster(
     *,
     row_slack: float = 0.04,
     col_slack: float = 0.04,
-    passes: int = 20,
-    col_radius: int = 8,
-    row_radius: int = 8,
+    passes: Optional[int] = None,
+    col_radius: Optional[int] = None,
+    row_radius: Optional[int] = None,
     alpha: int = 2,
     pot_kind: int = 0,
     s_weight: int = 0,
@@ -174,6 +174,11 @@ def cocluster(
     "signature" (support-signature row sort, kept for scattered
     patterns) or "auto" (run both, keep the better objective).
     ``alpha`` weighs cell consolidation in the plateau potential.
+
+    ``passes``/radii default by nnz so encode time stays in the SELL
+    planning budget class: the refinement converges by ~20 passes on
+    the sample matrices (measured; 60 passes added < 0.2%) and large
+    banded matrices saturate at radius ~6.
     """
     lib = _lib()
     if lib is None:
@@ -184,6 +189,14 @@ def cocluster(
     nnz = len(rows)
     if nnz == 0 or n == 0 or m == 0:
         return None
+
+    # Budget-scaled search defaults (measured convergence points).
+    if passes is None:
+        passes = 30 if nnz < 1_000_000 else (12 if nnz < 20_000_000 else 6)
+    if col_radius is None:
+        col_radius = 16 if nnz < 1_000_000 else 6
+    if row_radius is None:
+        row_radius = col_radius
 
     ns_nat = max(-(-n // LANES), 1)
     nt_nat = max(-(-m // LANES), 1)
