@@ -357,6 +357,14 @@ def _main_tpu(coo, y_ref, ref_scale) -> int:
                 times_ms=np.full(pts[-1], slope / 1e3),
                 iterations=pts[-1], per_launch=True,
             )
+            inner = getattr(op, "inner", op)  # cc wrapper or plain op
+            plan_fields = {
+                "chunk": int(inner.plan.chunk),
+                "vmem_mb": getattr(inner, "vmem_mb", None),
+                "plan_occupancy": round(
+                    inner.plan.nnz / max(inner.plan.slots(), 1), 4
+                ),
+            }
             _emit(mode, device, stats, coo, fallback=False,
                   rungs_failed=rungs_failed,
                   extra=dict({"method": "grid-fused",
@@ -365,7 +373,8 @@ def _main_tpu(coo, y_ref, ref_scale) -> int:
                               "fit_times_us": [round(t, 1) for t in times],
                               "intercept_ms": round(float(intercept) / 1e3,
                                                     3),
-                              "validation_err": float(err)},
+                              "validation_err": float(err),
+                              **plan_fields},
                              **(extra_fields or {})))
             return True
         except Exception as e:  # noqa: BLE001 — try the next rung

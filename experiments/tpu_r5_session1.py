@@ -1,0 +1,224 @@
+"""Round-5 session 1: co-clustering on hardware + slot-rate chain attack.
+
+Cells (grid-fused protocol, bf16, correctness-gated vs the bf16 f64
+oracle; every comparison is an in-session A/B):
+
+* co-clustered plans (ops/cocluster.py) vs natural on synth-10M /
+  memplus / pwt — the occupancy gain (0.339->0.435 on synth, plan
+  statistic) must convert to Gnnz/s at the slot-rate law's prediction;
+* SMVP_SELL_BF16_TAA / SMVP_SELL_SPLIT_CHAIN — the two chain-
+  serialization attacks on the ~0.87 us/step VPU gather stage
+  (PERFORMANCE.md sessions 18/26);
+* the production autotuner's memplus pick (single-chunk + VMEM 100).
+
+Run: cd /root/repo && PYTHONPATH=/root/repo:/root/.axon_site nohup \
+      python -u experiments/tpu_r5_session1.py > /tmp/tpu_r5_s1.log 2>&1 &
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import tpu_r3_session as s3
+
+RESULTS = os.path.join(
+    os.path.dirname(__file__), "results", "tpu_r5_results.jsonl"
+)
+LOCK = "/tmp/smvp_tpu.lock"
+QUICK = os.environ.get("SMVP_TPU_QUICK") == "1"
+
+_CC_CACHE = {}
+
+
+def _record(rec):
+    os.makedirs(os.path.dirname(RESULTS), exist_ok=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def _cc(name):
+    """Co-cluster a sample matrix once per session (host-side)."""
+    if name not in _CC_CACHE:
+        from smvp_toolkit_tpu.ops.cocluster import cocluster
+
+        coo = s3._coo(name)
+        r, c, _v = coo.to_numpy()
+        t0 = time.time()
+        res = cocluster(
+            np.asarray(r, np.int64), np.asarray(c, np.int64), coo.shape
+        )
+        print(f"cocluster {name}: occ {res.occupancy(coo.nnz):.3f} "
+              f"(S {res.s_true_natural} -> {res.s_true}) "
+              f"[{time.time()-t0:.0f}s]", flush=True)
+        _CC_CACHE[name] = res
+    return _CC_CACHE[name]
+
+
+def run_cell5(name, label, *, chunk=2048, cocluster=False, env=None,
+              base_n=None, autotune=False):
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from smvp_toolkit_tpu.ops import spmv_pallas as sp
+    from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+
+    env = dict(env or {})
+    for k, v in env.items():
+        os.environ[k] = v
+    try:
+        coo = s3._coo(name)
+        r, c, v = coo.to_numpy()
+        r = np.asarray(r, np.int64)
+        c = np.asarray(c, np.int64)
+        if base_n is None:
+            base_n = 1000 if coo.nnz > 1_000_000 else 4000
+        if QUICK:
+            base_n = 2
+
+        vmem = None
+        res = None
+        if cocluster:
+            res = _cc(name)
+            r2, c2 = res.row_map[r], res.col_map[c]
+            if autotune:
+                from smvp_toolkit_tpu.ops.autotune import (
+                    pick_plan, pick_vmem_mb, production_rates)
+
+                plan, _ = pick_plan(r2, c2, v, res.shape_padded,
+                                    bf16=True, rates=production_rates())
+                vmem = pick_vmem_mb(plan.chunk)
+            else:
+                plan = build_sell_plan(r2, c2, v, res.shape_padded,
+                                       chunk=chunk)
+        elif autotune:
+            from smvp_toolkit_tpu.ops.autotune import (
+                pick_plan, pick_vmem_mb, production_rates)
+
+            plan, _ = pick_plan(r, c, v, coo.shape, bf16=True,
+                                rates=production_rates())
+            vmem = pick_vmem_mb(plan.chunk)
+        else:
+            plan = build_sell_plan(r, c, v, coo.shape, chunk=chunk)
+
+        op = sp.SellSpMV(plan, interpret=None if QUICK else False,
+                         value_dtype=jnp.bfloat16, vmem_mb=vmem)
+
+        rng = np.random.default_rng(0)
+        xh = rng.standard_normal(coo.shape[1]).astype(np.float32)
+        vdt = ml_dtypes.bfloat16
+        y_nat = np.zeros(coo.shape[0])
+        np.add.at(y_nat, r, v.astype(vdt).astype(np.float64)
+                  * xh.astype(vdt)[c].astype(np.float64))
+        if cocluster:
+            x_in = np.zeros(res.shape_padded[1], dtype=np.float32)
+            x_in[res.col_map] = xh
+            y_ref = np.zeros(res.shape_padded[0])
+            y_ref[res.row_map] = y_nat
+        else:
+            x_in = xh
+            y_ref = y_nat
+        scale = np.abs(y_ref).max() + 1e-30
+        x = jnp.asarray(x_in)
+
+        ns_pts = [base_n, 2 * base_n, 4 * base_n]
+        ts, errs = [], []
+        for n in ns_pts:
+            f = jax.jit(lambda xx, _n=n: op.bench_loop(xx, _n))
+            y = np.asarray(f(x))
+            errs.append(float(
+                np.abs(y.astype(np.float64) - y_ref).max() / scale))
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter_ns()
+                np.asarray(f(x))
+                samples.append((time.perf_counter_ns() - t0) / 1e3)
+            ts.append(min(samples))
+        A = np.vstack([ns_pts, np.ones(3)]).T
+        (slope, intercept), *_ = np.linalg.lstsq(A, np.asarray(ts),
+                                                 rcond=None)
+        us = float(slope)
+        gnnz = coo.nnz / us / 1e3 if us > 0 else float("nan")
+        pred_mid = slope * ns_pts[1] + intercept
+        bend = (ts[1] - pred_mid) / max(ts[1], 1e-9)
+        occ = plan.nnz / max(plan.slots(), 1)
+        rec = {"ts": time.time(), "kind": "grid-fused5", "name": name,
+               "label": label, "chunk": int(plan.chunk),
+               "n_chunks": int(plan.n_chunks), "S": int(plan.n_sublanes),
+               "WT": int(plan.window_tiles),
+               "NSW": int(plan.reduce_window()[1]),
+               "occ": round(occ, 4), "cocluster": bool(cocluster),
+               "vmem_mb": vmem, "env": env, "ns_pts": ns_pts,
+               "t_us": ts, "avg_us": us,
+               "intercept_us": float(intercept),
+               "bend_frac": float(bend), "gnnz_s": gnnz,
+               "err": max(errs), "nnz": int(coo.nnz),
+               "device": jax.devices()[0].device_kind}
+        _record(rec)
+        print(f"{name} {label:22s}: {us:9.3f} us/iter {gnnz:8.2f} Gnnz/s "
+              f"occ={occ:.3f} chunk={plan.chunk} WT={plan.window_tiles} "
+              f"err={max(errs):.1e} bend={bend:+.3f}", flush=True)
+        return gnnz
+    except Exception as e:  # noqa: BLE001 — cell isolation
+        _record({"ts": time.time(), "kind": "grid-fused5", "name": name,
+                 "label": label, "ok": False,
+                 "error": f"{type(e).__name__}: {str(e)[:300]}"})
+        print(f"{name} {label} FAILED: {str(e)[:250]}", flush=True)
+        return None
+    finally:
+        for k in env:
+            os.environ.pop(k, None)
+
+
+def main():
+    import jax
+
+    with open(LOCK, "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        t0 = time.time()
+        dev = jax.devices()[0]
+        print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
+
+        # 1) the flagship question: does plan occupancy convert?
+        run_cell5("synth-10M", "nat-c2048-ctl")
+        run_cell5("synth-10M", "cc-c2048", cocluster=True)
+        run_cell5("synth-10M", "cc-c1024", cocluster=True, chunk=1024)
+        # 2) chain attacks (on the winner coordinates + natural control)
+        run_cell5("synth-10M", "cc-taa", cocluster=True,
+                  env={"SMVP_SELL_BF16_TAA": "1"})
+        run_cell5("synth-10M", "cc-split2", cocluster=True,
+                  env={"SMVP_SELL_SPLIT_CHAIN": "2"})
+        run_cell5("synth-10M", "nat-taa",
+                  env={"SMVP_SELL_BF16_TAA": "1"})
+        run_cell5("synth-10M", "nat-split2",
+                  env={"SMVP_SELL_SPLIT_CHAIN": "2"})
+        run_cell5("synth-10M", "cc-taa-split2", cocluster=True,
+                  env={"SMVP_SELL_BF16_TAA": "1",
+                       "SMVP_SELL_SPLIT_CHAIN": "2"})
+        # 3) headline matrix: autotuner pick + cocluster
+        run_cell5("memplus", "nat-c2048-ctl")
+        run_cell5("memplus", "nat-autotuned", autotune=True)
+        run_cell5("memplus", "cc-autotuned", cocluster=True,
+                  autotune=True)
+        # 4) pwt
+        run_cell5("pwt", "nat-c2048-ctl")
+        run_cell5("pwt", "cc-autotuned", cocluster=True, autotune=True)
+        print(f"session r5s1 total {time.time()-t0:.0f}s", flush=True)
+    finally:
+        try:
+            os.remove(LOCK)
+        except OSError:
+            pass
+
+
+if __name__ == "__main__":
+    main()

@@ -25,8 +25,8 @@ import numpy as np
 
 from smvp_toolkit_tpu.ops.sell_plan import LANES, SellPlan, build_sell_plan
 
-__all__ = ["RATES", "plan_cost_us", "pick_plan", "calibrate_rates",
-           "check_pick_plan"]
+__all__ = ["RATES", "production_rates", "plan_cost_us", "pick_plan",
+           "calibrate_rates", "check_pick_plan"]
 
 # v5e defaults — recalibrate from tpu_r2_session output. The MXU rate
 # is a *throughput* figure (pipelined in-kernel matmuls): the round-1
@@ -41,13 +41,14 @@ __all__ = ["RATES", "plan_cost_us", "pick_plan", "calibrate_rates",
 # records, which carry a ~140 µs/ITERATION harness tax on the tunneled
 # dev stack (PERFORMANCE.md) — its absolute terms are inflated, though
 # the chunk ORDERING it predicted matched the loop-protocol sweeps.
-# The HONEST calibration (experiments/calibrate_gridfused.py, fit to 11
-# clean grid-fused cells) ships as
-# experiments/results/autotune_rates_gridfused.json — mxu_mac_us
-# 1.01e8 (≈ v5e bf16 peak), shuffle 308 Gel/s, grid_step 0.61 µs —
-# and matches the measured best chunk on 3 of 4 matrices (pwt misses
-# by 8% at launch-shadowed sizes). The production default chunk (2048,
-# spmv_pallas._auto_plan) is the measured winner everywhere.
+# The HONEST calibration (experiments/calibrate_gridfused.py, fit to 14
+# clean grid-fused cells incl. the session-24 chunk-up sweep) SHIPS IN
+# THE PACKAGE as ops/autotune_rates.json and is the round-5 production
+# default (spmv_pallas._tuned_plan): per-matrix chunk + VMEM with no
+# env knobs. Verdicts vs measured sweeps: memplus c8192 MATCH, synth-10M
+# c2048 MATCH, synth-dense c2048 MATCH; pwt picks c1024 (8% from the
+# measured best c2048 — inside the chip's contention spread).
+# SMVP_SELL_AUTOTUNE=0 pins the old fixed c2048 behavior.
 RATES = {
     "hbm_gb_s": 819.0,          # HBM speed of light
     "mxu_mac_us": 4.0e7,        # sustained MXU MAC/us per DEFAULT pass
@@ -56,6 +57,51 @@ RATES = {
 }
 
 _PASSES = {"DEFAULT": 1, "HIGH": 3, "HIGHEST": 6}
+
+_PRODUCTION_RATES = None
+
+
+def production_rates() -> dict:
+    """The shipped hardware calibration (autotune_rates.json).
+
+    Fit to the 11 clean grid-fused v5e cells of the round-4 hardware
+    campaign (experiments/calibrate_gridfused.py); falls back to the
+    RATES defaults when the data file is missing. This is what the
+    production operator path (spmv_pallas._cached_op / from_coo) uses —
+    per-matrix chunk/VMEM selection with no env knobs.
+    """
+    global _PRODUCTION_RATES
+    if _PRODUCTION_RATES is None:
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "autotune_rates.json",
+        )
+        rates = dict(RATES)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            rates.update(
+                {k: v for k, v in data.items() if k in RATES}
+            )
+        except (OSError, ValueError):  # pragma: no cover
+            pass
+        _PRODUCTION_RATES = rates
+    return _PRODUCTION_RATES
+
+
+# Chunks past this need a raised Mosaic VMEM budget: the c8192 remote
+# compile fails at the default budget and compiles at 100 MB, while
+# c4096 compiles at the default (PERFORMANCE.md sessions 23/24 —
+# memplus c8192+VMEM measured 15.0 vs 13.7 Gnnz/s at c2048).
+_VMEM_CHUNK_THRESHOLD = 4096
+_VMEM_MB = 100
+
+
+def pick_vmem_mb(chunk: int) -> Optional[int]:
+    return _VMEM_MB if chunk > _VMEM_CHUNK_THRESHOLD else None
 
 
 def plan_cost_us(
@@ -95,7 +141,7 @@ def pick_plan(
     vals: np.ndarray,
     shape: Tuple[int, int],
     *,
-    chunks: Iterable[int] = (256, 512, 1024, 2048),
+    chunks: Iterable[int] = (512, 1024, 2048, 4096, 8192),
     value_dtype_bytes: int = 4,
     bf16: bool = False,
     rates: Optional[dict] = None,
@@ -103,7 +149,10 @@ def pick_plan(
     """Build candidate plans across chunk sizes, return (best, cost_us).
 
     bf16 value mode runs a single-pass table matmul and a 3-pass reduce
-    (ops/spmv_pallas.py precision rules); f32 runs 6-pass both.
+    (ops/spmv_pallas.py precision rules); f32 runs 6-pass both. The
+    candidate set covers the measured production sweet spots (memplus
+    wants c8192+VMEM, pwt c2048 — PERFORMANCE.md session 24); pair the
+    winner with :func:`pick_vmem_mb` for the operator's VMEM budget.
     """
     table_p = 1 if bf16 else 6
     reduce_p = 3 if bf16 else 6
@@ -113,7 +162,7 @@ def pick_plan(
     from smvp_toolkit_tpu.ops.spmv_pallas import _auto_plan
 
     best: Optional[Tuple[SellPlan, float]] = None
-    for chunk in chunks:
+    for chunk in sorted(chunks):
         plan = _auto_plan(rows, cols, vals, shape, chunk=chunk)
         cost = plan_cost_us(
             plan, vb, table_passes=table_p, reduce_passes=reduce_p,
@@ -121,6 +170,12 @@ def pick_plan(
         )
         if best is None or cost < best[1]:
             best = (plan, cost)
+        if plan.chunk < chunk:
+            # Small matrix: the planner shrank the chunk to the true
+            # sublane count — every larger candidate yields the same
+            # plan, so stop here (keeps construction cheap for the
+            # small-matrix-heavy paths, e.g. the test suite).
+            break
     assert best is not None
     return best
 

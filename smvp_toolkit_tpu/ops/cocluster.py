@@ -283,30 +283,39 @@ def cocluster_plan(
     vals: np.ndarray,
     shape: Tuple[int, int],
     *,
-    chunk: int = 2048,
+    chunk: Optional[int] = None,
+    bf16: bool = False,
     **cocluster_kw,
 ):
     """Co-cluster, then build the SELL plan in permuted coordinates.
 
-    Returns ``(CoClusterResult, SellPlan)`` or None when the native
-    optimizer is unavailable. The plan's shape is the PADDED permuted
-    space (``result.shape_padded``); callers run SpMV in permuted
-    coordinates (x scattered through ``col_map``, y gathered through
-    ``row_map``) — see ``spmv_pallas.CoClusteredSellSpMV``.
+    Returns ``(CoClusterResult, SellPlan, vmem_mb)`` or None when the
+    native optimizer is unavailable. The plan's shape is the PADDED
+    permuted space (``result.shape_padded``); callers run SpMV in
+    permuted coordinates (x scattered through ``col_map``, y gathered
+    through ``row_map``) — see ``spmv_pallas.CoClusteredSellSpMV``.
+    ``chunk=None`` lets the calibrated autotuner pick chunk + VMEM on
+    the permuted coordinates.
     """
     res = cocluster(rows, cols, shape, **cocluster_kw)
     if res is None:
         return None
+    r2 = res.row_map[np.asarray(rows, dtype=np.int64)]
+    c2 = res.col_map[np.asarray(cols, dtype=np.int64)]
+    if chunk is None:
+        from smvp_toolkit_tpu.ops.autotune import (
+            pick_plan, pick_vmem_mb, production_rates,
+        )
+
+        plan, _cost = pick_plan(
+            r2, c2, vals, res.shape_padded, bf16=bf16,
+            rates=production_rates(),
+        )
+        return res, plan, pick_vmem_mb(plan.chunk)
     from smvp_toolkit_tpu.ops.spmv_pallas import _auto_plan
 
-    plan = _auto_plan(
-        res.row_map[np.asarray(rows, dtype=np.int64)],
-        res.col_map[np.asarray(cols, dtype=np.int64)],
-        vals,
-        res.shape_padded,
-        chunk=chunk,
-    )
-    return res, plan
+    plan = _auto_plan(r2, c2, vals, res.shape_padded, chunk=chunk)
+    return res, plan, None
 
 
 def cocluster_objective(

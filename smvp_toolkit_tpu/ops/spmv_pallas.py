@@ -174,6 +174,63 @@ def _table_select_t(rel_row, x_win, wt, precision, bf16_values, reduce2):
     )
 
 
+def _relsl_chain_store(y_ref, rs, x_win, val_raw, lidx, wt, k, sb, ns, nsw,
+                       precision, bf16_values, reduce2):
+    """relsl chain: table -> gather -> multiply -> windowed reduce+store.
+
+    Shared by the production relsl kernel and the grid-fused benchmark
+    kernel so the experimental chain knobs stay in one place:
+
+    * ``SMVP_SELL_BF16_TAA=1`` (bf16 value mode only): cast the table
+      to bf16 before the lane gather. EXACT — in bf16 mode the table's
+      f32 entries are selected bf16 x values, so the cast round-trips —
+      and halves the bytes the serial VPU shuffle moves (the measured
+      ~0.87 us/step chain stage, PERFORMANCE.md sessions 18/26).
+    * ``SMVP_SELL_SPLIT_CHAIN=N``: run the chain as N independent
+      sub-chunk chains and sum their reduces into one store. MAC count
+      is unchanged; independence lets Mosaic's scheduler overlap half A
+      MXU passes with half B VPU shuffles (chain-serialization attack).
+
+    Both default off pending hardware A/Bs.
+    """
+    split = int(os.environ.get("SMVP_SELL_SPLIT_CHAIN", "1"))
+    bf16_taa = bf16_values and os.environ.get("SMVP_SELL_BF16_TAA") == "1"
+    chunk = rs.shape[1]
+    if split < 2 or chunk % split or k != 1:
+        split = 1
+    per = chunk // split
+    parts = []
+    for h in range(split):
+        cols = slice(h * per, (h + 1) * per)
+        rs_h = rs[:, cols]
+        rel_h = jnp.bitwise_and(rs_h, jnp.int32(_PACK_REL_DEAD))
+        sl_h = jax.lax.shift_right_logical(rs_h, _RELSL_SL_SHIFT)
+        table = _table_select_t(
+            rel_h, x_win, wt, precision, bf16_values, reduce2
+        )
+        if bf16_taa:
+            table = table.astype(jnp.bfloat16)
+        g = _gather_tile(table, lidx[cols, :], k)
+        if bf16_taa:
+            g = g.astype(jnp.float32)
+        v = val_raw[cols, :].astype(jnp.float32)
+        prod = (v if k == 1 else jnp.concatenate([v] * k, axis=1)) * g
+        parts.append((prod, sl_h))
+    if nsw >= ns:
+        total = None
+        for prod, sl_h in parts:
+            red = _seg_reduce(prod, sl_h, 0, ns, precision, reduce2)
+            total = red if total is None else total + red
+        y_ref[:] += total
+    else:
+        sb = pl.multiple_of(sb, 8)
+        total = None
+        for prod, sl_h in parts:
+            red = _seg_reduce(prod, sl_h, sb, nsw, precision, reduce2)
+            total = red if total is None else total + red
+        y_ref[pl.ds(sb, nsw), :] += total
+
+
 def _make_sell_kernel_relsl(precision, ns, nsw, wt, bf16_values, reduce2,
                             resident=True, k=1):
     """3-stream kernel: vals + lane indices + the rel‖slice plane.
@@ -191,22 +248,16 @@ def _make_sell_kernel_relsl(precision, ns, nsw, wt, bf16_values, reduce2,
             y_ref[:] = jnp.zeros_like(y_ref)
 
         rs = rs_ref[0]  # (1, chunk)
-        rel_row = jnp.bitwise_and(rs, jnp.int32(_PACK_REL_DEAD))
-        sl_row = jax.lax.shift_right_logical(rs, _RELSL_SL_SHIFT)
         if resident:
             xb = pl.multiple_of(bases_ref[0, step], 16)
             x_win = x_ref[pl.ds(xb, wt), :]
         else:
             x_win = x_ref[:]
-        table = _table_select_t(
-            rel_row, x_win, wt, precision, bf16_values, reduce2
+        _relsl_chain_store(
+            y_ref, rs, x_win, val_ref[:], lidx_ref[:].astype(jnp.int32),
+            wt, k, bases_ref[1, step], ns, nsw, precision, bf16_values,
+            reduce2,
         )
-        g = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
-        vals = val_ref[:].astype(jnp.float32)
-        prod = (vals if k == 1
-                else jnp.concatenate([vals] * k, axis=1)) * g
-        _reduce_store(y_ref, prod, sl_row, bases_ref[1, step], ns, nsw,
-                      precision, reduce2)
 
     return _sell_kernel
 
@@ -572,23 +623,16 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
                 y_ref[:] = jnp.zeros_like(y_ref)
 
             rs = rs_ref[0]
-            rel_row = jnp.bitwise_and(rs, jnp.int32(_PACK_REL_DEAD))
-            sl_row = jax.lax.shift_right_logical(rs, _RELSL_SL_SHIFT)
             if resident:
                 xb = pl.multiple_of(bases_ref[0, ch], 16)
                 x_win = x_ref[pl.ds(xb, wt), :]
             else:
                 x_win = x_ref[:]  # scalar-prefetch (wt, k*128) window
-            table = _table_select_t(
-                rel_row, x_win, wt, precision,
-                bf16_values, reduce2,
+            _relsl_chain_store(
+                y_ref, rs, x_win, val_ref[:],
+                lidx_ref[:].astype(jnp.int32), wt, k, bases_ref[1, ch],
+                out_ns, out_nsw, precision, bf16_values, reduce2,
             )
-            g = _gather_tile(table, lidx_ref[:].astype(jnp.int32), k)
-            vals = val_ref[:].astype(jnp.float32)
-            prod = (vals if k == 1
-                    else jnp.concatenate([vals] * k, axis=1)) * g
-            _reduce_store(y_ref, prod, sl_row, bases_ref[1, ch], out_ns,
-                          out_nsw, precision, reduce2)
     else:
         def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref,
                          sl_ref, y_ref):
@@ -787,7 +831,8 @@ def _make_vals_grad_kernel(nsw, wt, precision, bf16_values, resident,
 @partial(
     jax.jit,
     static_argnames=("chunk", "ns", "nsw", "wt", "interpret",
-                     "precision", "resident", "bf16_values", "k"),
+                     "precision", "resident", "bf16_values", "k",
+                     "vmem_mb"),
 )
 def _sell_vals_grad_call(
     x_tiles, g2d, lidx, rel_tile, slice_of, bases, *, chunk, ns, nsw, wt,
@@ -860,7 +905,7 @@ def _sell_vals_grad_call(
     jax.jit,
     static_argnames=("n_chunks", "chunk", "ns", "nsw", "wt", "interpret",
                      "precision", "resident", "onehot_dense", "reduce2",
-                     "prefetch", "nsb", "k"),
+                     "prefetch", "nsb", "k", "vmem_mb"),
 )
 def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, bases, *, n_chunks, chunk,
@@ -1399,9 +1444,11 @@ class SellSpMV:
     @staticmethod
     def from_coo(coo: COOMatrix, **kw) -> "SellSpMV":
         r, c, v = coo.to_numpy()
-        return SellSpMV(
-            _auto_plan(r, c, v, coo.shape), _triplets=(r, c, v), **kw
-        )
+        bf16 = jnp.dtype(kw.get("value_dtype") or jnp.float32) == \
+            jnp.dtype(jnp.bfloat16)
+        plan, vmem = _tuned_plan(r, c, v, coo.shape, bf16=bf16)
+        kw.setdefault("vmem_mb", vmem)
+        return SellSpMV(plan, _triplets=(r, c, v), **kw)
 
     def transpose(self) -> "SellSpMV":
         """Operator for Aᵀ (planned lazily from the stored triplets)."""
@@ -2291,6 +2338,27 @@ def _triplets_from_coo_host(coo: COOMatrix):
     return r, c, v, coo.shape
 
 
+def _tuned_plan(rows, cols, vals, shape, *, bf16: bool):
+    """Production plan choice: calibrated per-matrix chunk + VMEM.
+
+    The autotuner (ops/autotune.py, fit to 14 clean grid-fused v5e
+    cells) picks the chunk per matrix — memplus-class wants one big
+    chunk + a raised VMEM budget, pwt/synth want c2048-class — with no
+    env knobs. SMVP_SELL_AUTOTUNE=0 pins the old fixed c2048 default.
+    Returns (plan, vmem_mb).
+    """
+    if os.environ.get("SMVP_SELL_AUTOTUNE") == "0":
+        return _auto_plan(rows, cols, vals, shape), None
+    from smvp_toolkit_tpu.ops.autotune import (
+        pick_plan, pick_vmem_mb, production_rates,
+    )
+
+    plan, _cost = pick_plan(
+        rows, cols, vals, shape, bf16=bf16, rates=production_rates()
+    )
+    return plan, pick_vmem_mb(plan.chunk)
+
+
 def _auto_plan(rows, cols, vals, shape, chunk: int = 2048) -> SellPlan:
     """Flat plan while y fits VMEM; streamed-y (v7) plan beyond it.
 
@@ -2327,13 +2395,9 @@ def _cached_op(matrix, triplets_fn) -> SellSpMV:
         if jnp.dtype(getattr(matrix, "dtype", jnp.float32)) == jnp.bfloat16
         else jnp.float32
     )
-    if os.environ.get("SMVP_SELL_AUTOTUNE") == "1":
-        from smvp_toolkit_tpu.ops.autotune import pick_plan
-
-        plan, _ = pick_plan(r, c, v, shape, bf16=vdt == jnp.bfloat16)
-    else:
-        plan = _auto_plan(r, c, v, shape)
-    op = SellSpMV(plan, value_dtype=vdt, _triplets=(r, c, v))
+    plan, vmem = _tuned_plan(r, c, v, shape, bf16=vdt == jnp.bfloat16)
+    op = SellSpMV(plan, value_dtype=vdt, vmem_mb=vmem,
+                  _triplets=(r, c, v))
     try:
         ref = weakref.ref(matrix, lambda _r, _k=key: _CACHE.pop(_k, None))
     except TypeError:  # non-weakrefable input
@@ -2425,24 +2489,28 @@ class CoClusteredSellSpMV:
     (main-cli.c:410-416).
     """
 
-    def __init__(self, coo: COOMatrix, value_dtype=None, chunk: int = 2048,
+    def __init__(self, coo: COOMatrix, value_dtype=None,
+                 chunk: int | None = None,
                  interpret: bool | None = None, **cocluster_kw):
         from smvp_toolkit_tpu.ops.cocluster import cocluster_plan
 
         r, c, v = coo.to_numpy()
+        bf16 = jnp.dtype(value_dtype or jnp.float32) == \
+            jnp.dtype(jnp.bfloat16)
         out = cocluster_plan(
             np.asarray(r, np.int64), np.asarray(c, np.int64), v,
-            coo.shape, chunk=chunk, **cocluster_kw,
+            coo.shape, chunk=chunk, bf16=bf16, **cocluster_kw,
         )
         if out is None:
             raise RuntimeError(
                 "co-clustering needs native/libcocluster.so (run make -C "
                 "smvp_toolkit_tpu/native)"
             )
-        self.result, plan = out
+        self.result, plan, vmem = out
         self.shape = coo.shape  # NATURAL shape (inner.shape is padded)
         self.inner = SellSpMV(
             plan, value_dtype=value_dtype, interpret=interpret,
+            vmem_mb=vmem,
             _triplets=(
                 self.result.row_map[np.asarray(r, np.int64)],
                 self.result.col_map[np.asarray(c, np.int64)],

@@ -172,7 +172,8 @@ def test_cocluster_plan_matches_objective():
         chunk=64, passes=4,
     )
     assert out is not None
-    res, plan = out
+    res, plan, vmem = out
+    assert vmem is None  # fixed small chunk needs no VMEM raise
     live = int((plan.slice_of >= 0).sum())
     assert live == res.s_true
     assert plan.shape == res.shape_padded
