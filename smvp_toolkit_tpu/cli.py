@@ -169,10 +169,11 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="METHOD[:ITERS[:TOL]]",
         help=(
             "after benchmarking, solve A x = b with an iterative method "
-            "(cg, pcg, pcg-amg, pcg-cheb, pcg-neumann, pcg-ic0, "
+            "(cg, cg-fused, pcg, pcg-amg, pcg-cheb, pcg-neumann, "
+            "pcg-ic0, pcg-ic0-fused, "
             "pcg-ssor, pcg-bjac, bicgstab, bicgstab-ilu, bicgstab-amg, "
-            "gmres, gmres-ilu, gmres-amg, minres, "
-            "chebyshev; default 100 iterations; an optional third "
+            "gmres, gmres-ilu, gmres-amg, minres, chebyshev, "
+            "chebyshev-fused; default 100 iterations; an optional third "
             "field sets a relative-residual target with on-device "
             "early stop (per-iteration for the CG family and minres; "
             "per-restart for gmres), e.g. cg:200:1e-6) using "
@@ -744,10 +745,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 SOLVE_METHODS = ("cg", "cg-fused", "pcg", "pcg-amg", "pcg-cheb",
-                 "pcg-neumann", "pcg-ic0",
+                 "pcg-neumann", "pcg-ic0", "pcg-ic0-fused",
                  "pcg-ssor", "pcg-bjac", "bicgstab", "bicgstab-ilu",
                  "bicgstab-amg", "gmres", "gmres-ilu", "gmres-amg",
-                 "minres", "chebyshev")
+                 "minres", "chebyshev", "chebyshev-fused")
 
 
 def _append_json(path, record) -> None:
@@ -823,8 +824,8 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
     # Solve in the matrix's compute dtype: a complex system must carry
     # a complex b (the solver scan carries would otherwise mismatch).
     is_complex = jnp.issubdtype(csr.vals.dtype, jnp.complexfloating)
-    if is_complex and method == "chebyshev":
-        log("ERROR", "--solve chebyshev needs a real SPD system")
+    if is_complex and method in ("chebyshev", "chebyshev-fused"):
+        log("ERROR", f"--solve {method} needs a real SPD system")
         return 2
     b_dtype = csr.vals.dtype if is_complex else jnp.float32
     b = x[: coo.shape[0]].astype(b_dtype)
@@ -866,6 +867,38 @@ def _run_solve(args, coo, csr, x, device, log, spmv=None,
 
         op = sell_op_csr(csr)
         xs = fused_cg(op, b, iters)
+        r_final = b - op(xs)[: b.shape[0]].astype(b.dtype)
+        res = jnp.linalg.norm(r_final)[None]
+    elif method == "pcg-ic0-fused":
+        # The whole IC(0)-preconditioned solve inside ONE Pallas launch
+        # (ops/pcg_fused.py): A and both Neumann trisolve factors
+        # stream from one concatenated plane array per iteration.
+        if is_complex:
+            log("ERROR", "--solve pcg-ic0-fused needs a real SPD system")
+            return 2
+        from smvp_toolkit_tpu.ops.ilu import ic0
+        from smvp_toolkit_tpu.ops.pcg_fused import fused_pcg_ic0
+        from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+        try:
+            factors = ic0(csr)
+        except ValueError as e:
+            log("ERROR", str(e))
+            return 2
+        op = sell_op_csr(csr)
+        xs = fused_pcg_ic0(op, factors, b, iters, sweeps=4)
+        r_final = b - op(xs)[: b.shape[0]].astype(b.dtype)
+        res = jnp.linalg.norm(r_final)[None]
+    elif method == "chebyshev-fused":
+        # Inner-product-free fixed polynomial, whole solve in ONE
+        # Pallas launch (ops/pcg_fused.py); spectrum bounds from the
+        # same safeguarded Lanczos pass as the scan-loop chebyshev.
+        from smvp_toolkit_tpu.ops.pcg_fused import fused_chebyshev
+        from smvp_toolkit_tpu.ops.spmv_pallas import sell_op_csr
+
+        lo, hi = _lanczos_bounds()
+        op = sell_op_csr(csr)
+        xs = fused_chebyshev(op, b, lo, hi, iters)
         r_final = b - op(xs)[: b.shape[0]].astype(b.dtype)
         res = jnp.linalg.norm(r_final)[None]
     elif method == "pcg":

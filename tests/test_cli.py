@@ -384,6 +384,20 @@ def test_solve_pcg_ic0_on_spd_system(tmp_path):
     solve = [r for r in recs if r["alg"] == "SOLVE-PCG-IC0"]
     assert len(solve) == 1
     assert solve[0]["relative_residual"] < 1e-4
+    # The fused-launch variants converge on the same system (whole
+    # solve inside one Pallas grid — ops/pcg_fused.py).
+    for method, alg in (("pcg-ic0-fused:30", "SOLVE-PCG-IC0-FUSED"),
+                        ("chebyshev-fused:60", "SOLVE-CHEBYSHEV-FUSED")):
+        out2 = tmp_path / f"m_{alg}.jsonl"
+        rc = cli_main(
+            ["-c", "-n", "1", "-d", str(tmp_path), "--expand-symmetry",
+             "--solve", method, "--json-out", str(out2), str(mtx)]
+        )
+        assert rc == 0
+        recs = [json.loads(l) for l in out2.read_text().splitlines()]
+        solve = [r for r in recs if r["alg"] == alg]
+        assert len(solve) == 1
+        assert solve[0]["relative_residual"] < 1e-3, alg
 
 
 def test_solve_pallas_kernel(tmp_path):
