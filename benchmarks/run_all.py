@@ -241,6 +241,51 @@ def main() -> int:
                 record({"matrix": name, "alg": "CISR", "op": "bench",
                         "error": str(e)[:200]})
 
+            # CISR performance path: the schedule replanned into the
+            # SELL layout (spmv_cisr_pallas) — the interleaving exists
+            # to feed parallel lanes (reference scheduler
+            # main-cli.c:542-612) and this is the TPU way to compute
+            # with it. The schedule-faithful row above stays as the
+            # capability/debug surface.
+            if "pallas" in kernels:
+                try:
+                    from smvp_toolkit_tpu.ops.spmv_pallas import (
+                        spmv_cisr_pallas,
+                    )
+
+                    y = np.asarray(
+                        spmv_cisr_pallas(cisr, x)
+                    ).astype(np.float64)
+                    err = float(np.abs(y - y_ref).max() / scale)
+                    if err > 1e-3:
+                        raise ValueError(f"wrong result ({err:.2e})")
+                    stats = bench_spmv_fused(
+                        spmv_cisr_pallas, cisr, x,
+                        iterations=iters, repeats=3,
+                    )
+                    rec = {
+                        "matrix": name, "alg": "CISR",
+                        "kernel": "pallas",
+                        "nnz": coo.nnz,
+                        "avg_ms": round(stats.avg_ms, 6),
+                        "gnnz_per_s": round(
+                            stats.nnz_per_s(coo.nnz) / 1e9, 3
+                        ),
+                        "rel_err": err,
+                        "device": device.device_kind,
+                    }
+                    gf_ms = gridfused_ms(cisr, x, coo.nnz)
+                    if gf_ms is not None:
+                        rec["gridfused_avg_ms"] = round(gf_ms, 6)
+                        rec["gridfused_gnnz_per_s"] = round(
+                            coo.nnz / gf_ms / 1e6, 3
+                        )
+                    record(rec)
+                except Exception as e:  # pragma: no cover
+                    record({"matrix": name, "alg": "CISR",
+                            "kernel": "pallas",
+                            "error": str(e)[:200]})
+
         # SELL plan throughput (the Pallas performance path's encode;
         # BASELINE.json "encode MB/s" applies to it too — the C++ planner
         # pass makes the 10M-nnz config tractable).
@@ -373,6 +418,111 @@ def main() -> int:
                 except Exception as e:  # pragma: no cover
                     record({"matrix": name, "alg": alg, "kernel": kernel,
                             "error": str(e)[:200]})
+
+        # Co-clustered coordinates row (ops/cocluster.py): the joint
+        # row x column planner's occupancy gain on the grid-fused
+        # protocol, in permuted space (x scattered through col_map at
+        # upload — the SELL-C-sigma preprocessing contract). Large
+        # matrices only: the small samples are launch-bound.
+        if "pallas" in kernels and name in ("memplus", "pwt",
+                                            "synth-10M"):
+            try:
+                from smvp_toolkit_tpu.ops.spmv_pallas import (
+                    CoClusteredSellSpMV,
+                )
+
+                import ml_dtypes
+
+                t0 = _time.perf_counter()
+                # bf16 value mode: the bench.py headline's shipped
+                # default — one consistent benchmark surface.
+                op_cc = CoClusteredSellSpMV(
+                    coo, value_dtype=jnp.bfloat16
+                )
+                cc_plan_s = _time.perf_counter() - t0
+                res = op_cc.result
+                xp = np.zeros(res.shape_padded[1], dtype=np.float32)
+                xp[res.col_map] = np.ones(coo.shape[1], np.float32)
+                xp = jnp.asarray(xp)
+                y_ref16 = np.zeros(coo.shape[0])
+                np.add.at(
+                    y_ref16, r,
+                    v.astype(ml_dtypes.bfloat16).astype(np.float64),
+                )
+                scale16 = np.abs(y_ref16).max() + 1e-30
+                yp = np.asarray(op_cc.inner(xp)).astype(np.float64)
+                err = float(
+                    np.abs(yp[res.row_map] - y_ref16).max() / scale16
+                )
+                if err > 1e-3:
+                    raise ValueError(f"wrong result ({err:.2e})")
+                stats = bench_spmv_fused(
+                    lambda _m, xx: op_cc.inner(xx), coo, xp,
+                    iterations=iters, repeats=3,
+                )
+                plan = op_cc.inner.plan
+                nnzs = stats.nnz_per_s(coo.nnz)
+                gbs = stats.gb_per_s(spmv_bytes_csr(coo.nnz,
+                                                    coo.shape[0]))
+                agbs = stats.gb_per_s(plan.traffic_bytes())
+                rec = {
+                    "matrix": name, "alg": "CSR",
+                    "kernel": "pallas-cocluster",
+                    "nnz": coo.nnz,
+                    "avg_ms": round(stats.avg_ms, 6),
+                    "gnnz_per_s": round(nnzs / 1e9, 3),
+                    "eff_gb_s": round(gbs, 2),
+                    "roofline_frac": round(
+                        gbs / hbm_bandwidth_gbs(device), 5
+                    ),
+                    "sell_occupancy": round(
+                        coo.nnz / plan.slots(), 4
+                    ),
+                    "sell_gb_s": round(agbs, 2),
+                    "sell_roofline_frac": round(
+                        agbs / hbm_bandwidth_gbs(device), 5
+                    ),
+                    "chunk": int(plan.chunk),
+                    "cocluster_plan_s": round(cc_plan_s, 1),
+                    "rel_err": err,
+                    "device": device.device_kind,
+                }
+                if device.platform == "tpu":
+                    try:
+                        base_n = max(
+                            200, min(4000, int(2e8 / max(coo.nnz, 1)))
+                        )
+                        times = []
+                        for nn in (base_n, 2 * base_n):
+                            f = jax.jit(
+                                lambda xx, _n=nn:
+                                op_cc.inner.bench_loop(xx, _n)
+                            )
+                            np.asarray(f(xp))
+                            samples = []
+                            for _ in range(3):
+                                t0 = _time.perf_counter_ns()
+                                np.asarray(f(xp))
+                                samples.append(
+                                    (_time.perf_counter_ns() - t0) / 1e6
+                                )
+                            times.append(min(samples))
+                        gf_ms = max(times[1] - times[0], 1e-9) / base_n
+                        rec["gridfused_avg_ms"] = round(gf_ms, 6)
+                        rec["gridfused_gnnz_per_s"] = round(
+                            coo.nnz / gf_ms / 1e6, 3
+                        )
+                        if ref_ms := REFERENCE_MS.get((name, "CSR")):
+                            rec["gridfused_vs_reference"] = round(
+                                ref_ms / gf_ms, 2
+                            )
+                    except Exception:
+                        pass
+                record(rec)
+            except Exception as e:  # pragma: no cover
+                record({"matrix": name, "alg": "CSR",
+                        "kernel": "pallas-cocluster",
+                        "error": str(e)[:200]})
 
         # Data-parallel row (BASELINE.json: "memplus row-block sharded",
         # "pwt + synth multi-host DP") whenever >1 device is visible
