@@ -45,11 +45,27 @@ def _record(rec):
 
 
 def _cc(name):
-    """Co-cluster a sample matrix once per session (host-side)."""
+    """Co-cluster a sample matrix once per session (host-side).
+
+    File-cached under /tmp so per-cell subprocess runs (the watchdog
+    architecture — a wedged remote compile must not stall the whole
+    session) pay the refinement once.
+    """
     if name not in _CC_CACHE:
-        from smvp_toolkit_tpu.ops.cocluster import cocluster
+        from smvp_toolkit_tpu.ops.cocluster import CoClusterResult, cocluster
 
         coo = s3._coo(name)
+        cache = f"/tmp/smvp_cc_{name}.npz"
+        if os.path.exists(cache):
+            d = np.load(cache)
+            _CC_CACHE[name] = CoClusterResult(
+                row_map=d["row_map"], col_map=d["col_map"],
+                shape_padded=tuple(int(x) for x in d["shape_padded"]),
+                s_true=int(d["s_true"]),
+                s_true_natural=int(d["s_true_natural"]),
+                moves=int(d["moves"]), init=str(d["init"]),
+            )
+            return _CC_CACHE[name]
         r, c, _v = coo.to_numpy()
         t0 = time.time()
         res = cocluster(
@@ -58,6 +74,10 @@ def _cc(name):
         print(f"cocluster {name}: occ {res.occupancy(coo.nnz):.3f} "
               f"(S {res.s_true_natural} -> {res.s_true}) "
               f"[{time.time()-t0:.0f}s]", flush=True)
+        np.savez(cache, row_map=res.row_map, col_map=res.col_map,
+                 shape_padded=np.asarray(res.shape_padded),
+                 s_true=res.s_true, s_true_natural=res.s_true_natural,
+                 moves=res.moves, init=res.init)
         _CC_CACHE[name] = res
     return _CC_CACHE[name]
 
@@ -178,41 +198,65 @@ def run_cell5(name, label, *, chunk=2048, cocluster=False, env=None,
             os.environ.pop(k, None)
 
 
+CELLS = {
+    # 1) the flagship question: does plan occupancy convert?
+    "synth-ctl": ("synth-10M", "nat-c2048-ctl", {}),
+    "synth-cc": ("synth-10M", "cc-c2048", {"cocluster": True}),
+    "synth-cc1024": ("synth-10M", "cc-c1024",
+                     {"cocluster": True, "chunk": 1024}),
+    # 2) chain attacks (winner coordinates + natural control)
+    "synth-cc-taa": ("synth-10M", "cc-taa",
+                     {"cocluster": True,
+                      "env": {"SMVP_SELL_BF16_TAA": "1"}}),
+    "synth-nat-taa": ("synth-10M", "nat-taa",
+                      {"env": {"SMVP_SELL_BF16_TAA": "1"}}),
+    "synth-cc-split2": ("synth-10M", "cc-split2",
+                        {"cocluster": True,
+                         "env": {"SMVP_SELL_SPLIT_CHAIN": "2"}}),
+    "synth-nat-split2": ("synth-10M", "nat-split2",
+                         {"env": {"SMVP_SELL_SPLIT_CHAIN": "2"}}),
+    "synth-cc-taa-split2": ("synth-10M", "cc-taa-split2",
+                            {"cocluster": True,
+                             "env": {"SMVP_SELL_BF16_TAA": "1",
+                                     "SMVP_SELL_SPLIT_CHAIN": "2"}}),
+    # 3) headline matrix: autotuner pick + cocluster
+    "mem-ctl": ("memplus", "nat-c2048-ctl", {}),
+    "mem-at": ("memplus", "nat-autotuned", {"autotune": True}),
+    "mem-cc-at": ("memplus", "cc-autotuned",
+                  {"cocluster": True, "autotune": True}),
+    # 4) pwt
+    "pwt-ctl": ("pwt", "nat-c2048-ctl", {}),
+    "pwt-cc-at": ("pwt", "cc-autotuned",
+                  {"cocluster": True, "autotune": True}),
+}
+
+
 def main():
+    """Run ONE cell (sys.argv[1]) — the driver loop runs each cell in
+    its own subprocess under `timeout` so a wedged remote Mosaic
+    compile (observed: the experimental sub-chunk slicing hung the
+    compile service indefinitely) costs one cell, not the session:
+
+        for c in $(python tpu_r5_session1.py --list); do
+          timeout 900 python -u tpu_r5_session1.py $c || true
+        done
+    """
     import jax
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--list":
+        print(" ".join(CELLS))
+        return
+    sel = sys.argv[1:] or list(CELLS)
     with open(LOCK, "w") as f:
         f.write(str(os.getpid()))
     try:
         t0 = time.time()
         dev = jax.devices()[0]
         print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
-
-        # 1) the flagship question: does plan occupancy convert?
-        run_cell5("synth-10M", "nat-c2048-ctl")
-        run_cell5("synth-10M", "cc-c2048", cocluster=True)
-        run_cell5("synth-10M", "cc-c1024", cocluster=True, chunk=1024)
-        # 2) chain attacks (on the winner coordinates + natural control)
-        run_cell5("synth-10M", "cc-taa", cocluster=True,
-                  env={"SMVP_SELL_BF16_TAA": "1"})
-        run_cell5("synth-10M", "cc-split2", cocluster=True,
-                  env={"SMVP_SELL_SPLIT_CHAIN": "2"})
-        run_cell5("synth-10M", "nat-taa",
-                  env={"SMVP_SELL_BF16_TAA": "1"})
-        run_cell5("synth-10M", "nat-split2",
-                  env={"SMVP_SELL_SPLIT_CHAIN": "2"})
-        run_cell5("synth-10M", "cc-taa-split2", cocluster=True,
-                  env={"SMVP_SELL_BF16_TAA": "1",
-                       "SMVP_SELL_SPLIT_CHAIN": "2"})
-        # 3) headline matrix: autotuner pick + cocluster
-        run_cell5("memplus", "nat-c2048-ctl")
-        run_cell5("memplus", "nat-autotuned", autotune=True)
-        run_cell5("memplus", "cc-autotuned", cocluster=True,
-                  autotune=True)
-        # 4) pwt
-        run_cell5("pwt", "nat-c2048-ctl")
-        run_cell5("pwt", "cc-autotuned", cocluster=True, autotune=True)
-        print(f"session r5s1 total {time.time()-t0:.0f}s", flush=True)
+        for key in sel:
+            name, label, kw = CELLS[key]
+            run_cell5(name, label, **kw)
+        print(f"cells {sel} total {time.time()-t0:.0f}s", flush=True)
     finally:
         try:
             os.remove(LOCK)

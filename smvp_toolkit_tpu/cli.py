@@ -89,9 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
         help=(
             "SpMV kernel implementation (auto: pallas on TPU, xla "
             "elsewhere; native = C++ CPU backend; df64 = double-float "
-            "extended precision, ~1e-14 relative error on f32 hardware; "
-            "NOTE: df64 runs on the XLA path, not the Pallas SELL "
-            "performance kernel)"
+            "extended precision on the Pallas SELL path, ~1e-14 "
+            "relative error on f32 hardware — SMVP_DF64_XLA=1 pins the "
+            "XLA compensated-scan path)"
         ),
     )
     p.add_argument(
@@ -442,12 +442,40 @@ def main(argv: Optional[List[str]] = None) -> int:
                     f"{args.kernel} unsupported, using XLA kernels.")
             return spmv_csr, spmv_tjds, "xla"
         if args.kernel == "df64":
-            from smvp_toolkit_tpu.ops.precision import spmv_csr_df64
+            # Double-float on the Pallas SELL performance path
+            # (ops/spmv_df64.py: exact bf16-expansion selection +
+            # grid-quantized exact MXU accumulation, ~1e-14 vs the f64
+            # oracle); the XLA compensated-scan path remains via
+            # SMVP_DF64_XLA=1 (and for pathological value scales).
+            if os.environ.get("SMVP_DF64_XLA") == "1":
+                from smvp_toolkit_tpu.ops.precision import spmv_csr_df64
 
-            def csr_df64(encoded, xx):
-                xx = xx.astype(jnp.float32)
-                hi, lo = spmv_csr_df64(encoded, xx, jnp.zeros_like(xx))
-                return hi + lo  # f32 carries the displayed result
+                def csr_df64(encoded, xx):
+                    xx = xx.astype(jnp.float32)
+                    hi, lo = spmv_csr_df64(encoded, xx,
+                                           jnp.zeros_like(xx))
+                    return hi + lo  # f32 carries the displayed result
+            else:
+                from smvp_toolkit_tpu.ops.spmv_df64 import SellDf64SpMV
+
+                _df64_ops: dict = {}
+
+                def csr_df64(encoded, xx):
+                    op = _df64_ops.get(id(encoded))
+                    if op is None:
+                        from smvp_toolkit_tpu.ops.spmv_pallas import (
+                            _triplets_from_csr_host,
+                        )
+
+                        r_, c_, v_, shape_ = _triplets_from_csr_host(
+                            encoded
+                        )
+                        op = SellDf64SpMV.from_coo_f64(
+                            r_, c_, v_, shape_
+                        )
+                        _df64_ops[id(encoded)] = op
+                    hi, lo = op(xx.astype(jnp.float32), None)
+                    return hi + lo  # f32 carries the displayed result
 
             def tjds_df64(encoded, xx):
                 # No TJDS double-float variant; compensated CSR semantics
@@ -457,8 +485,6 @@ def main(argv: Optional[List[str]] = None) -> int:
             # The fallback must not be misreported as extended precision.
             tjds_df64.kernel_label = "xla"
             log("INFO", "df64 is CSR-only; TJDS runs the plain XLA kernel.")
-            log("INFO", "df64 runs on the XLA path — the Pallas SELL "
-                "performance kernel has no double-float variant.")
             return csr_df64, tjds_df64, "df64"
         if args.kernel == "native":
             from smvp_toolkit_tpu.ops.spmv_native import (

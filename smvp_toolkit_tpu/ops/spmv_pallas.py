@@ -198,11 +198,37 @@ def _relsl_chain_store(y_ref, rs, x_win, val_raw, lidx, wt, k, sb, ns, nsw,
     chunk = rs.shape[1]
     if split < 2 or chunk % split or k != 1:
         split = 1
+    if split == 1:
+        # Default (and bf16_taa) path: identical trace to the r4-proven
+        # kernel apart from the optional exact table cast — no
+        # sub-chunk slicing ops anywhere near Mosaic (lane-dim slices
+        # of the rel‖slice row HANG the remote Mosaic compile —
+        # measured round 5; hence the reshape route below).
+        rel_row = jnp.bitwise_and(rs, jnp.int32(_PACK_REL_DEAD))
+        sl_row = jax.lax.shift_right_logical(rs, _RELSL_SL_SHIFT)
+        table = _table_select_t(
+            rel_row, x_win, wt, precision, bf16_values, reduce2
+        )
+        if bf16_taa:
+            table = table.astype(jnp.bfloat16)
+        g = _gather_tile(table, lidx, k)
+        if bf16_taa:
+            g = g.astype(jnp.float32)
+        vals = val_raw.astype(jnp.float32)
+        prod = (vals if k == 1
+                else jnp.concatenate([vals] * k, axis=1)) * g
+        _reduce_store(y_ref, prod, sl_row, sb, ns, nsw, precision,
+                      reduce2)
+        return
     per = chunk // split
+    # Sub-chunk views via SUBLANE-dim reshape + static leading index
+    # (a relayout-free op, unlike lane-dim slicing).
+    rs3 = rs.reshape(split, 1, per)
+    lidx3 = lidx.reshape(split, per, LANES)
+    val3 = val_raw.reshape(split, per, LANES)
     parts = []
     for h in range(split):
-        cols = slice(h * per, (h + 1) * per)
-        rs_h = rs[:, cols]
+        rs_h = rs3[h]
         rel_h = jnp.bitwise_and(rs_h, jnp.int32(_PACK_REL_DEAD))
         sl_h = jax.lax.shift_right_logical(rs_h, _RELSL_SL_SHIFT)
         table = _table_select_t(
@@ -210,10 +236,10 @@ def _relsl_chain_store(y_ref, rs, x_win, val_raw, lidx, wt, k, sb, ns, nsw,
         )
         if bf16_taa:
             table = table.astype(jnp.bfloat16)
-        g = _gather_tile(table, lidx[cols, :], k)
+        g = _gather_tile(table, lidx3[h], k)
         if bf16_taa:
             g = g.astype(jnp.float32)
-        v = val_raw[cols, :].astype(jnp.float32)
+        v = val3[h].astype(jnp.float32)
         prod = (v if k == 1 else jnp.concatenate([v] * k, axis=1)) * g
         parts.append((prod, sl_h))
     if nsw >= ns:
