@@ -83,7 +83,80 @@ def _cc(name):
 
 
 def run_cell5(name, label, *, chunk=2048, cocluster=False, env=None,
-              base_n=None, autotune=False):
+              base_n=None, autotune=False, df64=False):
+    if df64:
+        return _run_cell5_df64(name, label, chunk=chunk, base_n=base_n)
+    return _run_cell5_std(name, label, chunk=chunk, cocluster=cocluster,
+                          env=env, base_n=base_n, autotune=autotune)
+
+
+def _run_cell5_df64(name, label, *, chunk, base_n):
+    """df64 grid-fused cell: slope fit + 1e-13 oracle gate."""
+    import jax
+    import jax.numpy as jnp
+
+    from smvp_toolkit_tpu.ops.spmv_df64 import SellDf64SpMV
+    try:
+        coo = s3._coo(name)
+        r, c, v = coo.to_numpy()
+        if base_n is None:
+            base_n = 1000 if coo.nnz > 1_000_000 else 4000
+        if QUICK:
+            base_n = 2
+        op = SellDf64SpMV.from_coo_f64(
+            np.asarray(r, np.int64), np.asarray(c, np.int64),
+            np.asarray(v, np.float64), coo.shape, chunk=chunk,
+        )
+        op.interpret = bool(QUICK) and op.interpret
+        rng = np.random.default_rng(0)
+        x64 = rng.standard_normal(coo.shape[1])
+        xh = jnp.asarray(x64.astype(np.float32))
+        xl = jnp.asarray((x64 - x64.astype(np.float32)
+                          .astype(np.float64)).astype(np.float32))
+        y_ref = np.zeros(coo.shape[0])
+        np.add.at(y_ref, r, np.asarray(v, np.float64) * x64[c])
+        scale = np.abs(y_ref).max() + 1e-300
+        ns_pts = [base_n, 2 * base_n, 4 * base_n]
+        ts, errs = [], []
+        for n_ in ns_pts:
+            f = jax.jit(lambda a, b, _n=n_: op.bench_loop(a, b, _n))
+            yh, yl = f(xh, xl)
+            y = (np.asarray(yh, np.float64)
+                 + np.asarray(yl, np.float64))
+            errs.append(float(np.abs(y - y_ref).max() / scale))
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter_ns()
+                jax.block_until_ready(f(xh, xl))
+                samples.append((time.perf_counter_ns() - t0) / 1e3)
+            ts.append(min(samples))
+        A = np.vstack([ns_pts, np.ones(3)]).T
+        (slope, intercept), *_ = np.linalg.lstsq(A, np.asarray(ts),
+                                                 rcond=None)
+        us = float(slope)
+        gnnz = coo.nnz / us / 1e3 if us > 0 else float("nan")
+        rec = {"ts": time.time(), "kind": "grid-fused5", "name": name,
+               "label": label, "chunk": int(op.plan.chunk),
+               "S": int(op.plan.n_sublanes), "df64": True,
+               "ns_pts": ns_pts, "t_us": ts, "avg_us": us,
+               "gnnz_s": gnnz, "err": max(errs), "nnz": int(coo.nnz),
+               "device": jax.devices()[0].device_kind}
+        _record(rec)
+        ok = max(errs) < 1e-13
+        print(f"{name} {label:22s}: {us:9.3f} us/iter {gnnz:8.2f} "
+              f"Gnnz/s err={max(errs):.1e} "
+              f"{'OK' if ok else 'ACCURACY FAIL'}", flush=True)
+        return gnnz
+    except Exception as e:  # noqa: BLE001
+        _record({"ts": time.time(), "kind": "grid-fused5", "name": name,
+                 "label": label, "ok": False,
+                 "error": f"{type(e).__name__}: {str(e)[:300]}"})
+        print(f"{name} {label} FAILED: {str(e)[:250]}", flush=True)
+        return None
+
+
+def _run_cell5_std(name, label, *, chunk, cocluster, env, base_n,
+                   autotune):
     import jax
     import jax.numpy as jnp
     import ml_dtypes
@@ -228,6 +301,10 @@ CELLS = {
     "pwt-ctl": ("pwt", "nat-c2048-ctl", {}),
     "pwt-cc-at": ("pwt", "cc-autotuned",
                   {"cocluster": True, "autotune": True}),
+    # 5) df64 rate (the within-~3x-of-bf16 claim; accuracy gated in
+    #    run_cell5_df64 against the f64 oracle at 1e-13)
+    "mem-df64": ("memplus", "df64", {"df64": True}),
+    "synth-df64": ("synth-10M", "df64", {"df64": True}),
 }
 
 
