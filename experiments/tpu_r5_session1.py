@@ -305,6 +305,42 @@ CELLS = {
     #    run_cell5_df64 against the f64 oracle at 1e-13)
     "mem-df64": ("memplus", "df64", {"df64": True}),
     "synth-df64": ("synth-10M", "df64", {"df64": True}),
+    # 6) split-chain follow-ups (split2 won +13% on synth-cc)
+    "synth-cc-split4": ("synth-10M", "cc-split4",
+                        {"cocluster": True,
+                         "env": {"SMVP_SELL_SPLIT_CHAIN": "4"}}),
+    "mem-at-split2": ("memplus", "at-split2",
+                      {"autotune": True,
+                       "env": {"SMVP_SELL_SPLIT_CHAIN": "2"}}),
+    "mem-cc-at-split2": ("memplus", "cc-at-split2",
+                         {"cocluster": True, "autotune": True,
+                          "env": {"SMVP_SELL_SPLIT_CHAIN": "2"}}),
+    "pwt-cc-at-split2": ("pwt", "cc-at-split2",
+                         {"cocluster": True, "autotune": True,
+                          "env": {"SMVP_SELL_SPLIT_CHAIN": "2"}}),
+    # 7) split-chain with lane-tile-aligned sub-chunks (split requires
+    #    chunk % (split*128) == 0 — odd single-chunk sizes 500 the
+    #    remote compiler)
+    "synth-cc-split8": ("synth-10M", "cc-split8",
+                        {"cocluster": True,
+                         "env": {"SMVP_SELL_SPLIT_CHAIN": "8"}}),
+    "mem-cc-c2048-split2": ("memplus", "cc-c2048-split2",
+                            {"cocluster": True, "chunk": 2048,
+                             "env": {"SMVP_SELL_SPLIT_CHAIN": "2"}}),
+    "mem-cc-c2048-split4": ("memplus", "cc-c2048-split4",
+                            {"cocluster": True, "chunk": 2048,
+                             "env": {"SMVP_SELL_SPLIT_CHAIN": "4"}}),
+    "pwt-cc-c2048-split2": ("pwt", "cc-c2048-split2",
+                            {"cocluster": True, "chunk": 2048,
+                             "env": {"SMVP_SELL_SPLIT_CHAIN": "2"}}),
+    "pwt-cc-c2048-split4": ("pwt", "cc-c2048-split4",
+                            {"cocluster": True, "chunk": 2048,
+                             "env": {"SMVP_SELL_SPLIT_CHAIN": "4"}}),
+    "mem-nat-c2048-split4": ("memplus", "nat-c2048-split4",
+                             {"chunk": 2048,
+                              "env": {"SMVP_SELL_SPLIT_CHAIN": "4"}}),
+    "synth-nat-split4": ("synth-10M", "nat-split4",
+                         {"env": {"SMVP_SELL_SPLIT_CHAIN": "4"}}),
 }
 
 

@@ -161,23 +161,36 @@ def pick_plan(
     # regardless of the tuned chunk — the flat plan cannot run.
     from smvp_toolkit_tpu.ops.spmv_pallas import _auto_plan
 
-    best: Optional[Tuple[SellPlan, float]] = None
+    from smvp_toolkit_tpu.ops.spmv_pallas import _split_policy
+
+    # Chain-split win (round-5 session 1, measured): split-compatible
+    # chunks run ~0.78x the unsplit step time (c2048+split4 beats the
+    # former single-chunk picks on every benchmark matrix).
+    split_factor = {1: 1.0, 4: 0.78}
+
+    cands = []
     for chunk in sorted(chunks):
         plan = _auto_plan(rows, cols, vals, shape, chunk=chunk)
+        split = _split_policy(plan.chunk, 1)
         cost = plan_cost_us(
             plan, vb, table_passes=table_p, reduce_passes=reduce_p,
             rates=rates,
-        )
-        if best is None or cost < best[1]:
-            best = (plan, cost)
+        ) * split_factor.get(split, 1.0)
+        cands.append((plan, cost, split))
         if plan.chunk < chunk:
             # Small matrix: the planner shrank the chunk to the true
             # sublane count — every larger candidate yields the same
             # plan, so stop here (keeps construction cheap for the
             # small-matrix-heavy paths, e.g. the test suite).
             break
-    assert best is not None
-    return best
+    # Measured preference (round-5 cells): within the cost model's
+    # noise band, split-compatible chunks win on hardware (the model
+    # over-prices pwt-class wide-window c2048 by ~30% while the
+    # measured c2048+split cells beat the single-chunk picks 1.5x+).
+    best_cost = min(c for _p, c, _s in cands)
+    near = [t for t in cands if t[1] <= 1.2 * best_cost]
+    plan, cost, _split = min(near, key=lambda t: (-t[2], t[1]))
+    return plan, cost
 
 
 def _passes(rec: dict) -> Tuple[int, int]:

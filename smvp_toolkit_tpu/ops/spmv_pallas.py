@@ -174,8 +174,39 @@ def _table_select_t(rel_row, x_win, wt, precision, bf16_values, reduce2):
     )
 
 
+def _chain_setting(chunk: int, k: int):
+    """(split, bf16_taa) for a launch — env overrides, else policy.
+
+    Resolved at CALL time and threaded as STATIC jit args (reading env
+    inside the traced kernel made cached traces go stale when the knob
+    changed — measured as cross-test bit-mismatches)."""
+    env_split = os.environ.get("SMVP_SELL_SPLIT_CHAIN")
+    split = int(env_split) if env_split else _split_policy(chunk, k)
+    bf16_taa = os.environ.get("SMVP_SELL_BF16_TAA") == "1"
+    return split, bf16_taa
+
+
+def _split_policy(chunk: int, k: int) -> int:
+    """Production chain-split choice (measured, round-5 session 1).
+
+    Four independent sub-chunk chains let Mosaic overlap MXU passes of
+    one sub-chain with VPU shuffles of another: measured at c2048,
+    split4 is the sweet spot on every benchmark matrix (synth-10M
+    46.3->58.9, memplus 18.4(s2)->22.0, split8 regresses to 51.3) and
+    c2048+split4 beats the former single-chunk autotuner picks
+    outright. Sub-chunks must be lane-tile aligned — per-half widths
+    that are not multiples of 128 lanes 500 the remote Mosaic compile
+    (measured on the odd single-chunk sizes). SpMM (k > 1) keeps the
+    proven unsplit chain.
+    """
+    if k == 1 and chunk >= 2048 and chunk % (4 * LANES) == 0:
+        return 4
+    return 1
+
+
 def _relsl_chain_store(y_ref, rs, x_win, val_raw, lidx, wt, k, sb, ns, nsw,
-                       precision, bf16_values, reduce2):
+                       precision, bf16_values, reduce2, split=1,
+                       bf16_taa=False):
     """relsl chain: table -> gather -> multiply -> windowed reduce+store.
 
     Shared by the production relsl kernel and the grid-fused benchmark
@@ -193,10 +224,10 @@ def _relsl_chain_store(y_ref, rs, x_win, val_raw, lidx, wt, k, sb, ns, nsw,
 
     Both default off pending hardware A/Bs.
     """
-    split = int(os.environ.get("SMVP_SELL_SPLIT_CHAIN", "1"))
-    bf16_taa = bf16_values and os.environ.get("SMVP_SELL_BF16_TAA") == "1"
     chunk = rs.shape[1]
-    if split < 2 or chunk % split or k != 1:
+    bf16_taa = bf16_taa and bf16_values
+    if (split < 2 or chunk % (split * LANES) or k != 1
+            or (chunk // split) % 8):
         split = 1
     if split == 1:
         # Default (and bf16_taa) path: identical trace to the r4-proven
@@ -258,7 +289,7 @@ def _relsl_chain_store(y_ref, rs, x_win, val_raw, lidx, wt, k, sb, ns, nsw,
 
 
 def _make_sell_kernel_relsl(precision, ns, nsw, wt, bf16_values, reduce2,
-                            resident=True, k=1):
+                            resident=True, k=1, split=1, bf16_taa=False):
     """3-stream kernel: vals + lane indices + the rel‖slice plane.
 
     ``k > 1`` is the fused SpMM: x/y widen to ``k*128`` lanes (column j
@@ -282,7 +313,7 @@ def _make_sell_kernel_relsl(precision, ns, nsw, wt, bf16_values, reduce2,
         _relsl_chain_store(
             y_ref, rs, x_win, val_ref[:], lidx_ref[:].astype(jnp.int32),
             wt, k, bases_ref[1, step], ns, nsw, precision, bf16_values,
-            reduce2,
+            reduce2, split=split, bf16_taa=bf16_taa,
         )
 
     return _sell_kernel
@@ -588,7 +619,7 @@ def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
 
 def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
                             packed=False, relsl=False, nsb=0, k=1,
-                            resident=True):
+                            resident=True, split=1, bf16_taa=False):
     """Grid-fused benchmark kernel: grid = (iterations, n_chunks).
 
     The benchmark's iteration loop lives INSIDE the Mosaic grid instead
@@ -658,6 +689,7 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
                 y_ref, rs, x_win, val_ref[:],
                 lidx_ref[:].astype(jnp.int32), wt, k, bases_ref[1, ch],
                 out_ns, out_nsw, precision, bf16_values, reduce2,
+                split=split, bf16_taa=bf16_taa,
             )
     else:
         def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref,
@@ -931,13 +963,15 @@ def _sell_vals_grad_call(
     jax.jit,
     static_argnames=("n_chunks", "chunk", "ns", "nsw", "wt", "interpret",
                      "precision", "resident", "onehot_dense", "reduce2",
-                     "prefetch", "nsb", "k", "vmem_mb"),
+                     "prefetch", "nsb", "k", "vmem_mb", "split_chain",
+                     "bf16_taa"),
 )
 def _sell_spmv_call(
     x_tiles, vals, lidx, rel_tile, slice_of, bases, *, n_chunks, chunk,
     ns, nsw, wt, interpret, precision=jax.lax.Precision.HIGHEST,
     resident=True, onehot_dense=False, reduce2=False, prefetch=True,
     nsb=0, k=1, packed_plane=None, relsl_plane=None, vmem_mb=None,
+    split_chain=1, bf16_taa=False,
 ):
     """Dispatch one SELL launch. ``bases`` is i32 (2, n_chunks):
     row 0 = per-chunk x tile-window starts, row 1 = per-chunk y
@@ -1009,7 +1043,8 @@ def _sell_spmv_call(
             )(bases, *opnds)
         kern = _make_sell_kernel_relsl(
             precision, ns, nsw, wt, bf16_values, reduce2,
-            resident=resident, k=k,
+            resident=resident, k=k, split=split_chain,
+            bf16_taa=bf16_taa,
         )
         if resident:
             ct = x_tiles.shape[0]
@@ -1606,6 +1641,8 @@ class SellSpMV:
             packed_plane=self._packed() if packed else None,
             relsl_plane=self._relsl() if relsl else None,
             vmem_mb=self.vmem_mb,
+            split_chain=_chain_setting(plan.chunk, kg)[0],
+            bf16_taa=_chain_setting(plan.chunk, kg)[1],
         )  # (NS, kg*LANES)
         return unpack_columns(y, plan.n_slices, kg)[: self.shape[0]]
 
@@ -1946,9 +1983,11 @@ class SellSpMV:
         )
         chunk, nch, ns = plan.chunk, plan.n_chunks, plan.n_slices
         ct = plan.n_coltiles
+        split, bf16_taa = _chain_setting(plan.chunk, kg)
         kern = _make_sell_kernel_bench(
             self.precision, ns, nsw, plan.window_tiles, self._bf16,
             reduce2, relsl=True, k=kg, resident=resident,
+            split=split, bf16_taa=bf16_taa,
         )
         rs3 = self._relsl().reshape(nch, 1, chunk)
         if resident:
@@ -2050,9 +2089,11 @@ class SellSpMV:
         ct = plan.n_coltiles
         nsb = plan.y_block_slices
         sl3 = self.slice_of.reshape(nch, 1, chunk)
+        split, bf16_taa = _chain_setting(plan.chunk, 1)
         kern = _make_sell_kernel_bench(
             self.precision, ns, nsw, plan.window_tiles, self._bf16,
             reduce2, packed=packed, relsl=relsl, nsb=nsb,
+            split=split, bf16_taa=bf16_taa,
         )
         if nsb > 0 and packed:
             raise ValueError(
@@ -2274,6 +2315,8 @@ class SellSpMV:
                 packed_plane=ppk,
                 relsl_plane=prs,
                 vmem_mb=self.vmem_mb,
+                split_chain=_chain_setting(plan.chunk, 1)[0],
+                bf16_taa=_chain_setting(plan.chunk, 1)[1],
             )
 
         if n_split == 1:

@@ -779,6 +779,15 @@ def test_packed_plane_bit_exact(name, monkeypatch):
     the arithmetic is identical — only the HBM layout changes (micro3's
     stream-count finding, experiments/micro3_tpu.py)."""
     coo = _load(name)
+    # Pin the unsplit chain: the packed kernel has no split-chain
+    # variant, and split4 (the production default for big chunks) is a
+    # different — equally valid — summation order, not bit-identical.
+    # Env knobs are read at trace time, so drop cached traces from
+    # earlier tests.
+    monkeypatch.setenv("SMVP_SELL_SPLIT_CHAIN", "1")
+    from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call
+
+    _sell_spmv_call.clear_cache()
     op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
     rng = np.random.RandomState(11)
     x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
