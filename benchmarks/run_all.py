@@ -443,7 +443,8 @@ def main() -> int:
         # upload — the SELL-C-sigma preprocessing contract). Large
         # matrices only: the small samples are launch-bound.
         if "pallas" in kernels and name in ("memplus", "pwt",
-                                            "synth-10M"):
+                                            "synth-10M",
+                                            "goodwin-surrogate"):
             try:
                 from smvp_toolkit_tpu.ops.spmv_pallas import (
                     CoClusteredSellSpMV,
