@@ -29,6 +29,7 @@ from smvp_toolkit_tpu.ops.sell_plan import (
     common_window,
 )
 from smvp_toolkit_tpu.ops.spmv_pallas import (
+    _chain_setting,
     _PACK_WT_MAX,
     _RELSL_SL_DEAD,
     _RELSL_SL_SHIFT,
@@ -327,6 +328,7 @@ def _spmv_sell_sharded(
             reduce2=reduce2,
             prefetch=prefetch,
             relsl_plane=rs[0] if relsl else None,
+            split_chain=_chain_setting(sh.chunk, 1)[0],
         )
         return y[None]
 

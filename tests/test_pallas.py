@@ -1009,3 +1009,39 @@ def test_fused_cg_vmem_gate():
     op = SellSpMV.from_coo(coo)
     with pytest.raises(ValueError, match="VMEM"):
         fused_cg(op, jnp.ones(n), 3)
+
+
+def test_split_policy_gates():
+    """Production chain-split policy: 4-way only for lane-tile-aligned
+    big chunks, never for SpMM (round-5 measured constraints)."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import _split_policy
+
+    assert _split_policy(2048, 1) == 4
+    assert _split_policy(4096, 1) == 4
+    assert _split_policy(2048, 8) == 1          # SpMM keeps unsplit
+    assert _split_policy(1024, 1) == 1          # below the measured win
+    assert _split_policy(7192, 1) == 1          # 7192 % 512 != 0
+    assert _split_policy(16, 1) == 1
+
+
+def test_split_chain_matches_unsplit_numerics():
+    """split4 is a different (equally valid) summation order: results
+    agree with the unsplit chain to f32 re-association tolerance."""
+    import os as _os
+
+    from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call
+
+    coo = _load("memplus.mtx")
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(coo.shape[1]).astype(np.float32))
+    op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
+    y_split = np.asarray(op(x), np.float64)
+    _os.environ["SMVP_SELL_SPLIT_CHAIN"] = "1"
+    try:
+        _sell_spmv_call.clear_cache()
+        y_unsplit = np.asarray(op(x), np.float64)
+    finally:
+        _os.environ.pop("SMVP_SELL_SPLIT_CHAIN", None)
+        _sell_spmv_call.clear_cache()
+    scale = np.abs(y_unsplit).max() + 1e-30
+    assert np.abs(y_split - y_unsplit).max() / scale < 1e-6
