@@ -341,6 +341,12 @@ CELLS = {
                               "env": {"SMVP_SELL_SPLIT_CHAIN": "4"}}),
     "synth-nat-split4": ("synth-10M", "nat-split4",
                          {"env": {"SMVP_SELL_SPLIT_CHAIN": "4"}}),
+    # 8) max-rate exploration (split4 now default via policy)
+    "synth-cc-r1": ("synth-10M", "cc-split4-reduce1",
+                    {"cocluster": True,
+                     "env": {"SMVP_SELL_REDUCE1": "1"}}),
+    "dense-ctl": ("synth-10M-dense", "nat-c2048", {}),
+    "dense-cc": ("synth-10M-dense", "cc-c2048", {"cocluster": True}),
 }
 
 
