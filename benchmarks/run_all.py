@@ -129,11 +129,11 @@ def main() -> int:
     def gridfused_ms(enc, x, nnz):
         """Grid-fused per-iteration ms on TPU (None off-TPU/unsupported).
 
-        The XLA-loop protocol bench_spmv_fused uses carries a ~140
-        µs/iteration harness tax on the tunneled dev stack
-        (PERFORMANCE.md round-4); the grid-fused slope is the kernel's
-        true steady-state rate. Two points (N, 2N) with 3 fetch-synced
-        samples each — dispatch and one-time costs cancel."""
+        The slope over iteration counts is the honest per-iteration
+        rate: per-CALL wall times carry the stack's dispatch floor
+        (~25 ms on the current runtime — divided by the iteration
+        count it masquerades as a per-iteration cost; PERFORMANCE.md
+        round-5 session 2), which the slope cancels exactly."""
         if device.platform != "tpu":
             return None
         op = sell_op_of(enc)
