@@ -57,9 +57,11 @@ def analyze(coo: COOMatrix) -> Dict:
     if np.iscomplexobj(np.asarray(v)):
         out["tjds_diags"] = int(cl.max())
         return out
-    from smvp_toolkit_tpu.ops.sell_plan import build_sell_plan
+    # The PRODUCTION plan choice: the calibrated autotuner's chunk +
+    # chain split + VMEM (what the operator will actually run).
+    from smvp_toolkit_tpu.ops.spmv_pallas import _split_policy, _tuned_plan
 
-    plan = build_sell_plan(r, c, v, coo.shape)
+    plan, vmem = _tuned_plan(r, c, v, coo.shape, bf16=False)
     out["sell"] = {
         "sublanes": plan.n_sublanes,
         "slots": plan.slots(),
@@ -68,6 +70,8 @@ def analyze(coo: COOMatrix) -> Dict:
         "col_tiles": plan.n_coltiles,
         "chunks": plan.n_chunks,
         "chunk": plan.chunk,
+        "split_chain": _split_policy(plan.chunk, 1),
+        "vmem_mb": vmem,
         # HBM bytes one kernel launch moves, f32 and bf16 value modes —
         # with the occupancy (nnz/slots) these set the kernel's
         # speed-of-light nnz/s on a given chip.
@@ -98,10 +102,13 @@ def format_analysis(stats: Dict) -> str:
         s = stats.get("sell")  # absent for complex matrices (XLA path)
         if s is not None:
             lines.append(
-                f"SELL plan: {s['sublanes']} sublanes "
+                f"SELL plan (autotuned): {s['sublanes']} sublanes "
                 f"({s['padding_factor']:.1f}x slots), window "
                 f"{s['window_tiles']}/{s['col_tiles']} tiles, "
-                f"{s['chunks']} chunk(s) of {s['chunk']}"
+                f"{s['chunks']} chunk(s) of {s['chunk']}, "
+                f"chain split {s.get('split_chain', 1)}"
+                + (f", VMEM {s['vmem_mb']} MB" if s.get('vmem_mb')
+                   else "")
             )
             if "traffic_f32_bytes" in s:
                 lines.append(
