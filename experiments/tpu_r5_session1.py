@@ -347,6 +347,15 @@ CELLS = {
                      "env": {"SMVP_SELL_REDUCE1": "1"}}),
     "dense-ctl": ("synth-10M-dense", "nat-c2048", {}),
     "dense-cc": ("synth-10M-dense", "cc-c2048", {"cocluster": True}),
+    # 9) per-sub-chain windows (narrow one-hot MXU work ~1/split)
+    "synth-cc-subwin": ("synth-10M", "cc-subwin", {"cocluster": True}),
+    "synth-cc-nosubwin": ("synth-10M", "cc-nosubwin",
+                          {"cocluster": True,
+                           "env": {"SMVP_SELL_SUBWIN": "0"}}),
+    "mem-cc-subwin": ("memplus", "cc-c2048-subwin",
+                      {"cocluster": True, "chunk": 2048}),
+    "pwt-cc-subwin": ("pwt", "cc-c2048-subwin",
+                      {"cocluster": True, "chunk": 2048}),
 }
 
 

@@ -204,9 +204,64 @@ def _split_policy(chunk: int, k: int) -> int:
     return 1
 
 
+
+
+def _sub_windows(plan, split: int):
+    """Per-sub-chain tile/slice windows for the split chain (host, O(S)).
+
+    The chunk's WT/NSW windows are set by the FULL chunk's spans, but
+    each (chunk/split)-sublane sub-chain spans only ~1/split of the
+    tiles and slices (tile-major sort). Narrowing the one-hot windows
+    per sub-chain cuts the occupancy-invariant MXU work by ~WT/sub_wt
+    (measured 112->48 / 128->48 on the co-clustered flagship).
+
+    Returns ``(stb, ssb, sub_wt, sub_nsw)`` — int32 (n_chunks, split)
+    window bases (16-aligned, clamped) + static window sizes — or
+    ``None`` when the plan is ineligible (out-of-window sublanes, or a
+    base shift that would pull the dead-marker rel into a window).
+    """
+    if plan.nnz == 0 or plan.y_block_slices:
+        return None
+    rel = plan.rel_tile.reshape(-1).astype(np.int64)
+    if ((rel < 0) & (plan.slice_of.reshape(-1) >= 0)).any():
+        return None  # live out-of-window sublanes: rebuild the plan
+    nch, chunk = plan.n_chunks, plan.chunk
+    per = chunk // split
+    tb = np.repeat(plan.tile_base.astype(np.int64), chunk)
+    live = plan.slice_of.reshape(-1) >= 0
+    ut = np.where(live, rel + tb, -1).reshape(nch, split, per)
+    sl = np.where(
+        live, plan.slice_of.reshape(-1).astype(np.int64), -1
+    ).reshape(nch, split, per)
+    big = 1 << 40
+    t_lo = np.where(ut >= 0, ut, big).min(axis=2)
+    t_hi = np.where(ut >= 0, ut, -1).max(axis=2)
+    t_lo = np.where(t_hi < 0, 0, np.minimum(t_lo, big - 1))
+    t_hi = np.maximum(t_hi, 0)
+    t_lo16 = (t_lo // 16) * 16
+    sub_wt = int(max(int((t_hi - t_lo16).max()) + 1, 8))
+    sub_wt = min(-(-sub_wt // 16) * 16, plan.n_coltiles)
+    stb = np.minimum(t_lo16, max(plan.n_coltiles - sub_wt, 0))
+    s_lo = np.where(sl >= 0, sl, big).min(axis=2)
+    s_hi = np.where(sl >= 0, sl, -1).max(axis=2)
+    s_lo = np.where(s_hi < 0, 0, np.minimum(s_lo, big - 1))
+    s_hi = np.maximum(s_hi, 0)
+    s_lo16 = (s_lo // 16) * 16
+    sub_nsw = int(max(int((s_hi - s_lo16).max()) + 1, 8))
+    sub_nsw = min(-(-sub_nsw // 16) * 16, plan.n_slices)
+    ssb = np.minimum(s_lo16, max(plan.n_slices - sub_nsw, 0))
+    # Dead-marker guard: rel_adj(dead) = DEAD - (stb - tile_base) must
+    # stay outside [0, sub_wt).
+    shift = (stb - plan.tile_base.astype(np.int64)[:, None]).max()
+    if shift > _PACK_REL_DEAD - sub_wt or shift < 0:
+        return None
+    return (stb.astype(np.int32), ssb.astype(np.int32),
+            sub_wt, sub_nsw)
+
+
 def _relsl_chain_store(y_ref, rs, x_win, val_raw, lidx, wt, k, sb, ns, nsw,
                        precision, bf16_values, reduce2, split=1,
-                       bf16_taa=False):
+                       bf16_taa=False, subwin=None):
     """relsl chain: table -> gather -> multiply -> windowed reduce+store.
 
     Shared by the production relsl kernel and the grid-fused benchmark
@@ -257,6 +312,35 @@ def _relsl_chain_store(y_ref, rs, x_win, val_raw, lidx, wt, k, sb, ns, nsw,
     rs3 = rs.reshape(split, 1, per)
     lidx3 = lidx.reshape(split, per, LANES)
     val3 = val_raw.reshape(split, per, LANES)
+    if subwin is not None:
+        # Per-sub-chain windows (_sub_windows): each sub-chain selects
+        # from its OWN narrow x window and reduces into its OWN narrow
+        # y window — ~1/split of the one-hot MXU work per stage.
+        bases_ref, ch, x_ref, row0, sub_wt, sub_nsw = subwin
+        for h in range(split):
+            rs_h = rs3[h]
+            rel_h = jnp.bitwise_and(rs_h, jnp.int32(_PACK_REL_DEAD))
+            sl_h = jax.lax.shift_right_logical(rs_h, _RELSL_SL_SHIFT)
+            stb = bases_ref[row0 + h, ch]
+            ssb = bases_ref[row0 + split + h, ch]
+            rel_adj = rel_h - (stb - bases_ref[0, ch])
+            xb = pl.multiple_of(stb, 16)
+            x_win_h = x_ref[pl.ds(xb, sub_wt), :]
+            table = _table_select_t(
+                rel_adj, x_win_h, sub_wt, precision, bf16_values,
+                reduce2,
+            )
+            if bf16_taa:
+                table = table.astype(jnp.bfloat16)
+            g = _gather_tile(table, lidx3[h], 1)
+            if bf16_taa:
+                g = g.astype(jnp.float32)
+            prod = val3[h].astype(jnp.float32) * g
+            red = _seg_reduce(prod, sl_h, ssb, sub_nsw, precision,
+                              reduce2)
+            sbh = pl.multiple_of(ssb, 8)
+            y_ref[pl.ds(sbh, sub_nsw), :] += red
+        return
     parts = []
     for h in range(split):
         rs_h = rs3[h]
@@ -619,7 +703,8 @@ def _make_sell_kernel_packed(precision, ns, nsw, wt, reduce2,
 
 def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
                             packed=False, relsl=False, nsb=0, k=1,
-                            resident=True, split=1, bf16_taa=False):
+                            resident=True, split=1, bf16_taa=False,
+                            sub_wt=0, sub_nsw=0):
     """Grid-fused benchmark kernel: grid = (iterations, n_chunks).
 
     The benchmark's iteration loop lives INSIDE the Mosaic grid instead
@@ -680,7 +765,11 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
                 y_ref[:] = jnp.zeros_like(y_ref)
 
             rs = rs_ref[0]
-            if resident:
+            subwin = None
+            if sub_wt > 0 and resident and nsb == 0:
+                subwin = (bases_ref, ch, x_ref, 2, sub_wt, sub_nsw)
+                x_win = None
+            elif resident:
                 xb = pl.multiple_of(bases_ref[0, ch], 16)
                 x_win = x_ref[pl.ds(xb, wt), :]
             else:
@@ -689,7 +778,7 @@ def _make_sell_kernel_bench(precision, ns, nsw, wt, bf16_values, reduce2,
                 y_ref, rs, x_win, val_ref[:],
                 lidx_ref[:].astype(jnp.int32), wt, k, bases_ref[1, ch],
                 out_ns, out_nsw, precision, bf16_values, reduce2,
-                split=split, bf16_taa=bf16_taa,
+                split=split, bf16_taa=bf16_taa, subwin=subwin,
             )
     else:
         def _sell_kernel(bases_ref, x_ref, val_ref, lidx_ref, rel_ref,
@@ -2090,10 +2179,29 @@ class SellSpMV:
         nsb = plan.y_block_slices
         sl3 = self.slice_of.reshape(nch, 1, chunk)
         split, bf16_taa = _chain_setting(plan.chunk, 1)
+        # Per-sub-chain windows (_sub_windows): ~1/split of the one-hot
+        # MXU work — measured 35% SLOWER on v5e (the four dynamic
+        # x/y windows per step serialize harder than the MACs they
+        # save; the dots were never the bottleneck). Kept as an
+        # opt-in experiment: SMVP_SELL_SUBWIN=1.
+        sub_wt = sub_nsw = 0
+        bases = self.bases
+        if (relsl and nsb == 0 and split > 1
+                and os.environ.get("SMVP_SELL_SUBWIN") == "1"):
+            sub = _sub_windows(plan, split)
+            if sub is not None:
+                stb, ssb, sub_wt, sub_nsw = sub
+                with jax.ensure_compile_time_eval():
+                    bases = jnp.concatenate([
+                        self.bases[:2],
+                        jnp.asarray(stb.T),
+                        jnp.asarray(ssb.T),
+                    ])
         kern = _make_sell_kernel_bench(
             self.precision, ns, nsw, plan.window_tiles, self._bf16,
             reduce2, packed=packed, relsl=relsl, nsb=nsb,
-            split=split, bf16_taa=bf16_taa,
+            split=split, bf16_taa=bf16_taa, sub_wt=sub_wt,
+            sub_nsw=sub_nsw,
         )
         if nsb > 0 and packed:
             raise ValueError(
@@ -2163,7 +2271,7 @@ class SellSpMV:
                 pl.BlockSpec((chunk, LANES), lambda it, ch: (ch, 0)),
                 pl.BlockSpec((1, 1, chunk), lambda it, ch: (ch, 0, 0)),
             ]
-            opnds = (self.bases, x_tiles, self.vals, self.lidx,
+            opnds = (bases, x_tiles, self.vals, self.lidx,
                      self._relsl().reshape(nch, 1, chunk))
         else:
             in_specs = [
