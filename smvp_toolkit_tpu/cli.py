@@ -164,6 +164,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint encoded matrices to PREFIX_{csr,tjds}.npz",
     )
     p.add_argument(
+        "--cocluster",
+        action="store_true",
+        help=(
+            "route the pallas kernel through the joint row x column "
+            "co-clustering planner (ops/cocluster.py): encode-time "
+            "coordinate maps lift SELL occupancy; the CLI path applies "
+            "the x/y permutations per call at the boundaries (library "
+            "consumers keep solvers in permuted space for free)"
+        ),
+    )
+    p.add_argument(
         "--solve",
         default=None,
         metavar="METHOD[:ITERS[:TOL]]",
@@ -529,6 +540,47 @@ def main(argv: Optional[List[str]] = None) -> int:
             try:
                 from smvp_toolkit_tpu.ops import spmv_pallas
 
+                if getattr(args, "cocluster", False):
+                    _cc_ops: dict = {}
+
+                    def _cc_op(encoded):
+                        op = _cc_ops.get(id(encoded))
+                        if op is None:
+                            from smvp_toolkit_tpu.formats.coo import (
+                                COOMatrix,
+                            )
+
+                            r_, c_, v_, shape_ = (
+                                spmv_pallas._triplets_from_csr_host(
+                                    encoded
+                                )
+                                if hasattr(encoded, "row_ptr")
+                                else spmv_pallas._triplets_from_coo_host(
+                                    encoded
+                                )
+                            )
+                            coo_ = COOMatrix.from_numpy(
+                                np.asarray(r_, np.int32),
+                                np.asarray(c_, np.int32),
+                                v_, shape=shape_,
+                            )
+                            op = spmv_pallas.CoClusteredSellSpMV(coo_)
+                            _cc_ops[id(encoded)] = op
+                            log("INFO",
+                                "co-clustered plan: occupancy "
+                                f"{op.occupancy:.3f} (chunk "
+                                f"{op.inner.plan.chunk})")
+                        return op
+
+                    def csr_cc(encoded, xx):
+                        return _cc_op(encoded)(xx)
+
+                    csr_cc.kernel_label = "pallas-cocluster"
+                    return (
+                        csr_cc,
+                        spmv_pallas.spmv_tjds_pallas,
+                        "pallas",
+                    )
                 return (
                     spmv_pallas.spmv_csr_pallas,
                     spmv_pallas.spmv_tjds_pallas,
@@ -536,6 +588,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                 )
             except Exception as e:  # pragma: no cover
                 log("INFO", f"Pallas kernels unavailable ({e}); using XLA.")
+        if getattr(args, "cocluster", False):
+            log("INFO", "--cocluster applies to the pallas kernel only; "
+                "ignored on this path.")
         return spmv_csr, spmv_tjds, "xla"
 
     csr_fn, tjds_fn, kernel_kind = _spmv_fns()

@@ -549,3 +549,23 @@ def test_spmm_flag(tmp_path):
     # usage errors
     assert cli_main(["-t", "-n", "1", "--spmm", "4", "--no-report", f]) == 2
     assert cli_main(["-c", "-n", "1", "--spmm", "0", "--no-report", f]) == 2
+
+
+def test_cocluster_flag_routes_pallas_csr(tmp_path):
+    """--cocluster benchmarks the CSR path through the co-clustered
+    SELL operator (permuted coordinates, boundary gathers) and the
+    result stays correct."""
+    import json
+
+    from smvp_toolkit_tpu.cli import main as cli_main
+
+    out = tmp_path / "m.jsonl"
+    rc = cli_main(
+        ["-c", "-n", "2", "--no-report", "--kernel", "pallas",
+         "--cocluster", "--json-out", str(out),
+         os.path.join(SAMPLE_DIR, "curtis54.mtx")]
+    )
+    assert rc == 0
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    row = [r for r in recs if r["alg"] == "CSR"][0]
+    assert row["kernel"] == "pallas-cocluster"
