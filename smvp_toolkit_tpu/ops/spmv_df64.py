@@ -26,10 +26,13 @@ with MXU-exact arithmetic:
   residual dot, bounded ~2^-49 of the chunk's product scale.
 
 Range caveat: bf16 shares f32's exponent range, so the expansion and
-grid arithmetic stay exact until terms underflow toward subnormals —
-|values| below ~1e-30 lose low-order bits (measured: exact over 1e6
-random values spanning 2^-30..2^30). The XLA path (ops/precision.py)
-remains the reference for pathological scales.
+grid arithmetic stay exact while the per-chunk product scale sits in
+[2^-78, 2^111] (the clamp band where the f32 grids stay normal and the
+rounding constants finite — measured: exact over 1e6 random values
+spanning 2^-30..2^30, NaN-free for zero chunks and f32-max values);
+outside the band accuracy degrades gracefully toward bf16-tail level.
+The XLA path (ops/precision.py) remains the reference for pathological
+scales.
 
 Accuracy/cost: ~1e-14 relative to the f64 oracle on the benchmark
 matrices (tests), at ~6 extra single-pass bf16 MXU dots + ~40 VPU
@@ -135,9 +138,25 @@ def _df64_chunk_store(rs, xh_win, xl_win, vh, vl, lidx32, wt, nsw, ns,
     if vl is not None:
         pe = pe + vl * g_hi + vl * g_lo
 
-    # Per-chunk power-of-two scale.
-    m_abs = jnp.maximum(jnp.max(jnp.abs(p)), 1e-30)
-    pow2 = jnp.exp2(jnp.ceil(jnp.log2(m_abs)))
+    # Per-chunk power-of-two scale, CLAMPED to the f32-safe band: the
+    # unclamped grids overflowed f32 for chunk scales > ~2^112 (the
+    # 1.5*2^23 rounding constant went inf -> NaN) and underflowed to
+    # zero for all-zero chunks (0/0 NaN). Within the clamp the grids
+    # are dynamic TRACED values — deliberately: with literal-constant
+    # grids the compiler folds the (r + c) - c grid rounding away
+    # (measured: levels collapse, 1.7e-3 error). +1 guard bit keeps
+    # every level integer <= 256 even when f32 log2 rounds a hair low
+    # near power-of-two maxima. Accuracy contract: full df64 for chunk
+    # product scales within [2^-64, 2^100]; outside, the kernel
+    # degrades gracefully (the XLA path remains for pathological
+    # scales — module docstring).
+    # Clamp band: grids stay normal f32 (low end: pow2*2^-48 >= 2^-126)
+    # and the rounding constants stay finite (high end:
+    # 1.5*2^15*pow2 <= f32max) — full df64 accuracy for chunk product
+    # scales within [2^-78, 2^111]; beyond, graceful degradation.
+    m_abs = jnp.maximum(jnp.max(jnp.abs(p)), 2.0 ** -78)
+    e = jnp.clip(jnp.ceil(jnp.log2(m_abs)) + 1.0, -78.0, 111.0)
+    pow2 = jnp.exp2(e)
 
     # One-hot reduce operand (bf16 exact: 0/1).
     rel_s = sl_row - sb_dyn

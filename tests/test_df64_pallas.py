@@ -127,3 +127,26 @@ def test_df64_rejects_streamed_plan():
     )
     with pytest.raises(ValueError):
         SellDf64SpMV(plan)
+
+
+def test_df64_edge_scales_no_nan():
+    """Zero chunks and in-band extreme scales must not NaN (the
+    unclamped per-chunk grids used to overflow/underflow — measured)."""
+    def run(v64, cols, n=4):
+        v64 = np.asarray(v64, np.float64)
+        rr = np.zeros(len(v64), np.int64)
+        cc = np.asarray(cols, np.int64)
+        op = SellDf64SpMV.from_coo_f64(rr, cc, v64, (n, n), chunk=8)
+        xh, xl = df_split(np.ones(n))
+        return df_to_f64(*op(xh, xl))[0]
+
+    assert run([0.0], [0]) == 0.0
+    # scale 2^-115 sits BELOW the clamp band: degraded (documented)
+    # but sane — within ~0.1% and finite.
+    assert abs(run([1e-35, 2e-35], [0, 1]) - 3e-35) < 1e-37
+    # in-band large scale: relative error at the sigma*2^-49 contract
+    y = run([1e30, -1e30, 3.0], [0, 1, 2])
+    assert np.isfinite(y) and abs(y - 3.0) < 1e30 * 2.0 ** -45
+    # adversarial cancellation BELOW the contract band: the answer is
+    # unrecoverable at MXU-dot accumulation (documented); finite only.
+    assert np.isfinite(run([1e30, 1e-30, -1e30, 3.0], [0, 1, 2, 3]))
