@@ -305,7 +305,6 @@ class SellDf64SpMV:
         xh_t, xl_t = self._padded_x(x_hi, x_lo)
         has_vlo = self.vals_lo is not None
         fused = iterations is not None
-        nargs = 2 if fused else 1
 
         def _kernel(bases_ref, xh_ref, xl_ref, vh_ref, vl_ref, lidx_ref,
                     rs_ref, yhi_ref, ylo_ref):
@@ -368,7 +367,6 @@ class SellDf64SpMV:
             interpret=self.interpret,
             **_mosaic_kwargs(self.vmem_mb),
         )(*opnds)
-        del nargs
         return y_hi.reshape(-1)[:n], y_lo.reshape(-1)[:n]
 
     def __call__(self, x_hi: jax.Array, x_lo: Optional[jax.Array] = None
