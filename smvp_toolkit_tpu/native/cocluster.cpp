@@ -408,6 +408,9 @@ long long cocluster_refine(const int64_t* rows, const int64_t* cols,
                            long long* out_moves) {
   if (nnz < 0 || n <= 0 || m <= 0 || n_slices <= 0 || n_tiles <= 0)
     return -1;
+  for (int64_t i = 0; i < nnz; i++)
+    if (rows[i] < 0 || rows[i] >= n || cols[i] < 0 || cols[i] >= m)
+      return -1;
   for (int64_t i = 0; i < n; i++)
     if (row_assign[i] < 0 || row_assign[i] >= n_slices) return -1;
   for (int64_t i = 0; i < m; i++)
@@ -454,6 +457,17 @@ long long cocluster_objective(const int64_t* rows, const int64_t* cols,
                               const int32_t* row_assign,
                               const int32_t* col_assign,
                               long long n_slices, long long n_tiles) {
+  // Same validation as cocluster_refine: out-of-range coordinates or
+  // assignments must return an error, not corrupt the heap.
+  if (nnz < 0 || n <= 0 || m <= 0 || n_slices <= 0 || n_tiles <= 0)
+    return -1;
+  for (int64_t i = 0; i < nnz; i++)
+    if (rows[i] < 0 || rows[i] >= n || cols[i] < 0 || cols[i] >= m)
+      return -1;
+  for (int64_t i = 0; i < n; i++)
+    if (row_assign[i] < 0 || row_assign[i] >= n_slices) return -1;
+  for (int64_t i = 0; i < m; i++)
+    if (col_assign[i] < 0 || col_assign[i] >= n_tiles) return -1;
   State st;
   build_state(st, rows, cols, nnz, n, m, row_assign, col_assign,
               n_slices, n_tiles);

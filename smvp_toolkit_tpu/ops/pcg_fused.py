@@ -57,15 +57,10 @@ __all__ = ["fused_chebyshev", "fused_pcg_ic0"]
 
 
 def _relsl_plane(plan: SellPlan) -> np.ndarray:
-    """Host-side rel‖slice plane for a plan (same packing as
-    SellSpMV._relsl, numpy)."""
-    rel = np.where(plan.rel_tile < 0, _PACK_REL_DEAD, plan.rel_tile)
-    rel = rel.astype(np.uint32).reshape(plan.n_chunks, plan.chunk)
-    sl_dead = (1 << (32 - _RELSL_SL_SHIFT)) - 1
-    sl = np.where(plan.slice_of < 0, sl_dead, plan.slice_of).astype(
-        np.uint32
-    )
-    return (rel | (sl << _RELSL_SL_SHIFT)).view(np.int32)
+    """Host-side rel‖slice plane (the shared packing rule)."""
+    from smvp_toolkit_tpu.ops.spmv_pallas import relsl_plane_host
+
+    return relsl_plane_host(plan)
 
 
 def _chunk_spmv_sched(sched_ref, act_ref, val_ref, lidx_ref, rs_ref,
@@ -105,9 +100,13 @@ def _state_tiles(plan: SellPlan) -> int:
     return max(plan.n_slices, plan.n_coltiles)
 
 
-def _vmem_gate(n_state: int, t_tiles: int, label: str):
+def _vmem_gate(n_state: int, t_tiles: int, label: str,
+               vmem_mb: int | None = None):
     state_bytes = n_state * t_tiles * LANES * 4
-    budget = int(os.environ.get("SMVP_SELL_VMEM_MB", "0")) * 2**20
+    budget = max(
+        int(os.environ.get("SMVP_SELL_VMEM_MB", "0")),
+        int(vmem_mb or 0),
+    ) * 2**20
     if state_bytes > max(9 * 2**20, budget - 4 * 2**20):
         raise ValueError(
             f"{label} state ({state_bytes/2**20:.0f} MB) exceeds the "
@@ -145,11 +144,19 @@ def fused_chebyshev(op: SellSpMV, b: jax.Array, lambda_min: float,
     n, m = op.shape
     if n != m:
         raise ValueError("fused_chebyshev needs a square (SPD) system")
+    if num_iters <= 0:
+        # A zero-trip grid would return uninitialized VMEM; the scan
+        # solver returns x0 (zeros) for the same arguments.
+        return jnp.zeros((n,), jnp.float32)
     _require_relsl(plan, "fused_chebyshev")
     t_tiles = _state_tiles(plan)
-    _vmem_gate(4, t_tiles, "fused_chebyshev")
+    _vmem_gate(4, t_tiles, "fused_chebyshev", op.vmem_mb)
     reduce2, precision = _mode_flags(op)
-    nsw = (plan.n_slices
+    # NOWINDOW widens to the STATE buffer height (t_tiles >= n_slices
+    # for square systems whose CT rounds past NS): widening only to
+    # n_slices would keep the windowed store with nonzero bases and
+    # overrun the (t_tiles, 128) scratch on late chunks.
+    nsw = (t_tiles
            if os.environ.get("SMVP_SELL_NOWINDOW") == "1" else op.nsw)
     chunk, nch, wt = plan.chunk, plan.n_chunks, plan.window_tiles
     bf16_values = op._bf16
@@ -287,7 +294,7 @@ def fused_pcg_ic0(op: SellSpMV, factors, b: jax.Array, num_iters: int,
     if wt > _PACK_REL_DEAD:
         raise ValueError("common window too wide for the relsl layout")
     t_tiles = max(_state_tiles(p) for p in plans)
-    _vmem_gate(7, t_tiles, "fused_pcg_ic0")
+    _vmem_gate(7, t_tiles, "fused_pcg_ic0", op.vmem_mb)
 
     # Concatenated planes + the per-chunk schedule.
     vals = np.concatenate([p.vals for p in plans])

@@ -29,8 +29,10 @@ Range caveat: bf16 shares f32's exponent range, so the expansion and
 grid arithmetic stay exact while the per-chunk product scale sits in
 [2^-78, 2^111] (the clamp band where the f32 grids stay normal and the
 rounding constants finite — measured: exact over 1e6 random values
-spanning 2^-30..2^30, NaN-free for zero chunks and f32-max values);
-outside the band accuracy degrades gracefully toward bf16-tail level.
+spanning 2^-30..2^30, NaN-free for zero chunks); per-OPERAND values
+past ~2^114 overflow the Dekker splitter (inf/NaN) regardless of the
+product scale — stay under that, or use the XLA path. Outside the band
+accuracy degrades gracefully toward bf16-tail level.
 The XLA path (ops/precision.py) remains the reference for pathological
 scales.
 
@@ -66,6 +68,12 @@ __all__ = ["SellDf64SpMV", "sell_df64_op"]
 # magnitude starts at ~2^-23 of the scale).
 _P_LEVELS = 5
 _E_LEVELS = 2
+# The error channel starts one bit HIGHER than the aligned shift: pe
+# can reach 3 half-ulps of the scale (~1.5*2^-23*pow2 — two_prod error
+# plus both cross terms), so an aligned first level's integers reach
+# 384 > bf16-exact 256 (review finding, verified); shift 31 caps them
+# at 192.
+_E_FIRST_SHIFT = 8 * (_P_LEVELS - _E_LEVELS) + 7
 
 
 def _bf16_terms(x, terms=3):
@@ -188,8 +196,7 @@ def _df64_chunk_store(rs, xh_win, xl_win, vh, vl, lidx32, wt, nsw, ns,
         return outs, r
 
     p_dots, p_res = exact_level_dots(p, 8, _P_LEVELS)
-    e_dots, e_res = exact_level_dots(pe, 8 * (_P_LEVELS - _E_LEVELS) + 8,
-                                     _E_LEVELS)
+    e_dots, e_res = exact_level_dots(pe, _E_FIRST_SHIFT, _E_LEVELS)
     tail = p_res + e_res  # ~2^-41 * pow2 per slot
     tail_dot = jax.lax.dot_general(
         seg16, tail.astype(jnp.bfloat16), dims,
@@ -241,19 +248,19 @@ class SellDf64SpMV:
                 jnp.asarray(vals_lo, jnp.float32)
                 if vals_lo is not None else None
             )
+            import os
+
+            from smvp_toolkit_tpu.ops.spmv_pallas import relsl_plane_host
+
             self.lidx = jnp.asarray(
                 plan.lane_idx,
-                jnp.int8 if plan.chunk % 32 == 0 else jnp.int32,
+                jnp.int8
+                if plan.chunk % 32 == 0
+                and os.environ.get("SMVP_SELL_LIDX32") != "1"
+                else jnp.int32,
             )
-            rel = np.where(
-                plan.rel_tile < 0, _PACK_REL_DEAD, plan.rel_tile
-            ).astype(np.uint32).reshape(plan.n_chunks, plan.chunk)
-            sl_dead = (1 << (32 - _RELSL_SL_SHIFT)) - 1
-            sl = np.where(
-                plan.slice_of < 0, sl_dead, plan.slice_of
-            ).astype(np.uint32)
             self.relsl = jnp.asarray(
-                (rel | (sl << _RELSL_SL_SHIFT)).view(np.int32)
+                relsl_plane_host(plan)
             ).reshape(plan.n_chunks, 1, plan.chunk)
             sb, self.nsw = plan.reduce_window()
             self.bases = jnp.stack([

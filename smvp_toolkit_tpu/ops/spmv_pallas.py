@@ -174,6 +174,19 @@ def _table_select_t(rel_row, x_win, wt, precision, bf16_values, reduce2):
     )
 
 
+def relsl_plane_host(plan) -> np.ndarray:
+    """Host-side rel‖slice plane for a plan — THE single packing rule
+    (consumed by SellSpMV._relsl, the fused solvers and the df64
+    operator; a layout change edits exactly this function)."""
+    rel = np.where(
+        plan.rel_tile < 0, _PACK_REL_DEAD, plan.rel_tile
+    ).astype(np.uint32).reshape(plan.n_chunks, plan.chunk)
+    sl = np.where(
+        plan.slice_of < 0, _RELSL_SL_DEAD, plan.slice_of
+    ).astype(np.uint32)
+    return (rel | (sl << _RELSL_SL_SHIFT)).view(np.int32)
+
+
 def _chain_setting(chunk: int, k: int):
     """(split, bf16_taa) for a launch — env overrides, else policy.
 
@@ -1579,16 +1592,10 @@ class SellSpMV:
         markers land outside every one-hot window (see the module-level
         layout note)."""
         if getattr(self, "_relsl_cache", None) is None:
-            plan = self.plan
             with jax.ensure_compile_time_eval():
-                rel = np.where(
-                    plan.rel_tile < 0, _PACK_REL_DEAD, plan.rel_tile
-                ).astype(np.uint32).reshape(plan.n_chunks, plan.chunk)
-                sl = np.where(
-                    plan.slice_of < 0, _RELSL_SL_DEAD, plan.slice_of
-                ).astype(np.uint32)
-                rs = rel | (sl << _RELSL_SL_SHIFT)
-                self._relsl_cache = jnp.asarray(rs.view(np.int32))
+                self._relsl_cache = jnp.asarray(
+                    relsl_plane_host(self.plan)
+                )
         return self._relsl_cache
 
     @staticmethod

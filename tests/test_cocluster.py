@@ -177,3 +177,21 @@ def test_cocluster_plan_matches_objective():
     live = int((plan.slice_of >= 0).sum())
     assert live == res.s_true
     assert plan.shape == res.shape_padded
+
+
+def test_native_rejects_out_of_range_inputs():
+    """Out-of-range coordinates/assignments return an error code (not
+    heap corruption) from both native entry points (review finding)."""
+    r = np.array([5], dtype=np.int64)
+    c = np.array([0], dtype=np.int64)
+    # row id 5 out of range for n=2
+    assert cocluster_objective(r, c, (2, 2)) is None or \
+        cocluster_objective(r, c, (2, 2)) == -1
+    # negative assignment
+    bad = np.array([-1], dtype=np.int32)
+    ok = np.array([0], dtype=np.int32)
+    out = cocluster_objective(
+        np.array([0], np.int64), np.array([0], np.int64), (1, 1),
+        bad, ok,
+    )
+    assert out == -1
