@@ -209,10 +209,11 @@ def _split_policy(chunk: int, k: int) -> int:
     c2048+split4 beats the former single-chunk autotuner picks
     outright. Sub-chunks must be lane-tile aligned — per-half widths
     that are not multiples of 128 lanes 500 the remote Mosaic compile
-    (measured on the odd single-chunk sizes). SpMM (k > 1) keeps the
-    proven unsplit chain.
+    (measured on the odd single-chunk sizes). Applies to fused SpMM
+    (k > 1) too — the sub-chunk reshapes are sublane-dim only and
+    k-width-agnostic (interpret-verified; TPU cell in session 1).
     """
-    if k == 1 and chunk >= 2048 and chunk % (4 * LANES) == 0:
+    if chunk >= 2048 and chunk % (4 * LANES) == 0:
         return 4
     return 1
 
@@ -294,7 +295,7 @@ def _relsl_chain_store(y_ref, rs, x_win, val_raw, lidx, wt, k, sb, ns, nsw,
     """
     chunk = rs.shape[1]
     bf16_taa = bf16_taa and bf16_values
-    if (split < 2 or chunk % (split * LANES) or k != 1
+    if (split < 2 or chunk % (split * LANES)
             or (chunk // split) % 8):
         split = 1
     if split == 1:

@@ -873,6 +873,12 @@ def test_packed_plane_spmm_and_streamed(monkeypatch):
     rng = np.random.RandomState(17)
     X = jnp.asarray(rng.randn(coo.shape[1], 8).astype(np.float32))
 
+    # Cross-layout bit-exact comparison: pin the unsplit chain (the
+    # packed plane has no split variant) and drop stale traces.
+    monkeypatch.setenv("SMVP_SELL_SPLIT_CHAIN", "1")
+    from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call
+
+    _sell_spmv_call.clear_cache()
     op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
     base_mm = np.asarray(op.matmat(X))
     r, c, v = coo.to_numpy()
@@ -1018,7 +1024,7 @@ def test_split_policy_gates():
 
     assert _split_policy(2048, 1) == 4
     assert _split_policy(4096, 1) == 4
-    assert _split_policy(2048, 8) == 1          # SpMM keeps unsplit
+    assert _split_policy(2048, 8) == 4          # fused SpMM splits too
     assert _split_policy(1024, 1) == 1          # below the measured win
     assert _split_policy(7192, 1) == 1          # 7192 % 512 != 0
     assert _split_policy(16, 1) == 1

@@ -297,6 +297,13 @@ def test_spmm_relsl_layout_and_gridfused_bench(monkeypatch):
     coo = read_mtx("/root/reference/sample-data/memplus.mtx")
     rng = np.random.RandomState(31)
     X = jnp.asarray(rng.randn(coo.shape[1], 8).astype(np.float32))
+    # Cross-layout BIT-exact comparison: pin the unsplit chain (the
+    # split-plane launch has no split variant; split4 is a different —
+    # equally valid — summation order) and drop stale cached traces.
+    monkeypatch.setenv("SMVP_SELL_SPLIT_CHAIN", "1")
+    from smvp_toolkit_tpu.ops.spmv_pallas import _sell_spmv_call
+
+    _sell_spmv_call.clear_cache()
     op = SellSpMV.from_coo(coo, value_dtype=jnp.bfloat16)
     base = np.asarray(op.matmat(X))
     monkeypatch.setenv("SMVP_SELL_RELSL", "0")
