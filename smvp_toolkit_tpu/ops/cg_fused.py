@@ -48,12 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 from smvp_toolkit_tpu.ops.mosaic_check import check_pallas_args
 from smvp_toolkit_tpu.ops.sell_plan import LANES
 from smvp_toolkit_tpu.ops.spmv_pallas import (
+    _chain_setting,
     _PACK_REL_DEAD,
+    _relsl_chain_store,
     _RELSL_SL_SHIFT,
     _mosaic_kwargs,
     _reduce_store,
     _table_select,
-    _table_select_t,
     SellSpMV,
 )
 
@@ -61,7 +62,7 @@ __all__ = ["fused_cg"]
 
 
 def _make_cg_kernel(precision, t_tiles, nsw, wt, bf16_values, reduce2,
-                    n_chunks, relsl):
+                    n_chunks, relsl, split=1):
     def _chunk_spmv(bases_ref, p_ref, val_ref, lidx_ref, rel_or_rs_ref,
                     sl_ref, q_ref, ch):
         xb = pl.multiple_of(bases_ref[0, ch], 16)
@@ -69,18 +70,19 @@ def _make_cg_kernel(precision, t_tiles, nsw, wt, bf16_values, reduce2,
         if bf16_values:
             x_win = x_win.astype(jnp.bfloat16)
         if relsl:
-            rs = rel_or_rs_ref[0]  # (1, chunk)
-            rel_row = jnp.bitwise_and(rs, jnp.int32(_PACK_REL_DEAD))
-            sl_row = jax.lax.shift_right_logical(rs, _RELSL_SL_SHIFT)
-            table = _table_select_t(
-                rel_row, x_win, wt, precision, bf16_values, reduce2
+            # Shared chain (production split-chain applies here too).
+            _relsl_chain_store(
+                q_ref, rel_or_rs_ref[0], x_win, val_ref[:],
+                lidx_ref[:].astype(jnp.int32), wt, 1,
+                bases_ref[1, ch], t_tiles, min(nsw, t_tiles),
+                precision, bf16_values, reduce2, split=split,
             )
-        else:
-            sl_row = sl_ref[0]
-            table = _table_select(
-                rel_or_rs_ref[:], x_win, wt, precision, bf16_values,
-                reduce2,
-            )
+            return
+        sl_row = sl_ref[0]
+        table = _table_select(
+            rel_or_rs_ref[:], x_win, wt, precision, bf16_values,
+            reduce2,
+        )
         g = jnp.take_along_axis(
             table, lidx_ref[:].astype(jnp.int32), axis=1
         )
@@ -187,7 +189,8 @@ def fused_cg(op: SellSpMV, b: jax.Array, num_iters: int) -> jax.Array:
         b = jnp.pad(b, (0, rows_pad - b.shape[0]))
     b2 = b.reshape(t_tiles, LANES)
     kern = _make_cg_kernel(
-        op.precision, t_tiles, nsw, wt, op._bf16, reduce2, nch, relsl
+        op.precision, t_tiles, nsw, wt, op._bf16, reduce2, nch, relsl,
+        split=_chain_setting(chunk, 1)[0],
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # bases

@@ -45,11 +45,11 @@ from smvp_toolkit_tpu.ops.sell_plan import (
     common_window,
 )
 from smvp_toolkit_tpu.ops.spmv_pallas import (
+    _chain_setting,
     _PACK_REL_DEAD,
+    _relsl_chain_store,
     _RELSL_SL_SHIFT,
     _mosaic_kwargs,
-    _reduce_store,
-    _table_select_t,
     SellSpMV,
 )
 
@@ -65,26 +65,26 @@ def _relsl_plane(plan: SellPlan) -> np.ndarray:
 
 def _chunk_spmv_sched(sched_ref, act_ref, val_ref, lidx_ref, rs_ref,
                       q_ref, ch, *, t_tiles, nsw, wt, bf16_values,
-                      reduce2, precision):
+                      reduce2, precision, split=1):
     """One schedule-driven SpMV chunk: q += Op_chunk · act.
 
     ``sched_ref`` rows: 1 = per-chunk x-window base, 2 = per-chunk
     slice-window base (row 0 — the plane block — is consumed by the
-    BlockSpec index maps, not here).
+    BlockSpec index maps, not here). The chain runs through the shared
+    ``_relsl_chain_store`` so the production split-chain (four
+    independent sub-chains, +13-27% measured) applies to the fused
+    solvers too.
     """
     xb = pl.multiple_of(sched_ref[1, ch], 16)
     x_win = act_ref[pl.ds(xb, wt), :]
     if bf16_values:
         x_win = x_win.astype(jnp.bfloat16)
-    rs = rs_ref[0]
-    rel_row = jnp.bitwise_and(rs, jnp.int32(_PACK_REL_DEAD))
-    sl_row = jax.lax.shift_right_logical(rs, _RELSL_SL_SHIFT)
-    table = _table_select_t(rel_row, x_win, wt, precision, bf16_values,
-                            reduce2)
-    g = jnp.take_along_axis(table, lidx_ref[:].astype(jnp.int32), axis=1)
-    prod = val_ref[:].astype(jnp.float32) * g
-    _reduce_store(q_ref, prod, sl_row, sched_ref[2, ch], t_tiles,
-                  min(nsw, t_tiles), precision, reduce2)
+    _relsl_chain_store(
+        q_ref, rs_ref[0], x_win, val_ref[:],
+        lidx_ref[:].astype(jnp.int32), wt, 1, sched_ref[2, ch],
+        t_tiles, min(nsw, t_tiles), precision, bf16_values, reduce2,
+        split=split,
+    )
 
 
 def _mode_flags(op: SellSpMV) -> Tuple[object, object]:
@@ -160,6 +160,7 @@ def fused_chebyshev(op: SellSpMV, b: jax.Array, lambda_min: float,
            if os.environ.get("SMVP_SELL_NOWINDOW") == "1" else op.nsw)
     chunk, nch, wt = plan.chunk, plan.n_chunks, plan.window_tiles
     bf16_values = op._bf16
+    split = _chain_setting(chunk, 1)[0]
 
     # Host-side scalar recurrence (models.solvers.chebyshev).
     theta = (lambda_max + lambda_min) / 2.0
@@ -202,7 +203,7 @@ def fused_chebyshev(op: SellSpMV, b: jax.Array, lambda_min: float,
         _chunk_spmv_sched(
             sched_ref, d_ref, val_ref, lidx_ref, rs_ref, q_ref, ch,
             t_tiles=t_tiles, nsw=nsw, wt=wt, bf16_values=bf16_values,
-            reduce2=reduce2, precision=precision,
+            reduce2=reduce2, precision=precision, split=split,
         )
 
         @pl.when(ch == nch - 1)
@@ -295,6 +296,7 @@ def fused_pcg_ic0(op: SellSpMV, factors, b: jax.Array, num_iters: int,
         raise ValueError("common window too wide for the relsl layout")
     t_tiles = max(_state_tiles(p) for p in plans)
     _vmem_gate(7, t_tiles, "fused_pcg_ic0", op.vmem_mb)
+    split = _chain_setting(chunk, 1)[0]
 
     # Concatenated planes + the per-chunk schedule.
     vals = np.concatenate([p.vals for p in plans])
@@ -358,7 +360,7 @@ def fused_pcg_ic0(op: SellSpMV, factors, b: jax.Array, num_iters: int,
         _chunk_spmv_sched(
             sched_ref, act_ref, val_ref, lidx_ref, rs_ref, q_ref, ch,
             t_tiles=t_tiles, nsw=nsw, wt=wt, bf16_values=bf16_values,
-            reduce2=reduce2, precision=precision,
+            reduce2=reduce2, precision=precision, split=split,
         )
 
         flag = sched_ref[3, ch]
