@@ -643,6 +643,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             y = None
         else:
             stats = bench_spmv(spmv_fn, encoded, x, iterations=args.iter)
+            if device.platform == "tpu" and kernel == "pallas":
+                log("INFO", "per-call timing includes the runtime's "
+                    "dispatch floor (~25 ms/call on tunneled stacks); "
+                    "use --fused for steady-state kernel rates")
             y = None
         if y is None:
             y = np.asarray(spmv_fn(encoded, x))
